@@ -1,0 +1,273 @@
+"""The tuner engine.
+
+Parity map to the fork:
+  Tuner.tune_iteration   ← tuner.TuneIteration via cusp::ktt::multiply
+                           (cusp/ktt/detail/ktt.inl:88-94): run the next
+                           untried configuration once, record its time,
+                           return its output; once the space is exhausted,
+                           keep running the best configuration.
+  Tuner.run              ← fixed-configuration tuner.Run
+                           (cusp/system/cuda/ktt/multiply.h:80-103).
+  Tuner.tune             ← offline tuner.Tune with optional reference
+                           validation, searcher, and stop condition
+                           (multiply.h:106-153); output is reset between
+                           trials so validation stays honest (:134-141).
+  reset_tuning           ← cusp::ktt::reset_tuning (ktt.inl:130-142).
+
+TPU specifics: a "configuration" is a dict of kernel meta-parameters
+(kernels.variants); compiling one means jitting a closure that bakes the
+config in.  XLA compiles are far costlier than NVRTC, so compiled callables
+are cached per (matrix signature, config) and results persist to an on-disk
+JSON cache keyed by matrix signature + device kind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from cusp_autotuned_tpu.autotune.result import ResultStatus, TuningResult
+from cusp_autotuned_tpu.autotune.search import DeterministicSearcher, Searcher, StopCondition
+from cusp_autotuned_tpu.autotune.space import config_key
+
+TUNABLE_FORMATS = ("dia", "ell", "ellr", "csr", "coo")
+
+_enabled = False
+_global_tuner: Optional["Tuner"] = None
+
+DEFAULT_CACHE_ENV = "CUSP_TPU_TUNING_CACHE"
+
+
+def enable() -> None:
+    """Route eligible multiplies through the tuner (cusp::ktt::enable)."""
+    global _enabled
+    _enabled = True
+
+
+def disable() -> None:
+    global _enabled
+    _enabled = False
+
+
+def is_enabled() -> bool:
+    return _enabled
+
+
+def get_tuner() -> "Tuner":
+    """Lazy global tuner (cusp::ktt::get_tuner, ktt.inl:20-62)."""
+    global _global_tuner
+    if _global_tuner is None:
+        _global_tuner = Tuner(cache_path=os.environ.get(DEFAULT_CACHE_ENV))
+    return _global_tuner
+
+
+def matrix_signature(A) -> str:
+    """Cache key: format + static layout + dtype + device kind.  Two matrices
+    with the same signature share tuning results (same compiled kernels)."""
+    dev = jax.devices()[0].device_kind.replace(" ", "_")
+    parts = [A.format, f"{A.shape[0]}x{A.shape[1]}", f"dtype={A.dtype}"]
+    if A.format == "coo":
+        parts.append(f"nnzp={A.nnz_padded}")
+    elif A.format == "csr":
+        parts.append(f"nnzp={A.nnz_padded}")
+    elif A.format == "dia":
+        parts.append(f"ndiag={A.num_diagonals}")
+        parts.append(f"offs={hash(A.offsets) & 0xffffffff:x}")
+    elif A.format in ("ell", "ellr"):
+        parts.append(f"width={A.width}")
+    elif A.format == "hyb":
+        parts.append(f"w={A.ell.width},coo={A.coo.nnz_padded}")
+    parts.append(dev)
+    return ":".join(parts)
+
+
+class Tuner:
+    def __init__(self, cache_path: Optional[str] = None,
+                 warmup: int = 2, repeats: int = 5):
+        self.cache_path = cache_path
+        self.warmup = warmup
+        self.repeats = repeats
+        # signature -> {config_key: TuningResult}
+        self.results: Dict[str, Dict[str, TuningResult]] = {}
+        self._compiled: Dict[tuple, Callable] = {}
+        if cache_path and os.path.exists(cache_path):
+            self.load(cache_path)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: Optional[str] = None) -> None:
+        path = path or self.cache_path
+        if not path:
+            return
+        payload = {sig: [r.to_json() for r in res.values()]
+                   for sig, res in self.results.items()}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, path)
+
+    def load(self, path: str) -> None:
+        with open(path) as f:
+            payload = json.load(f)
+        for sig, results in payload.items():
+            store = self.results.setdefault(sig, {})
+            for r in results:
+                tr = TuningResult.from_json(r)
+                store[config_key(tr.configuration)] = tr
+
+    # -- compilation + execution ---------------------------------------------
+
+    def _get_fn(self, A, config: Dict[str, Any]):
+        from cusp_autotuned_tpu.kernels.variants import build_spmv
+        key = (matrix_signature(A), config_key(config))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(build_spmv(A, config))
+            self._compiled[key] = fn
+        return fn
+
+    def _execute(self, A, x, config, *, validate=None) -> TuningResult:
+        """Compile + time one configuration; failures become skippable
+        statuses (parity: KTT ResultStatus semantics)."""
+        t0 = time.perf_counter()
+        try:
+            fn = self._get_fn(A, config)
+            y = jax.block_until_ready(fn(x))
+        except Exception as e:  # noqa: BLE001 — any compile/run error is a skippable result
+            status = (ResultStatus.DeviceLimitsExceeded
+                      if "RESOURCE_EXHAUSTED" in str(e)
+                      else ResultStatus.CompilationFailed)
+            return TuningResult(dict(config), status, error=str(e)[:500])
+        compile_ms = (time.perf_counter() - t0) * 1e3
+
+        try:
+            if not bool(np.all(np.isfinite(np.asarray(y)))):
+                return TuningResult(dict(config), ResultStatus.ComputationFailed,
+                                    compilation_ms=compile_ms,
+                                    error="non-finite output")
+            if validate is not None and not validate(y):
+                return TuningResult(dict(config), ResultStatus.ValidationFailed,
+                                    compilation_ms=compile_ms)
+            for _ in range(self.warmup):
+                y = fn(x)
+            jax.block_until_ready(y)
+            best = float("inf")
+            for _ in range(self.repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(x))
+                best = min(best, (time.perf_counter() - t0) * 1e3)
+        except Exception as e:  # noqa: BLE001
+            return TuningResult(dict(config), ResultStatus.ComputationFailed,
+                                compilation_ms=compile_ms, error=str(e)[:500])
+        return TuningResult(dict(config), ResultStatus.Ok, duration_ms=best,
+                            compilation_ms=compile_ms)
+
+    # -- public engine ---------------------------------------------------------
+
+    def tune_iteration(self, A, x):
+        """Run the next untried configuration (or the known best once
+        exhausted) and return y = A @ x."""
+        from cusp_autotuned_tpu.autotune.space import configurations_for
+        sig = matrix_signature(A)
+        store = self.results.setdefault(sig, {})
+        for config in configurations_for(A):
+            ck = config_key(config)
+            if ck not in store:
+                result = self._execute(A, x, config)
+                store[ck] = result
+                if result.is_valid():
+                    return self._get_fn(A, config)(x)
+                # failed config: fall through to the default implementation
+                from cusp_autotuned_tpu.kernels.variants import default_config
+                return self._get_fn(A, default_config(A))(x)
+        best = self.best_configuration(A)
+        return self._get_fn(A, best)(x)
+
+    def run(self, A, x, configuration: Dict[str, Any]):
+        """y = A @ x with a fixed configuration."""
+        return self._get_fn(A, configuration)(x)
+
+    def tune(self, A, x, reference_computation=None,
+             searcher: Optional[Searcher] = None,
+             stop_condition: Optional[StopCondition] = None) -> List[TuningResult]:
+        """Offline search over the full constrained space; every configuration
+        is timed and (when a reference is given) validated."""
+        from cusp_autotuned_tpu.autotune.space import configurations_for
+        configs = configurations_for(A)
+        order = (searcher or DeterministicSearcher()).order(configs)
+        validate = None
+        if reference_computation is not None:
+            expected = np.asarray(reference_computation(A, x), dtype=np.float64)
+            scale = np.linalg.norm(expected) or 1.0
+            tol = _tolerance(A.dtype)
+
+            def validate(y):
+                err = np.linalg.norm(np.asarray(y, dtype=np.float64) - expected)
+                return err / scale <= tol
+
+        sig = matrix_signature(A)
+        store = self.results.setdefault(sig, {})
+        out: List[TuningResult] = []
+        if stop_condition is not None:
+            stop_condition.initialize(len(order))
+        for config in order:
+            if stop_condition is not None and stop_condition.fulfilled():
+                break
+            result = self._execute(A, x, config, validate=validate)
+            store[config_key(config)] = result
+            out.append(result)
+            if stop_condition is not None:
+                stop_condition.update(result)
+        self.save()
+        return out
+
+    def best_configuration(self, A) -> Dict[str, Any]:
+        sig = matrix_signature(A)
+        store = self.results.get(sig, {})
+        ok = [r for r in store.values() if r.is_valid()]
+        if not ok:
+            from cusp_autotuned_tpu.kernels.variants import default_config
+            return default_config(A)
+        return dict(min(ok, key=lambda r: r.duration_ms).configuration)
+
+    def reset_tuning(self, A=None) -> None:
+        if A is None:
+            self.results.clear()
+            self._compiled.clear()
+        else:
+            sig = matrix_signature(A)
+            self.results.pop(sig, None)
+            self._compiled = {k: v for k, v in self._compiled.items()
+                              if k[0] != sig}
+
+
+def _tolerance(dtype) -> float:
+    name = str(dtype)
+    if "64" in name:
+        return 1e-10
+    if "bfloat16" in name or "16" in name:
+        return 2e-2
+    return 1e-4
+
+
+# -- module-level conveniences (cusp::ktt free functions) ----------------------
+
+def multiply(A, x, configuration: Optional[Dict[str, Any]] = None):
+    tuner = get_tuner()
+    if configuration is not None:
+        return tuner.run(A, x, configuration)
+    return tuner.tune_iteration(A, x)
+
+
+def tune(A, x, reference_computation=None, searcher=None, stop_condition=None):
+    return get_tuner().tune(A, x, reference_computation=reference_computation,
+                            searcher=searcher, stop_condition=stop_condition)
+
+
+def reset_tuning(A=None):
+    get_tuner().reset_tuning(A)

@@ -1,0 +1,52 @@
+"""DIMACS graph file I/O (parity: cusp/io/dimacs.h — the 'p sp' / arc-list
+format: comment lines 'c ...', problem line 'p sp <nodes> <edges>', arc lines
+'a <src> <dst> <weight>' with 1-based vertex ids)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cusp_autotuned_tpu.formats.coo import coo_matrix
+from cusp_autotuned_tpu.ops.convert import convert, _coo_arrays
+from cusp_autotuned_tpu.utils.exceptions import IOException
+
+
+def read_dimacs_file(path, format: str = "coo", dtype=np.float32):
+    with open(path) as f:
+        return read_dimacs_stream(f, format, dtype)
+
+
+def read_dimacs_stream(stream, format: str = "coo", dtype=np.float32):
+    n = None
+    rows, cols, vals = [], [], []
+    for line in stream:
+        line = line.strip()
+        if not line or line.startswith("c"):
+            continue
+        if line.startswith("p"):
+            parts = line.split()
+            if len(parts) < 4:
+                raise IOException(f"malformed problem line: {line!r}")
+            n = int(parts[2])
+        elif line.startswith("a"):
+            _, u, v, *w = line.split()
+            rows.append(int(u) - 1)
+            cols.append(int(v) - 1)
+            vals.append(float(w[0]) if w else 1.0)
+    if n is None:
+        raise IOException("missing DIMACS problem line")
+    A = coo_matrix(np.asarray(rows, np.int32), np.asarray(cols, np.int32),
+                   np.asarray(vals, dtype), (n, n), sort=True)
+    return A if format == "coo" else convert(A, format)
+
+
+def write_dimacs_file(A, path) -> None:
+    with open(path, "w") as f:
+        write_dimacs_stream(A, f)
+
+
+def write_dimacs_stream(A, stream) -> None:
+    row, col, val, (m, n) = _coo_arrays(A)
+    stream.write(f"p sp {max(m, n)} {val.size}\n")
+    for r, c, v in zip(row, col, val):
+        stream.write(f"a {int(r) + 1} {int(c) + 1} {v}\n")

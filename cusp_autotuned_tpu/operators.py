@@ -1,0 +1,66 @@
+"""Linear operators (parity: cusp/linear_operator.h — linear_operator base,
+identity_operator, and operator adapters usable as preconditioners M).
+
+Everything here is a pytree, so operators pass straight through jitted solver
+loops as arguments; bare Python callables are wrapped with the callable held
+as static metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from cusp_autotuned_tpu.formats.base import MatrixBase, register_matrix, static_field
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class IdentityOperator:
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    format = "identity_operator"
+
+    def __call__(self, x):
+        return x
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class FunctionOperator:
+    """Wraps y = fn(x) as an operator; fn is static (hashable) metadata."""
+    fn: Callable = static_field()
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    format = "function_operator"
+
+    def __call__(self, x):
+        return self.fn(x)
+
+
+def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:
+    return IdentityOperator(shape=(n, n))
+
+
+def make_linear_operator(fn: Callable, shape=(0, 0)) -> FunctionOperator:
+    return FunctionOperator(fn=fn, shape=tuple(shape))
+
+
+def as_operator(M):
+    """Normalize None / container / callable to a pytree operator."""
+    import jax
+
+    if M is None:
+        return IdentityOperator()
+    if isinstance(M, (IdentityOperator, FunctionOperator, MatrixBase)):
+        return M
+    if callable(M):
+        leaves = jax.tree_util.tree_leaves(M)
+        if len(leaves) == 1 and leaves[0] is M:
+            # unregistered bare callable — hold it as static metadata
+            return FunctionOperator(fn=M)
+        # registered pytree with __call__ (e.g. an AMG hierarchy)
+        return M
+    raise TypeError(f"cannot use {type(M)} as a linear operator")

@@ -1,0 +1,47 @@
+"""Pretty printers (parity: cusp/print.h + cusp/detail/print.inl)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from cusp_autotuned_tpu import formats as F
+
+
+def print_matrix(A, stream=None) -> None:
+    stream = stream or sys.stdout
+    if isinstance(A, (np.ndarray, jnp.ndarray)):
+        a = np.asarray(A)
+        if a.ndim == 1:
+            stream.write(f"array1d <{a.shape[0]}>\n")
+            for v in a:
+                stream.write(f"  {v}\n")
+        else:
+            stream.write(f"array2d <{a.shape[0]}, {a.shape[1]}>\n")
+            for r in a:
+                stream.write("  " + "  ".join(f"{v}" for v in r) + "\n")
+        return
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    row, col, val, (m, n) = _coo_arrays(A)
+    stream.write(
+        f"sparse matrix <{m}, {n}> with {val.size} entries [{A.format}]\n")
+    for r, c, v in zip(row, col, val):
+        stream.write(f"  {int(r):>8} {int(c):>8}  {v}\n")
+
+
+def spy(A, stream=None, max_size: int = 60) -> None:
+    """Text sparsity plot — the terminal stand-in for the reference's OpenGL
+    spy viewer (cusp/opengl/spy/)."""
+    stream = stream or sys.stdout
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    row, col, _, (m, n) = _coo_arrays(A)
+    h = min(m, max_size)
+    w = min(n, max_size)
+    grid = np.zeros((h, w), dtype=bool)
+    grid[(row * h) // max(m, 1), (col * w) // max(n, 1)] = True
+    stream.write("+" + "-" * w + "+\n")
+    for r in grid:
+        stream.write("|" + "".join("*" if c else " " for c in r) + "|\n")
+    stream.write("+" + "-" * w + "+\n")

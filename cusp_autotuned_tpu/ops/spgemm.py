@@ -1,0 +1,150 @@
+"""SpGEMM — sparse × sparse multiply via ESC (expand, sort, compress).
+
+Parity target: the reference's COO ESC SpGEMM
+(cusp/system/cuda/detail/multiply/spgemm.h — expansion with workspace capping
+and slicing) and generalized_spgemm (cusp/detail/multiply.inl:114-151).
+
+TPU-native design: the expansion size is data-dependent, so planning runs on
+the host (cheap integer work over row lengths), while the expansion, the
+lexicographic sort, and the duplicate compression run as one jitted XLA
+program with static shapes.  Atomics-free: duplicates are merged with a
+deterministic sorted segmented reduction.  Large products are sliced over
+rows of A to bound workspace, mirroring the reference's capped-workspace
+sub-products (spgemm.h:229-257).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cusp_autotuned_tpu import formats as F
+from cusp_autotuned_tpu.ops.convert import _coo_arrays, convert
+from cusp_autotuned_tpu.formats.coo import coo_matrix
+from cusp_autotuned_tpu.utils.exceptions import InvalidInputException
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+
+# cap on the expanded-workspace length of a single slice (entries); mirrors
+# the reference's min(nnz, 16<<20) workspace cap
+MAX_WORKSPACE = 16 << 20
+
+
+@partial(jax.jit, static_argnames=("E", "E_pad", "num_rows"))
+def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
+                E, E_pad, num_rows):
+    """Expand-sort-compress one slice.  Returns (rows, cols, vals, seg_id)
+    with duplicates merged into the first slot of each (row, col) segment."""
+    e = jnp.arange(E_pad, dtype=jnp.int32)
+    k = jnp.searchsorted(exp_offsets, e, side="right").astype(jnp.int32) - 1
+    k = jnp.clip(k, 0, a_row.shape[0] - 1)
+    t = e - exp_offsets[k]
+    bidx = jnp.clip(b_indptr[jnp.clip(a_col[k], 0, b_indptr.shape[0] - 2)] + t,
+                    0, b_col.shape[0] - 1)
+    valid = e < E
+    crow = jnp.where(valid, a_row[k], num_rows).astype(jnp.int32)
+    ccol = jnp.where(valid, b_col[bidx], 0).astype(jnp.int32)
+    cval = jnp.where(valid, a_val[k] * b_val[bidx], 0)
+    crow, ccol, cval = jax.lax.sort((crow, ccol, cval), num_keys=2)
+    # compress duplicates into segments
+    prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), crow[:-1]])
+    prev_c = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ccol[:-1]])
+    new_seg = (crow != prev_r) | (ccol != prev_c)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    vals = jax.ops.segment_sum(cval, seg_id, num_segments=E_pad,
+                               indices_are_sorted=True)
+    rows = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(crow)
+    cols = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(ccol)
+    nseg = seg_id[-1] + 1
+    return rows, cols, vals, nseg
+
+
+def spgemm(A, B, initialize=None, combine=None, reduce=None):
+    """C = A @ B (or the semiring generalization when combine/reduce given)."""
+    if A.num_cols != B.num_rows:
+        raise InvalidInputException(f"dimension mismatch: {A.shape} @ {B.shape}")
+    out_fmt = getattr(A, "format", "coo")
+
+    a_row, a_col, a_val, (m, _) = _coo_arrays(A)
+    Bc = convert(B, "csr")
+    n = B.num_cols
+    b_indptr = np.asarray(Bc.indptr)
+    b_len = np.diff(b_indptr)
+
+    generic = combine is not None or reduce is not None
+    if generic:
+        return _spgemm_generic_host(a_row, a_col, a_val, Bc, (m, n),
+                                    initialize, combine, reduce, out_fmt)
+
+    exp_len = b_len[a_col] if a_col.size else np.zeros(0, np.int64)
+    total = int(exp_len.sum())
+    if total == 0:
+        C = coo_matrix(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                       np.zeros(0, a_val.dtype), (m, n))
+        return C if out_fmt == "coo" else convert(C, out_fmt)
+
+    # slice over A's entries so each slice's expansion fits the workspace cap
+    cum = np.concatenate([[0], np.cumsum(exp_len)])
+    pieces = []
+    start = 0
+    while start < a_row.size:
+        stop = int(np.searchsorted(cum, cum[start] + MAX_WORKSPACE, side="right")) - 1
+        stop = max(stop, start + 1)
+        pieces.append(_esc_slice(a_row[start:stop], a_col[start:stop],
+                                 a_val[start:stop],
+                                 (cum[start:stop + 1] - cum[start]), Bc, m))
+        start = stop
+    rows = np.concatenate([p[0] for p in pieces])
+    cols = np.concatenate([p[1] for p in pieces])
+    vals = np.concatenate([p[2] for p in pieces])
+    if len(pieces) > 1:
+        # merge duplicates across slice boundaries
+        key = rows.astype(np.int64) * (n + 1) + cols
+        uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        merged = np.zeros(uniq.size, dtype=vals.dtype)
+        np.add.at(merged, inv, vals)
+        rows, cols, vals = rows[first], cols[first], merged
+    C = coo_matrix(rows, cols, vals, (m, n), sort=True)
+    return C if out_fmt == "coo" else convert(C, out_fmt)
+
+
+def _esc_slice(a_row, a_col, a_val, offsets, Bcsr, m):
+    E = int(offsets[-1])
+    E_pad = max(LANE, round_up(E, LANE))
+    offs_dev = jnp.asarray(np.asarray(offsets).astype(np.int32))  # (nnz_slice + 1,)
+    rows, cols, vals, nseg = _esc_kernel(
+        jnp.asarray(a_row), jnp.asarray(a_col), jnp.asarray(a_val),
+        offs_dev, Bcsr.indptr, Bcsr.col, Bcsr.val,
+        E=E, E_pad=E_pad, num_rows=m)
+    nseg = int(nseg)
+    rows = np.asarray(rows)[:nseg]
+    cols = np.asarray(cols)[:nseg]
+    vals = np.asarray(vals)[:nseg]
+    keep = rows < m
+    return rows[keep], cols[keep], vals[keep]
+
+
+def _spgemm_generic_host(a_row, a_col, a_val, Bcsr, shape, initialize,
+                         combine, reduce, out_fmt):
+    """Semiring SpGEMM with arbitrary combine/reduce — host reference path."""
+    m, n = shape
+    b_indptr = np.asarray(Bcsr.indptr)
+    b_col = np.asarray(Bcsr.col)[: Bcsr.nnz]
+    b_val = np.asarray(Bcsr.val)[: Bcsr.nnz]
+    acc: dict = {}
+    for r, c, v in zip(a_row, a_col, a_val):
+        for p in range(b_indptr[c], b_indptr[c + 1]):
+            key = (int(r), int(b_col[p]))
+            term = combine(v, b_val[p])
+            acc[key] = reduce(acc[key], term) if key in acc else term
+    if not acc:
+        C = coo_matrix(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                       np.zeros(0, a_val.dtype), shape)
+    else:
+        rows = np.array([k[0] for k in acc], dtype=np.int32)
+        cols = np.array([k[1] for k in acc], dtype=np.int32)
+        vals = np.array(list(acc.values()))
+        C = coo_matrix(rows, cols, vals, shape, sort=True)
+    return C if out_fmt == "coo" else convert(C, out_fmt)

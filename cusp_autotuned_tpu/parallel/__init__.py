@@ -1,0 +1,11 @@
+"""Multi-chip execution over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY.md §2.6 — no distributed anything); this
+package is the TPU-native extension axis: row-sharded sparse operators over
+ICI with XLA collectives inserted by GSPMD, plus explicitly-psummed solver
+reductions.
+"""
+
+from cusp_autotuned_tpu.parallel.sharded import (
+    make_row_mesh, shard_rows, replicate, distributed_cg, sharded_spmv,
+)

@@ -1,0 +1,88 @@
+import numpy as np
+import jax
+import pytest
+
+import cusp_autotuned_tpu as ct
+from cusp_autotuned_tpu import formats as F
+from tests.util import ALL_FORMATS, build, dense_of, example_matrices
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+@pytest.mark.parametrize("name", list(example_matrices()))
+def test_scipy_roundtrip(fmt, name):
+    S = example_matrices()[name]
+    if fmt == "dia" and name == "rand50x40":
+        pytest.skip("unstructured matrix not meaningful in DIA")
+    A = build(S, fmt)
+    assert A.shape == S.shape
+    np.testing.assert_allclose(dense_of(A), S.todense(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_pytree_roundtrip(fmt):
+    S = example_matrices()["tri37"]
+    A = build(S, fmt)
+    leaves, treedef = jax.tree_util.tree_flatten(A)
+    B = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert type(B) is type(A)
+    np.testing.assert_array_equal(dense_of(A), dense_of(B))
+
+
+def test_coo_padding_and_sort():
+    row = [3, 0, 1, 0]
+    col = [1, 2, 0, 0]
+    val = [1.0, 2.0, 3.0, 4.0]
+    A = F.coo_matrix(row, col, val, (4, 3))
+    assert A.nnz == 4
+    assert A.nnz_padded % 128 == 0
+    assert A.is_sorted_by_row_and_column()
+    r = np.asarray(A.row)
+    assert np.all(r[A.nnz:] == 4)  # padding = num_rows
+
+
+def test_ell_layout():
+    S = example_matrices()["tri37"]
+    A = build(S, "ell")
+    assert A.rows_padded % 128 == 0
+    assert A.width == 3
+    # padding slots hold the invalid sentinel
+    colp = np.asarray(A.col)[:, 37:]
+    assert np.all(colp == F.INVALID_INDEX)
+
+
+def test_ellr_row_lengths():
+    S = example_matrices()["widerow"]
+    A = build(S, "ellr")
+    rl = np.asarray(A.row_lengths)
+    expect = np.diff(S.tocsr().indptr)
+    np.testing.assert_array_equal(rl[:10], expect)
+    assert np.all(rl[10:] == 0)
+
+
+def test_dia_static_offsets():
+    S = example_matrices()["tri37"]
+    A = build(S, "dia")
+    assert A.offsets == (-1, 0, 1)
+    assert isinstance(A.offsets, tuple)
+
+
+def test_hyb_split():
+    S = example_matrices()["widerow"]
+    A = build(S, "hyb")
+    assert A.ell.nnz + A.coo.nnz == S.nnz
+    # the 25-long row must spill into the COO part
+    assert A.coo.nnz > 0
+
+
+def test_permutation():
+    P = F.permutation_matrix([2, 0, 1])
+    x = np.array([10.0, 20.0, 30.0])
+    y = ct.multiply(P, x)
+    np.testing.assert_array_equal(np.asarray(y), [30.0, 10.0, 20.0])
+
+
+def test_matmul_operator():
+    S = example_matrices()["tri37"]
+    A = build(S, "csr")
+    x = np.arange(37, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(A @ x), S @ x, rtol=1e-5)

@@ -1,0 +1,190 @@
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cusp_autotuned_tpu as ct
+from cusp_autotuned_tpu.ops import blas, format_utils
+from cusp_autotuned_tpu.ops.transpose import transpose
+from cusp_autotuned_tpu.ops.elementwise import add, subtract, elementwise
+from cusp_autotuned_tpu.ops.sort import sort_by_row_and_column, counting_sort_by_key
+from cusp_autotuned_tpu.ops.verify import (
+    is_valid_matrix, assert_is_valid_matrix, assert_same_dimensions,
+)
+from cusp_autotuned_tpu.ops.printing import print_matrix, spy
+from tests.util import ALL_FORMATS, build, dense_of, example_matrices
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+@pytest.mark.parametrize("name", ["small4x4", "rect3x5", "widerow"])
+def test_transpose(fmt, name):
+    S = example_matrices()[name]
+    A = build(S, fmt)
+    At = transpose(A)
+    np.testing.assert_allclose(dense_of(At), S.T.todense(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", ["coo", "csr", "ell"])
+def test_elementwise(fmt):
+    S1 = example_matrices()["small4x4"]
+    S2 = example_matrices()["small4x4"].T.tocoo()
+    A, B = build(S1, fmt), build(S2, fmt)
+    np.testing.assert_allclose(dense_of(add(A, B)),
+                               (S1 + S2).todense(), rtol=1e-6)
+    np.testing.assert_allclose(dense_of(subtract(A, B)),
+                               (S1 - S2).todense(), rtol=1e-6)
+    C = elementwise(A, B, np.maximum)
+    np.testing.assert_allclose(
+        dense_of(C), np.maximum(np.asarray(S1.todense()),
+                                np.asarray(S2.todense())), rtol=1e-6)
+
+
+@pytest.mark.parametrize("fa", ["coo", "csr", "dia"])
+@pytest.mark.parametrize("fb", ["coo", "csr", "ell"])
+def test_spgemm(fa, fb):
+    S1 = example_matrices()["rect3x5"]
+    S2 = example_matrices()["rect3x5"].T.tocoo()
+    A, B = build(S1, fa), build(S2, fb)
+    C = ct.multiply(A, B)
+    np.testing.assert_allclose(dense_of(C), (S1 @ S2).todense(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spgemm_large_random():
+    import scipy.sparse as sp
+    rng = np.random.RandomState(5)
+    S1 = sp.random(120, 90, density=0.05, random_state=rng).astype(np.float32)
+    S2 = sp.random(90, 150, density=0.05, random_state=rng).astype(np.float32)
+    C = ct.multiply(build(S1, "csr"), build(S2, "csr"))
+    np.testing.assert_allclose(dense_of(C), (S1 @ S2).todense(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generalized_spgemm_min_plus():
+    S1 = example_matrices()["small4x4"]
+    A = build(S1, "coo")
+    C = ct.generalized_spgemm(A, A, None, lambda a, b: a + b, min)
+    # oracle
+    D = np.asarray(S1.todense())
+    n = 4
+    expect = np.full((n, n), np.inf)
+    for i in range(n):
+        for k in range(n):
+            if D[i, k] == 0:
+                continue
+            for j in range(n):
+                if D[k, j] == 0:
+                    continue
+                expect[i, j] = min(expect[i, j], D[i, k] + D[k, j])
+    got = dense_of(C)
+    mask = np.isfinite(expect)
+    np.testing.assert_allclose(got[mask], expect[mask], rtol=1e-6)
+
+
+def test_format_utils_roundtrip():
+    S = example_matrices()["rand50x40"]
+    A = build(S, "csr")
+    rows = format_utils.offsets_to_indices(A.indptr, A.nnz_padded)
+    back = format_utils.indices_to_offsets(rows, A.num_rows)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(A.indptr))
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_extract_diagonal(fmt):
+    S = example_matrices()["small4x4"]
+    A = build(S, fmt)
+    d = format_utils.extract_diagonal(A)
+    np.testing.assert_allclose(np.asarray(d),
+                               np.asarray(S.todense()).diagonal(), rtol=1e-6)
+
+
+def test_count_diagonals():
+    S = example_matrices()["tri37"]
+    assert format_utils.count_diagonals(37, 37, S.row, S.col) == 3
+
+
+def test_sorting():
+    row = jnp.array([2, 0, 1, 0], jnp.int32)
+    col = jnp.array([1, 2, 0, 0], jnp.int32)
+    val = jnp.array([1.0, 2.0, 3.0, 4.0])
+    r, c, v = sort_by_row_and_column(row, col, val)
+    np.testing.assert_array_equal(np.asarray(r), [0, 0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(c), [0, 2, 0, 1])
+    np.testing.assert_array_equal(np.asarray(v), [4.0, 2.0, 3.0, 1.0])
+    k, p = counting_sort_by_key(jnp.array([3, 1, 2]), jnp.array([30, 10, 20]))
+    np.testing.assert_array_equal(np.asarray(p), [10, 20, 30])
+
+
+def test_verify():
+    S = example_matrices()["small4x4"]
+    for fmt in ALL_FORMATS:
+        A = build(S, fmt)
+        assert is_valid_matrix(A)
+        assert_is_valid_matrix(A)
+    # corrupt a CSR
+    A = build(S, "csr")
+    import dataclasses
+    bad = dataclasses.replace(A, indptr=A.indptr.at[0].set(1))
+    assert not is_valid_matrix(bad)
+    with pytest.raises(ct.InvalidInputException):
+        assert_is_valid_matrix(bad)
+    with pytest.raises(ct.InvalidInputException):
+        assert_same_dimensions(build(S, "coo"),
+                               build(example_matrices()["rect3x5"], "coo"))
+
+
+def test_print_and_spy():
+    S = example_matrices()["small4x4"]
+    A = build(S, "coo")
+    buf = io.StringIO()
+    print_matrix(A, buf)
+    out = buf.getvalue()
+    assert "sparse matrix <4, 4> with 9 entries" in out
+    buf = io.StringIO()
+    spy(A, buf)
+    assert "*" in buf.getvalue()
+
+
+def test_blas_suite():
+    rng = np.random.RandomState(0)
+    x = rng.randn(16).astype(np.float32)
+    y = rng.randn(16).astype(np.float32)
+    np.testing.assert_allclose(float(blas.dot(x, y)), x @ y, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(blas.axpy(x, y, 2.0)), 2 * x + y,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(blas.axpby(x, y, 2.0, 3.0)),
+                               2 * x + 3 * y, rtol=1e-5)
+    np.testing.assert_allclose(float(blas.nrm2(x)), np.linalg.norm(x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(blas.nrm1(x)), np.abs(x).sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(blas.nrmmax(x)), np.abs(x).max(),
+                               rtol=1e-5)
+    assert int(blas.amax(x)) == int(np.argmax(np.abs(x)))
+    A = rng.randn(8, 8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(blas.gemv(A, x[:8])), A @ x[:8],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(blas.gemm(A, A)), A @ A, rtol=1e-4)
+    L = np.tril(A) + 8 * np.eye(8, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(blas.trsv(L, x[:8], lower=True)),
+                               np.linalg.solve(L, x[:8]), rtol=1e-3)
+
+
+def test_lapack_suite():
+    from cusp_autotuned_tpu.ops import lapack
+    rng = np.random.RandomState(1)
+    A = rng.randn(10, 10)
+    A = A @ A.T + 10 * np.eye(10)
+    b = rng.randn(10)
+    np.testing.assert_allclose(np.asarray(lapack.gesv(A, b)),
+                               np.linalg.solve(A, b), rtol=1e-8)
+    L = lapack.potrf(A, lower=True)
+    np.testing.assert_allclose(np.asarray(lapack.potrs(L, b, lower=True)),
+                               np.linalg.solve(A, b), rtol=1e-8)
+    w, v = lapack.syev(A)
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(A), rtol=1e-8)
+    alphas = np.array([2.0, 2.0, 2.0])
+    betas = np.array([-1.0, -1.0])
+    w, v = lapack.stev(alphas, betas)
+    T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(T), rtol=1e-8)
