@@ -1,0 +1,115 @@
+"""Pallas TPU DIA SpMV — the flagship kernel.
+
+Rebuild target: the fork's tunable blocked-offsets DIA kernel
+(cusp/system/cuda/ktt/kernels/dia_kernel.h:129-252 — shared-memory offset
+staging, register prefetch, __ldcs special loads).  The TPU rebuild needs
+none of those knobs: the diagonal offsets are *static* (baked into the
+program), so each diagonal becomes a compile-time-shifted read of x — pure
+VPU FMAs with zero gathers.
+
+Design:
+  - x (padded) lives in VMEM for the whole grid, reshaped (rows/128, 128);
+    it is read from HBM exactly once.
+  - The (num_diags, block_rows) data blocks stream through the implicit
+    Pallas pipeline (compiler double-buffers them against compute).
+  - A diagonal shift t decomposes into a sublane shift q = t // 128 (a
+    dynamic but cheap dim-0 slice of VMEM) and a lane shift r = t % 128
+    (two lane-rolls + a select).
+  - Surviving tuning axis: block_rows — the analogue of BLOCK_SIZE in the
+    reference's space (dia_multiply.h:24-55).
+
+HBM traffic ≈ data once + x once + y once: the roofline minimum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
+
+# beyond this, x no longer fits comfortably in VMEM next to the data blocks
+MAX_X_VMEM_BYTES = 10 * 1024 * 1024
+MIN_BLOCK_ROWS = 8 * LANE   # (8, 128) min tile
+
+
+def build_dia(A, config, interpret: bool = False):
+    block_rows = int(config.get("block_rows", 2048))
+    if block_rows % MIN_BLOCK_ROWS != 0:
+        raise NotImplementedException("block_rows must be a multiple of 1024")
+    m, n = A.shape
+    offsets = A.offsets
+    k = len(offsets)
+    left = -min(0, min(offsets))          # left padding so all shifts >= 0
+    mp = round_up(A.rows_padded, block_rows)
+    rows_sub = mp // LANE                 # x/y sublane rows
+    sub_block = block_rows // LANE
+    max_q = (max(offsets) + left) // LANE + 2
+    x_rows = rows_sub + max_q + (left // LANE) + 2
+    if x_rows * LANE * A.dtype.itemsize > MAX_X_VMEM_BYTES:
+        raise NotImplementedException(
+            f"x of {x_rows * LANE} elements exceeds the VMEM-resident kernel")
+
+    grid = mp // block_rows
+    data = A.data
+    if data.shape[1] != mp:
+        data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
+    data3 = data.reshape(k, rows_sub, LANE)
+
+    kernel = functools.partial(_dia_kernel, offsets=offsets, left=left,
+                               sub_block=sub_block)
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # x: fully resident
+            pl.BlockSpec((k, sub_block, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # streamed data
+        ],
+        out_specs=pl.BlockSpec((sub_block, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), A.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * mp,
+            bytes_accessed=(k * mp + x_rows * LANE + mp) * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    x_len = x_rows * LANE
+
+    def fn(x):
+        if x.ndim != 1:
+            raise NotImplementedException("pallas DIA kernel is SpMV-only")
+        x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows, LANE)
+        return call(x2, data3).reshape(mp)[:m]
+
+    return fn
+
+
+def _dia_kernel(x_ref, data_ref, y_ref, *, offsets, left, sub_block):
+    base = pl.program_id(0) * sub_block
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub_block, LANE), 1)
+    acc = None
+    for d, off in enumerate(offsets):
+        t = off + left
+        q, r = divmod(t, LANE)
+        if r == 0:
+            shifted = x_ref[pl.ds(base + q, sub_block), :]
+        else:
+            a = x_ref[pl.ds(base + q, sub_block), :]
+            b = x_ref[pl.ds(base + q + 1, sub_block), :]
+            # roll left by r == roll right by LANE - r (pltpu.roll needs
+            # a non-negative shift): out[l] = a[(l + r) mod LANE]
+            ra = pltpu.roll(a, LANE - r, 1)
+            rb = pltpu.roll(b, LANE - r, 1)
+            shifted = jnp.where(lane < LANE - r, ra, rb)
+        term = data_ref[d] * shifted
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc

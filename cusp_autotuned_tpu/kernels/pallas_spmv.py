@@ -5,9 +5,19 @@ from __future__ import annotations
 
 from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
 
-AVAILABLE = False
+AVAILABLE = ("dia",)
+
+
+def _interpret() -> bool:
+    """Pallas kernels compile with Mosaic on TPU and run interpreted on the
+    CPU reference platform (tests)."""
+    import jax
+    return jax.default_backend() != "tpu"
 
 
 def build(format_name, A, config):
+    if format_name == "dia":
+        from cusp_autotuned_tpu.kernels.pallas_dia import build_dia
+        return build_dia(A, config, interpret=_interpret())
     raise NotImplementedException(
         f"pallas kernel for {format_name} not yet available")

@@ -1,0 +1,63 @@
+"""Conjugate residual (parity: cusp::krylov::cr, cusp/krylov/detail/cr.inl —
+including the true-residual recomputation every 8 iterations)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cusp_autotuned_tpu.ops import blas
+from cusp_autotuned_tpu.ops.multiply import multiply
+from cusp_autotuned_tpu.operators import as_operator
+from cusp_autotuned_tpu.solvers.monitor import Monitor, default_monitor, monitor_record
+
+RECOMPUTE_R = 8
+
+
+@jax.jit
+def _cr_loop(A, M, b, x0, state0):
+    r = b - multiply(A, x0)
+    state = monitor_record(state0, blas.nrm2(r))
+    z = M(r)
+    p = z
+    y = multiply(A, p)
+    Az = multiply(A, z)
+    rz = blas.dotc(r, Az)
+
+    def cond(carry):
+        return carry[-1].keep_going()
+
+    def body(carry):
+        x, r, p, y, rz, state = carry
+        alpha = rz / blas.dotc(y, y)
+        x = x + alpha * p
+        k = state.k
+        r = jax.lax.cond(
+            jnp.logical_and(k % RECOMPUTE_R != 0, k > 0),
+            lambda _: r - alpha * y,
+            lambda _: b - multiply(A, x),
+            None)
+        z = M(r)
+        Az = multiply(A, z)
+        rz_new = blas.dotc(r, Az)
+        beta = rz_new / rz
+        p = z + beta * p
+        y = Az + beta * y
+        state = monitor_record(state, blas.nrm2(r))
+        return (x, r, p, y, rz_new, state)
+
+    x, r, p, y, rz, state = jax.lax.while_loop(
+        cond, body, (x0, r, p, y, rz, state))
+    return x, state
+
+
+def cr(A, b, x0=None, monitor: Monitor | None = None, M=None):
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if monitor is None:
+        monitor = default_monitor(b)
+    x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
+                        monitor.to_state(b))
+    monitor.absorb_state(state)
+    return x, monitor

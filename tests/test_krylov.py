@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import cusp_autotuned_tpu as ct
+from cusp_autotuned_tpu import gallery
+from cusp_autotuned_tpu.solvers import (
+    Monitor, bicg, bicgstab, bicgstab_m, cg, cg_m, cr, gmres,
+)
+from cusp_autotuned_tpu.operators import make_linear_operator
+from cusp_autotuned_tpu.ops.format_utils import extract_diagonal
+from tests.util import build
+
+
+def _spd(n=15):
+    return gallery.poisson5pt(n, n, format="csr", dtype=np.float64)
+
+
+def _nonsym(n=200, seed=2):
+    rng = np.random.RandomState(seed)
+    S = sp.random(n, n, density=0.03, random_state=rng, dtype=np.float64)
+    S = S + sp.diags(np.full(n, 6.0))   # diagonally dominant
+    return build(S.tocoo(), "csr")
+
+
+def _resid(A, x, b):
+    return np.linalg.norm(b - np.asarray(ct.multiply(A, np.asarray(x)))) \
+        / np.linalg.norm(b)
+
+
+def test_bicgstab_spd():
+    A = _spd()
+    b = np.ones(A.num_rows)
+    x, mon = bicgstab(A, b, monitor=Monitor(b, 400, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-7
+
+
+def test_bicgstab_nonsym():
+    A = _nonsym()
+    b = np.ones(A.num_rows)
+    x, mon = bicgstab(A, b, monitor=Monitor(b, 500, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-7
+
+
+def test_bicgstab_with_preconditioner():
+    A = _nonsym()
+    d = np.asarray(extract_diagonal(A))
+    M = make_linear_operator(lambda r: r / d)
+    b = np.ones(A.num_rows)
+    x, mon = bicgstab(A, b, M=M, monitor=Monitor(b, 500, 1e-8))
+    assert mon.converged()
+
+
+def test_bicg():
+    A = _nonsym()
+    b = np.ones(A.num_rows)
+    x, mon = bicg(A, b, monitor=Monitor(b, 500, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-7
+
+
+def test_cr():
+    A = _spd()
+    b = np.ones(A.num_rows)
+    x, mon = cr(A, b, monitor=Monitor(b, 500, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-7
+
+
+@pytest.mark.parametrize("restart", [10, 40])
+def test_gmres(restart):
+    A = _nonsym()
+    b = np.ones(A.num_rows)
+    x, mon = gmres(A, b, restart=restart, monitor=Monitor(b, 500, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-6
+
+
+def test_gmres_spd_with_precond():
+    A = _spd()
+    d = np.asarray(extract_diagonal(A))
+    M = make_linear_operator(lambda r: r / d)
+    b = np.ones(A.num_rows)
+    x, mon = gmres(A, b, restart=30, M=M, monitor=Monitor(b, 400, 1e-8))
+    assert mon.converged()
+    assert _resid(A, x, b) < 1e-6
+
+
+def test_cg_m_shifts():
+    A = _spd(10)
+    b = np.ones(A.num_rows)
+    sigma = np.array([0.1, 1.0, 5.0])
+    X, mon = cg_m(A, b, sigma, monitor=Monitor(b, 600, 1e-9))
+    S = A.to_scipy().tocsr()
+    for s, xs in zip(sigma, np.asarray(X)):
+        expect = spla.spsolve(S + s * sp.eye(A.num_rows), b)
+        assert np.linalg.norm(xs - expect) / np.linalg.norm(expect) < 1e-5, s
+
+
+def test_bicgstab_m_shifts():
+    A = _nonsym(120, seed=5)
+    b = np.ones(A.num_rows)
+    sigma = np.array([0.5, 2.0])
+    X, mon = bicgstab_m(A, b, sigma, monitor=Monitor(b, 800, 1e-9))
+    S = A.to_scipy().tocsr()
+    for s, xs in zip(sigma, np.asarray(X)):
+        expect = spla.spsolve(S + s * sp.eye(A.num_rows), b)
+        assert np.linalg.norm(xs - expect) / np.linalg.norm(expect) < 1e-4, s
