@@ -47,3 +47,7 @@ from cusp_autotuned_tpu.utils.exceptions import (
 
 from cusp_autotuned_tpu import autotune
 from cusp_autotuned_tpu import formats, ops, solvers, gallery, io, utils
+from cusp_autotuned_tpu import eigen, graph, precond, relaxation
+from cusp_autotuned_tpu.operators import (
+    IdentityOperator, FunctionOperator, identity_operator, make_linear_operator,
+)

@@ -162,11 +162,26 @@ def generalized_spmv(A, x, y, initialize, combine, reduce):
         contrib = segment_sum(combined, row, A.num_rows)
         return init + contrib
 
-    # push invalid slots out of range, then sort so each row is one
-    # contiguous segment (format views may interleave invalid slots)
     row = jnp.where(valid, row, A.num_rows)
-    row, combined = jax.lax.sort((row, combined), num_keys=1)
-    contrib, mask = segment_reduce(combined, row, A.num_rows, reduce)
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32), row,
+                                 num_segments=A.num_rows)
+    mask = counts > 0
+    # fast paths on XLA's native segment reductions
+    if reduce in (jnp.maximum, max):
+        contrib = jax.ops.segment_max(jnp.where(valid, combined, -jnp.inf),
+                                      row, num_segments=A.num_rows)
+    elif reduce in (jnp.minimum, min):
+        contrib = jax.ops.segment_min(jnp.where(valid, combined, jnp.inf),
+                                      row, num_segments=A.num_rows)
+    elif reduce in (operator.mul, jnp.multiply):
+        contrib = jax.ops.segment_prod(jnp.where(valid, combined, 1),
+                                       row, num_segments=A.num_rows)
+    else:
+        # arbitrary associative reduce: sort so each row is one contiguous
+        # segment (format views may interleave invalid slots), then a
+        # segmented associative scan
+        row_s, combined_s = jax.lax.sort((row, combined), num_keys=1)
+        contrib, mask = segment_reduce(combined_s, row_s, A.num_rows, reduce)
     return jnp.where(mask, reduce(init, contrib), init)
 
 

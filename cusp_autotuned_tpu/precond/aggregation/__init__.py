@@ -1,0 +1,93 @@
+"""Smoothed-aggregation AMG setup.
+
+Parity: cusp::precond::aggregation::smoothed_aggregation
+(cusp/precond/aggregation/smoothed_aggregation.h:161; per-level sa_level
+{A_, aggregates, roots, B, T, rho_DinvA} at :45-68) with the same
+extend_hierarchy pipeline (detail/smoothed_aggregation.inl:134-165):
+strength → aggregate → fit_candidates → smooth_prolongator → R = P^T →
+Galerkin RAP; coarsening stops at min_level_size=500 / max 10 levels
+(cusp/detail/multilevel.h:142); the result IS a Multilevel, so it plugs into
+any Krylov solve as M.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from cusp_autotuned_tpu.precond.aggregation.strength import (
+    symmetric_strength_of_connection, evolution_strength_of_connection,
+    rho_Dinv_A,
+)
+from cusp_autotuned_tpu.precond.aggregation.aggregate import (
+    standard_aggregate, mis_aggregate,
+)
+from cusp_autotuned_tpu.precond.aggregation.tentative import fit_candidates
+from cusp_autotuned_tpu.precond.aggregation.smooth import (
+    smooth_prolongator, galerkin_product,
+)
+from cusp_autotuned_tpu.precond.multilevel import (
+    Multilevel, Level, CoarseLU, MIN_LEVEL_SIZE, MAX_LEVELS,
+)
+from cusp_autotuned_tpu.ops.transpose import transpose
+from cusp_autotuned_tpu.ops.convert import to_dense
+
+
+@dataclasses.dataclass
+class SALevel:
+    """Setup-phase data kept per level (parity: sa_level)."""
+    A: Any
+    aggregates: Any = None
+    roots: Any = None
+    B: Any = None
+    T: Any = None
+    rho_DinvA: float = 0.0
+
+
+def smoothed_aggregation(A, B=None, theta: float = 0.0,
+                         omega: float = 4.0 / 3.0,
+                         min_level_size: int = MIN_LEVEL_SIZE,
+                         max_levels: int = MAX_LEVELS,
+                         aggregator: str = "standard",
+                         smoother: str = "jacobi") -> Multilevel:
+    """Build the SA-AMG hierarchy.  B: near-nullspace candidate (default
+    ones).  aggregator: 'standard' | 'mis'.  smoother: 'jacobi' |
+    'gauss_seidel' | 'sor' | 'polynomial'."""
+    from cusp_autotuned_tpu.precond import smoothers as sm
+
+    smoother_factory = {
+        "jacobi": lambda M, rho: sm.jacobi_smoother(M, rho),
+        "gauss_seidel": lambda M, rho: sm.gauss_seidel_smoother(M),
+        "sor": lambda M, rho: sm.sor_smoother(M),
+        "polynomial": lambda M, rho: sm.polynomial_smoother(M),
+    }[smoother]
+    aggregate = standard_aggregate if aggregator == "standard" else mis_aggregate
+
+    sa = SALevel(A=A.asformat("csr"))
+    sa.B = jnp.ones(A.num_rows, A.dtype) if B is None else jnp.asarray(B)
+
+    levels = []
+    while (sa.A.num_rows > min_level_size
+           and len(levels) < max_levels - 1):
+        rho = rho_Dinv_A(sa.A)
+        sa.rho_DinvA = rho
+        C = symmetric_strength_of_connection(sa.A, theta)
+        sa.aggregates, sa.roots = aggregate(C)
+        T, B_coarse = fit_candidates(sa.aggregates, sa.B)
+        sa.T = T
+        P = smooth_prolongator(sa.A, T, omega=omega, rho_DinvA=rho)
+        R = transpose(P)
+        A_coarse = galerkin_product(R, sa.A, P)
+        levels.append(Level(R=R, A=sa.A,
+                            P=P, smoother=smoother_factory(sa.A, rho)))
+        sa = SALevel(A=A_coarse, B=B_coarse)
+
+    import jax.scipy.linalg as jsl
+    dense = to_dense(sa.A)
+    dtype = jnp.float64 if "64" in str(dense.dtype) else jnp.float32
+    lu, piv = jsl.lu_factor(jnp.asarray(dense, dtype))
+    return Multilevel(levels=tuple(levels), coarse=CoarseLU(lu=lu, piv=piv),
+                      shape=A.shape)

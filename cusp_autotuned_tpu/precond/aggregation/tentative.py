@@ -1,0 +1,36 @@
+"""Tentative prolongator from aggregates + near-nullspace candidates.
+
+Parity: cusp::precond::aggregation::fit_candidates
+(cusp/precond/aggregation/detail/tentative.inl) — T has one block column per
+aggregate holding the orthonormalized restriction of B; returns (T, B_coarse).
+Supports a single candidate vector (the reference's default B = ones)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cusp_autotuned_tpu.formats.coo import coo_matrix
+from cusp_autotuned_tpu.ops.convert import convert
+
+
+def fit_candidates(aggregates, B):
+    """aggregates: (n,) int32 aggregate id per row (-1 = unaggregated);
+    B: (n,) single near-nullspace candidate.  Returns (T csr, B_c)."""
+    agg = np.asarray(aggregates).astype(np.int64)
+    b = np.asarray(B, dtype=np.float64)
+    n = agg.shape[0]
+    n_agg = int(agg.max()) + 1 if agg.size else 0
+
+    norms_sq = np.zeros(n_agg)
+    valid = agg >= 0
+    np.add.at(norms_sq, agg[valid], b[valid] ** 2)
+    norms = np.sqrt(norms_sq)
+    safe = np.where(norms > 0, norms, 1.0)
+
+    rows = np.nonzero(valid)[0]
+    cols = agg[valid]
+    vals = b[valid] / safe[cols]
+    T = coo_matrix(rows.astype(np.int32), cols.astype(np.int32),
+                   vals, (n, n_agg), sort=True)
+    return convert(T, "csr"), jnp.asarray(norms)

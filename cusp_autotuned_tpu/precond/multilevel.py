@@ -1,0 +1,122 @@
+"""Generic multilevel (V-cycle) hierarchy.
+
+Parity: cusp/detail/multilevel.{h,inl} — per-level {R, A, P, smoother}
+(multilevel.h:112-129), min_level_size=500 / max_levels=10 defaults (:142),
+coarsest solve via dense LU (cusp/detail/lu.h default), operator() = one
+V-cycle so the hierarchy is directly usable as a Krylov preconditioner
+(multilevel.inl:139-140), standalone solve() loop (:156-165), recursive
+pre-smooth → restrict → recurse → correct → post-smooth (:180-225), and the
+print() hierarchy/complexity report (:227+).
+
+The level list is static, so the recursive V-cycle unrolls into one jitted
+XLA program; the whole preconditioner is a pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cusp_autotuned_tpu.formats.base import MatrixBase, register_matrix, static_field
+from cusp_autotuned_tpu.ops.multiply import multiply
+from cusp_autotuned_tpu.solvers.monitor import Monitor, default_monitor
+
+MIN_LEVEL_SIZE = 500
+MAX_LEVELS = 10
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class Level:
+    R: Any            # restriction operator (container)
+    A: Any            # level operator
+    P: Any            # prolongation operator
+    smoother: Any     # presmooth/postsmooth adapter
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class CoarseLU:
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+
+    def __call__(self, b):
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class Multilevel(MatrixBase):
+    levels: Tuple[Level, ...]
+    coarse: CoarseLU
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    format = "multilevel"
+
+    # -- V-cycle ----------------------------------------------------------
+
+    def _cycle(self, i: int, b):
+        if i == len(self.levels):
+            return self.coarse(b)
+        lvl = self.levels[i]
+        x = lvl.smoother.presmooth(lvl.A, b)
+        r = b - multiply(lvl.A, x, use_autotuning=False)
+        rc = multiply(lvl.R, r, use_autotuning=False)
+        ec = self._cycle(i + 1, rc)
+        x = x + multiply(lvl.P, ec, use_autotuning=False)
+        return lvl.smoother.postsmooth(lvl.A, b, x)
+
+    def __call__(self, b):
+        """One V-cycle from a zero initial guess — usable as M in any
+        Krylov solver."""
+        return self._cycle(0, jnp.asarray(b))
+
+    # -- standalone solve ----------------------------------------------------
+
+    def solve(self, b, x0=None, monitor: Monitor | None = None):
+        b = jnp.asarray(b)
+        x = jnp.asarray(x0) if x0 is not None else jnp.zeros_like(b)
+        if monitor is None:
+            monitor = default_monitor(b)
+        r = b - multiply(self.levels[0].A, x)
+        while not monitor.finished(np.asarray(r)):
+            x, r = _vcycle_step(self, x, b)
+        return x, monitor
+
+    # -- reporting --------------------------------------------------------------
+
+
+    def operator_complexity(self) -> float:
+        nnz = [lvl.A.num_entries for lvl in self.levels]
+        nnz.append(self.coarse.lu.shape[0] ** 2)
+        return float(sum(nnz)) / max(1, self.levels[0].A.num_entries)
+
+    def grid_complexity(self) -> float:
+        rows = [lvl.A.num_rows for lvl in self.levels]
+        rows.append(self.coarse.lu.shape[0])
+        return float(sum(rows)) / max(1, self.levels[0].A.num_rows)
+
+    def print(self, stream=None) -> None:
+        stream = stream or sys.stdout
+        stream.write(f"multilevel hierarchy: {len(self.levels) + 1} levels\n")
+        stream.write(f"  operator complexity: {self.operator_complexity():.3f}\n")
+        stream.write(f"  grid complexity:     {self.grid_complexity():.3f}\n")
+        stream.write("  level       rows        entries\n")
+        for i, lvl in enumerate(self.levels):
+            stream.write(f"  {i:>5} {lvl.A.num_rows:>10} {lvl.A.num_entries:>14}\n")
+        n = self.coarse.lu.shape[0]
+        stream.write(f"  {len(self.levels):>5} {n:>10} {n * n:>14} (dense LU)\n")
+
+
+@jax.jit
+def _vcycle_step(M: Multilevel, x, b):
+    """x <- x + V(b - A x); returns (x, new residual)."""
+    A = M.levels[0].A
+    r = b - multiply(A, x, use_autotuning=False)
+    x = x + M(r)
+    return x, b - multiply(A, x, use_autotuning=False)

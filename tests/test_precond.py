@@ -1,0 +1,128 @@
+import io
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import cusp_autotuned_tpu as ct
+from cusp_autotuned_tpu import gallery, precond
+from cusp_autotuned_tpu.solvers import cg, bicgstab, Monitor
+from cusp_autotuned_tpu.ops.multiply import multiply
+from tests.util import build
+
+
+def _poisson(n=16):
+    return gallery.poisson5pt(n, n, format="csr", dtype=np.float64)
+
+
+def test_diagonal_preconditioner():
+    A = _poisson()
+    M = precond.diagonal(A)
+    b = np.ones(A.num_rows)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 400, 1e-8))
+    assert mon.converged()
+
+
+def test_bridson_ainv_accelerates_cg():
+    A = _poisson(10)
+    b = np.ones(A.num_rows)
+    _, mon_plain = cg(A, b, monitor=Monitor(b, 400, 1e-8))
+    M = precond.bridson_ainv(A, drop_tolerance=0.05)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 400, 1e-8))
+    assert mon.converged()
+    assert mon.iteration_count() < mon_plain.iteration_count()
+
+
+def test_scaled_bridson_ainv():
+    A = _poisson(8)
+    b = np.ones(A.num_rows)
+    M = precond.scaled_bridson_ainv(A, drop_tolerance=0.05)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 300, 1e-8))
+    assert mon.converged()
+
+
+def test_nonsym_ainv_with_bicgstab():
+    rng = np.random.RandomState(3)
+    n = 80
+    S = (sp.random(n, n, density=0.05, random_state=rng)
+         + sp.diags(np.full(n, 4.0))).tocoo()
+    A = build(S, "csr", dtype=np.float64)
+    b = np.ones(n)
+    M = precond.nonsym_bridson_ainv(A, drop_tolerance=0.05)
+    x, mon = bicgstab(A, b, M=M, monitor=Monitor(b, 300, 1e-8))
+    assert mon.converged()
+    r = b - np.asarray(multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) < 1e-6
+
+
+def test_ainv_exact_when_no_dropping():
+    """With drop_tolerance=0 and no caps, AINV is the exact inverse."""
+    A = _poisson(4)
+    M = precond.bridson_ainv(A, drop_tolerance=0.0, nonzero_per_row=-1)
+    S = np.asarray(A.to_scipy().todense())
+    r = np.random.RandomState(0).randn(16)
+    np.testing.assert_allclose(np.asarray(M(r)), np.linalg.solve(S, r),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_smoothed_aggregation_preconditions_cg():
+    A = _poisson(20)   # 400 rows -> single level + coarse
+    b = np.random.RandomState(0).randn(A.num_rows)
+    M = precond.smoothed_aggregation(A, min_level_size=50)
+    mon = Monitor(b, 100, 1e-8)
+    x, mon = cg(A, b, M=M, monitor=mon)
+    assert mon.converged()
+    # AMG-CG should converge far faster than plain CG
+    _, mon_plain = cg(A, b, monitor=Monitor(b, 400, 1e-8))
+    assert mon.iteration_count() < mon_plain.iteration_count() / 2
+
+
+def test_smoothed_aggregation_standalone_solve():
+    A = _poisson(20)
+    b = np.ones(A.num_rows)
+    M = precond.smoothed_aggregation(A, min_level_size=50)
+    x, mon = M.solve(b, monitor=Monitor(b, 60, 1e-8))
+    assert mon.converged()
+    r = b - np.asarray(multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b) * 1.1
+
+
+def test_sa_hierarchy_report():
+    A = _poisson(20)
+    M = precond.smoothed_aggregation(A, min_level_size=50)
+    buf = io.StringIO()
+    M.print(buf)
+    out = buf.getvalue()
+    assert "operator complexity" in out
+    assert M.operator_complexity() >= 1.0
+    assert M.grid_complexity() >= 1.0
+
+
+@pytest.mark.parametrize("aggregator", ["standard", "mis"])
+def test_sa_aggregators(aggregator):
+    A = _poisson(12)
+    b = np.ones(A.num_rows)
+    M = precond.smoothed_aggregation(A, min_level_size=30,
+                                     aggregator=aggregator)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 100, 1e-8))
+    assert mon.converged()
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "gauss_seidel", "polynomial"])
+def test_sa_smoothers(smoother):
+    A = _poisson(12)
+    b = np.ones(A.num_rows)
+    M = precond.smoothed_aggregation(A, min_level_size=30, smoother=smoother)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 150, 1e-8))
+    assert mon.converged()
+
+
+def test_strength_measures():
+    from cusp_autotuned_tpu.precond.aggregation.strength import (
+        symmetric_strength_of_connection, evolution_strength_of_connection,
+    )
+    A = gallery.diffusion(10, 10, eps=1e-3, format="csr", dtype=np.float64)
+    C = symmetric_strength_of_connection(A, theta=0.25)
+    assert C.nnz < A.nnz          # anisotropy filters weak couplings
+    E = evolution_strength_of_connection(A)
+    assert E.nnz <= A.nnz + A.num_rows
