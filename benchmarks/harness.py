@@ -1,0 +1,66 @@
+"""Shared benchmark harness (parity: performance/timer.h +
+performance/spmv/benchmark.h:85-178 — repeated timed runs reporting GFLOP/s,
+GB/s, and L2 error vs the host oracle).
+
+Timing: N dispatches enqueued asynchronously, blocked once (device time, not
+per-dispatch RPC latency), min over outer repetitions; plus a same-process
+stream-bandwidth calibration so roofline fractions are meaningful on the
+tunneled TPU whose effective speed varies per session."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def setup_backend() -> None:
+    """Honor JAX_PLATFORMS even under site customizations that register the
+    TPU tunnel unconditionally (see .claude/skills/verify/SKILL.md)."""
+    import os
+    import jax
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
+
+
+def _on_tpu() -> bool:
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> float:
+    """Seconds per call (async-enqueue timing).  Defaults shrink on the CPU
+    reference backend so smoke runs stay fast."""
+    import jax
+    if reps is None:
+        reps = 30 if _on_tpu() else 3
+    if outer is None:
+        outer = 4 if _on_tpu() else 2
+    jax.block_until_ready(f(*args))
+    best = float("inf")
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        ys = [f(*args) for _ in range(reps)]
+        jax.block_until_ready(ys[-1])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
+    """Measured copy bandwidth for roofline calibration."""
+    import jax
+    import jax.numpy as jnp
+    if nbytes is None:
+        nbytes = (64 << 20) if _on_tpu() else (8 << 20)
+    a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
+    f = jax.jit(lambda v: v * 2.0)
+    t = time_fn(f, a)
+    return (a.size * 2 * 4) / t / 1e9
+
+
+def l2_error(y, expected) -> float:
+    y = np.asarray(y, np.float64)
+    expected = np.asarray(expected, np.float64)
+    denom = np.linalg.norm(expected)
+    return float(np.linalg.norm(y - expected) / (denom if denom else 1.0))

@@ -139,8 +139,10 @@ class Tuner:
             fn = self._get_fn(A, config)
             y = jax.block_until_ready(fn(x))
         except Exception as e:  # noqa: BLE001 — any compile/run error is a skippable result
+            from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
             status = (ResultStatus.DeviceLimitsExceeded
-                      if "RESOURCE_EXHAUSTED" in str(e)
+                      if ("RESOURCE_EXHAUSTED" in str(e)
+                          or isinstance(e, FormatConversionException))
                       else ResultStatus.CompilationFailed)
             return TuningResult(dict(config), status, error=str(e)[:500])
         compile_ms = (time.perf_counter() - t0) * 1e3

@@ -83,6 +83,63 @@ def _build_pallas(format_name):
     return build
 
 
+def _build_ellr_rowlen(A, config):
+    """ELLR-semantics SpMV: mask slots by row_lengths instead of the -1
+    sentinel (the fork's ELLR=1 kernel rail, kernels/ell_kernel.h:86-213)."""
+    def fn(x):
+        n = A.num_cols
+        slot = jnp.arange(A.width, dtype=jnp.int32)[:, None]
+        live = slot < A.row_lengths[None, :]
+        xg = x[jnp.clip(A.col, 0, n - 1)]
+        prod = A.val * xg if xg.ndim == 2 else A.val[..., None] * xg
+        return jnp.sum(jnp.where(live if prod.ndim == 2 else live[..., None],
+                                 prod, 0), axis=0)[: A.num_rows]
+    return fn
+
+
+def _inner_dia_impl(config):
+    d = config.get("dia_impl", "slices")
+    return "slices" if d in (None, "none") else d
+
+
+def _build_via_dia(A, config):
+    """Format-selection move: re-lay the matrix out as DIA (distinct
+    col-row deltas become masked diagonals) and run the Pallas/XLA DIA
+    kernel.  Viable when the diagonal fill is acceptable — the conversion's
+    fill guard rejects pathological patterns, which the tuner records as a
+    skippable failure (KTT DeviceLimitsExceeded semantics)."""
+    from cusp_autotuned_tpu.ops.convert import convert
+    D = convert(A, "dia")   # FormatConversionException -> skippable result
+    return build_spmv(D, {**config, "impl": _inner_dia_impl(config)})
+
+
+def _build_rcm_dia(A, config):
+    """Format-selection move: symmetric RCM reorder to shrink bandwidth,
+    then DIA.  y = P^T (D @ (P x)) with the permutation applied as cheap
+    vector gathers around the hot kernel."""
+    from cusp_autotuned_tpu.graph.ordering import symmetric_rcm
+    from cusp_autotuned_tpu.ops.convert import convert, _coo_arrays
+    from cusp_autotuned_tpu.formats.coo import coo_matrix
+    from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
+    import numpy as np
+
+    if A.shape[0] != A.shape[1]:
+        raise FormatConversionException(
+            "rcm_dia requires a square matrix (symmetric permutation)")
+    P = symmetric_rcm(A)
+    perm = jnp.asarray(P.perm)
+    inv = jnp.asarray(jnp.argsort(perm))
+    row, col, val, shape = _coo_arrays(A)
+    inv_np = np.asarray(inv)
+    reord = coo_matrix(inv_np[row], inv_np[col], val, shape, sort=True)
+    D = convert(reord, "dia")
+    inner = build_spmv(D, {**config, "impl": _inner_dia_impl(config)})
+
+    def fn(x):
+        return inner(x[perm])[inv]
+    return fn
+
+
 VARIANTS: Dict[str, Dict[str, Callable]] = {
     "dia": {
         "slices": _build_dia_slices,
@@ -91,19 +148,23 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
     },
     "ell": {
         "gather": _build_ell_gather,
-        "pallas": _build_pallas("ell"),
+        "via_dia": _build_via_dia,
+        "rcm_dia": _build_rcm_dia,
     },
     "ellr": {
         "gather": _build_ell_gather,
-        "pallas": _build_pallas("ellr"),
+        "rowlen": _build_ellr_rowlen,
+        "via_dia": _build_via_dia,
+        "rcm_dia": _build_rcm_dia,
     },
     "csr": {
         "segsum": _build_csr_segsum,
-        "pallas": _build_pallas("csr"),
+        "via_dia": _build_via_dia,
+        "rcm_dia": _build_rcm_dia,
     },
     "coo": {
         "segsum": _build_coo_segsum,
-        "pallas": _build_pallas("coo"),
+        "via_dia": _build_via_dia,
     },
     "hyb": {
         "default": _build_hyb,
@@ -112,15 +173,14 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
 
 _DEFAULTS = {
     "dia": {"impl": "slices", "block_rows": 0},
-    "ell": {"impl": "gather", "block_rows": 0, "row_bound": 0},
-    "ellr": {"impl": "gather", "block_rows": 0, "row_bound": 1},
-    "csr": {"impl": "segsum", "block_rows": 0},
-    "coo": {"impl": "segsum", "block_nnz": 0},
+    "ell": {"impl": "gather", "dia_impl": "none", "block_rows": 0},
+    "ellr": {"impl": "rowlen", "dia_impl": "none", "block_rows": 0},
+    "csr": {"impl": "segsum", "dia_impl": "none", "block_rows": 0},
+    "coo": {"impl": "segsum", "dia_impl": "none", "block_rows": 0},
     "hyb": {"impl": "default"},
 }
 
-_PALLAS_BLOCK_ROWS = (512, 1024, 2048, 4096)
-_PALLAS_BLOCK_NNZ = (2048, 4096, 8192, 16384)
+_PALLAS_BLOCK_ROWS = (1024, 2048, 4096, 8192)
 
 
 def default_config(A) -> Dict[str, Any]:
@@ -128,10 +188,15 @@ def default_config(A) -> Dict[str, Any]:
 
 
 def tuning_space(A) -> TuningSpace:
-    """The constrained tuning space for a matrix's format.  Block-shape
-    parameters only vary on the Pallas implementations (constraints pin them
-    to 0 elsewhere — the same trick the fork's spaces use, e.g. PREFETCH_TYPE
-    only when PREFETCH_FACTOR > 0, dia_multiply.h:44-55)."""
+    """The constrained tuning space for a matrix's format.
+
+    Parameters mirror the fork's spaces in TPU terms: `impl` is the kernel
+    strategy (incl. the format-selection moves via_dia / rcm_dia — the
+    per-matrix format selection SURVEY.md calls for), `dia_impl` selects the
+    inner DIA kernel for those moves, and `block_rows` is the Pallas
+    rows-per-program (BLOCK_SIZE analogue, dia_multiply.h:24-55).
+    Constraints pin parameters that don't apply — the same trick as the
+    fork's PREFETCH_TYPE-only-when-prefetching constraint."""
     fmt = A.format
     space = TuningSpace(parameters=[])
     if fmt == "dia":
@@ -139,27 +204,20 @@ def tuning_space(A) -> TuningSpace:
         space.add_parameter("block_rows", (0,) + _PALLAS_BLOCK_ROWS)
         space.add_constraint(("impl", "block_rows"),
                              lambda i, b: (b > 0) == (i == "pallas"))
-    elif fmt in ("ell", "ellr"):
-        space.add_parameter("impl", ("gather", "pallas"))
-        space.add_parameter("block_rows", (0,) + _PALLAS_BLOCK_ROWS)
-        # row_bound: 0 = test the -1 sentinel (ELL BREAK analogue),
-        #            1 = bound slot loop by row_lengths (ELLR semantics)
-        space.add_parameter("row_bound", (0, 1) if fmt == "ellr" else (0,))
-        space.add_constraint(("impl", "block_rows"),
-                             lambda i, b: (b > 0) == (i == "pallas"))
-        if fmt == "ellr":
-            space.add_constraint(("impl", "row_bound"),
-                                 lambda i, rb: i == "pallas" or rb == 1)
-    elif fmt == "csr":
-        space.add_parameter("impl", ("segsum", "pallas"))
-        space.add_parameter("block_rows", (0,) + _PALLAS_BLOCK_ROWS)
-        space.add_constraint(("impl", "block_rows"),
-                             lambda i, b: (b > 0) == (i == "pallas"))
-    elif fmt == "coo":
-        space.add_parameter("impl", ("segsum", "pallas"))
-        space.add_parameter("block_nnz", (0,) + _PALLAS_BLOCK_NNZ)
-        space.add_constraint(("impl", "block_nnz"),
-                             lambda i, b: (b > 0) == (i == "pallas"))
+    elif fmt in ("ell", "ellr", "csr", "coo"):
+        impls = {
+            "ell": ("gather", "via_dia", "rcm_dia"),
+            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia"),
+            "csr": ("segsum", "via_dia", "rcm_dia"),
+            "coo": ("segsum", "via_dia"),
+        }[fmt]
+        space.add_parameter("impl", impls)
+        space.add_parameter("dia_impl", ("none", "slices", "pallas"))
+        space.add_parameter("block_rows", (0, 2048, 8192))
+        space.add_constraint(("impl", "dia_impl"),
+                             lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
+        space.add_constraint(("dia_impl", "block_rows"),
+                             lambda d, b: (b > 0) == (d == "pallas"))
     elif fmt == "hyb":
         space.add_parameter("impl", ("default",))
     else:

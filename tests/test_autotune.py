@@ -1,0 +1,177 @@
+"""Autotuner tests — the rebuild of testing/ktt.cu: enumerate the ENTIRE
+tuning space per format on several matrices and validate every
+configuration's output against the reference oracle, treating failed
+configurations as skippable only for legitimate statuses."""
+
+import os
+
+import numpy as np
+import pytest
+
+import cusp_autotuned_tpu as ct
+from cusp_autotuned_tpu import autotune, gallery
+from cusp_autotuned_tpu.autotune import (
+    ResultStatus, DeterministicSearcher, RandomSearcher,
+    ConfigurationCount, TuningDuration,
+)
+from cusp_autotuned_tpu.autotune.tuner import Tuner, matrix_signature
+from cusp_autotuned_tpu.autotune.space import configurations_for, config_key
+from cusp_autotuned_tpu.backend.reference import reference_spmv, from_scipy
+from tests.util import example_matrices, build
+
+
+def _matrices():
+    """Small matrices covering the tuned formats (parity: ktt.cu:214-256
+    hand-written examples + generated diagonals)."""
+    out = {}
+    out["dia_sym"] = gallery.make_diagonal_symmetric_matrix(300, 300, 3, 5)
+    out["dia_poisson"] = gallery.poisson5pt(17, 19, format="dia")
+    S = example_matrices()["tri37"]
+    for fmt in ("csr", "ell", "ellr", "coo"):
+        out[f"{fmt}_tri"] = build(S, fmt)
+    out["ell_rand"] = build(example_matrices()["rand50x40"], "ell")
+    return out
+
+
+ACCEPTABLE_FAILURES = {ResultStatus.DeviceLimitsExceeded,
+                       ResultStatus.CompilationFailed}
+
+
+@pytest.mark.parametrize("name", list(_matrices()))
+def test_check_all_configurations(name):
+    """Every configuration in the space must either validate against the
+    oracle or fail with a skippable status (parity:
+    CheckAllConfigurations + assert_tunning_results_valid, ktt.cu:84-206)."""
+    A = _matrices()[name]
+    rng = np.random.RandomState(1)
+    x = rng.randn(A.num_cols).astype(np.float32)
+    tuner = Tuner()
+    results = tuner.tune(A, x, reference_computation=reference_spmv)
+    assert len(results) == len(configurations_for(A))
+    assert any(r.status == ResultStatus.Ok for r in results)
+    for r in results:
+        assert r.status == ResultStatus.Ok or r.status in ACCEPTABLE_FAILURES, \
+            f"config {r.configuration}: {r.status} {r.error}"
+        if r.status == ResultStatus.Ok:
+            assert np.isfinite(r.duration_ms)
+
+
+def test_validation_rejects_wrong_kernel(monkeypatch):
+    """A kernel producing wrong output must be recorded ValidationFailed."""
+    A = gallery.poisson5pt(8, 8, format="dia")
+    x = np.ones(64, np.float32)
+    tuner = Tuner()
+    from cusp_autotuned_tpu.kernels import variants
+
+    def bad_builder(A, config):
+        return lambda x: x[: A.num_rows] * 0 + 42.0
+
+    monkeypatch.setitem(variants.VARIANTS["dia"], "gather", bad_builder)
+    results = tuner.tune(A, x, reference_computation=reference_spmv)
+    by_impl = {r.configuration["impl"]: r for r in results}
+    assert by_impl["gather"].status == ResultStatus.ValidationFailed
+    assert by_impl["slices"].status == ResultStatus.Ok
+    # best_configuration must never pick the invalid one
+    assert tuner.best_configuration(A)["impl"] != "gather"
+
+
+def test_dynamic_tune_iteration_mode():
+    """enable() + repeated multiply walks the space one configuration per
+    call, then settles on the best (parity: ktt.h:35-43 one TuneIteration
+    per multiply)."""
+    A = gallery.make_diagonal_symmetric_matrix(256, 256, 2, 3)
+    x = np.linspace(0, 1, 256).astype(np.float32)
+    expect = reference_spmv(A, x)
+    tuner = autotune.get_tuner()
+    tuner.reset_tuning()
+    autotune.enable()
+    try:
+        n_cfg = len(configurations_for(A))
+        for _ in range(n_cfg + 3):
+            y = ct.multiply(A, x)
+            np.testing.assert_allclose(np.asarray(y), expect,
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        autotune.disable()
+    sig = matrix_signature(A)
+    assert len(tuner.results[sig]) == n_cfg
+
+
+def test_fixed_configuration_multiply():
+    A = gallery.poisson5pt(10, 10, format="dia")
+    x = np.ones(100, np.float32)
+    y = autotune.multiply(A, x, configuration={"impl": "gather"})
+    np.testing.assert_allclose(np.asarray(y), reference_spmv(A, x), rtol=1e-4)
+
+
+def test_reset_tuning():
+    A = gallery.poisson5pt(6, 6, format="dia")
+    x = np.ones(36, np.float32)
+    tuner = Tuner()
+    tuner.tune(A, x)
+    assert tuner.results
+    tuner.reset_tuning(A)
+    assert matrix_signature(A) not in tuner.results
+
+
+def test_cache_persistence(tmp_path):
+    """Tuning results survive a tuner restart via the on-disk cache
+    (the rebuild's upgrade over KTT's in-process-only results)."""
+    path = str(tmp_path / "tuning.json")
+    A = gallery.make_diagonal_symmetric_matrix(200, 200, 1, 3)
+    x = np.ones(200, np.float32)
+    t1 = Tuner(cache_path=path)
+    results = t1.tune(A, x, reference_computation=reference_spmv)
+    assert os.path.exists(path)
+    t2 = Tuner(cache_path=path)
+    sig = matrix_signature(A)
+    assert set(t2.results[sig]) == set(t1.results[sig])
+    assert t2.best_configuration(A) == t1.best_configuration(A)
+
+
+def test_searchers_and_stop_conditions():
+    A = gallery.poisson5pt(8, 8, format="dia")
+    x = np.ones(64, np.float32)
+    cfgs = configurations_for(A)
+    det = DeterministicSearcher().order(cfgs)
+    assert det == cfgs
+    rnd = RandomSearcher(seed=3).order(cfgs)
+    assert sorted(map(config_key, rnd)) == sorted(map(config_key, cfgs))
+
+    tuner = Tuner()
+    results = tuner.tune(A, x, stop_condition=ConfigurationCount(2))
+    assert len(results) == 2
+    tuner.reset_tuning()
+    results = tuner.tune(A, x, stop_condition=TuningDuration(0.0))
+    assert len(results) == 0
+
+
+def test_format_selection_moves():
+    """via_dia / rcm_dia variants must validate on a banded CSR matrix —
+    the per-matrix format selection the TPU rebuild adds on top of KTT."""
+    S = example_matrices()["tri37"]
+    A = build(S, "csr")
+    x = np.linspace(-1, 1, 37).astype(np.float32)
+    tuner = Tuner()
+    results = tuner.tune(A, x, reference_computation=reference_spmv)
+    ok_impls = {r.configuration["impl"] for r in results
+                if r.status == ResultStatus.Ok}
+    assert {"segsum", "via_dia", "rcm_dia"} <= ok_impls
+
+
+def test_via_dia_fill_guard_is_skippable():
+    """On a pattern with catastrophic diagonal fill, via_dia must be
+    recorded DeviceLimitsExceeded (skippable), not crash the tune."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(0)
+    S = sp.random(2000, 2000, density=0.0006, random_state=rng,
+                  dtype=np.float32)
+    S = S + sp.eye(2000, dtype=np.float32)
+    A = build(S.tocoo(), "csr")
+    x = np.ones(2000, np.float32)
+    tuner = Tuner()
+    results = tuner.tune(A, x, reference_computation=reference_spmv)
+    via = [r for r in results if r.configuration["impl"] == "via_dia"]
+    assert via and all(r.status == ResultStatus.DeviceLimitsExceeded
+                       for r in via)
+    assert any(r.status == ResultStatus.Ok for r in results)
