@@ -39,9 +39,13 @@ def _bfs_levels_host(indptr, col, src, n):
 
 def pseudo_peripheral_vertex(G) -> int:
     """A vertex of (near-)maximal eccentricity, found by repeated BFS
-    (George–Liu)."""
+    (George–Liu).  Uses the native C++ implementation when available."""
     n = G.num_rows
     indptr, col = _adjacency(G)
+    from cusp_autotuned_tpu import native
+    v = native.pseudo_peripheral(indptr, col)
+    if v is not None:
+        return v
     degrees = np.diff(indptr)
     x = int(np.argmin(degrees))
     ecc = -1
@@ -57,9 +61,14 @@ def pseudo_peripheral_vertex(G) -> int:
 
 def symmetric_rcm(G) -> PermutationMatrix:
     """Reverse Cuthill–McKee permutation P; apply as P @ A @ P^T to reduce
-    bandwidth (and make DIA conversion viable for unstructured matrices)."""
+    bandwidth (and make DIA conversion viable for unstructured matrices).
+    Uses the native C++ implementation when available."""
     n = G.num_rows
     indptr, col = _adjacency(G)
+    from cusp_autotuned_tpu import native
+    perm = native.rcm(indptr, col)
+    if perm is not None:
+        return permutation_matrix(perm)
     degrees = np.diff(indptr)
     visited = np.zeros(n, bool)
     order = []

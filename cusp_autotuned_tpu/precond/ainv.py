@@ -101,11 +101,40 @@ class AINVOperator(MatrixBase):
                         use_autotuning=False)
 
 
+def _native_spd(A, drop_tolerance, nonzero_per_row, lin_dropping, lin_param,
+                scaled):
+    """Try the C++ factorization (cusp_autotuned_tpu.native); None if
+    unavailable."""
+    from cusp_autotuned_tpu import native
+    S = to_scipy(A).tocsr().astype(np.float64)
+    out = native.ainv_spd(S.indptr, S.indices, S.data, drop_tolerance,
+                          nonzero_per_row, lin_dropping, lin_param, scaled)
+    if out is None:
+        return None
+    w_row, w_col, w_val, diag = out
+    n = A.num_rows
+    dtype = S.data.dtype
+    W = from_scipy(sp.coo_matrix((w_val, (w_row, w_col)), shape=(n, n)), "csr")
+    from cusp_autotuned_tpu.ops.transpose import transpose
+    Wt = transpose(W)
+    if scaled:
+        dinv = jnp.ones(n, W.val.dtype)
+    else:
+        dinv = jnp.asarray(np.where(diag != 0, 1.0 / np.where(diag != 0, diag,
+                                                              1), 0))
+    return AINVOperator(z=W, wt=Wt, diag_inv=dinv.astype(W.val.dtype),
+                        shape=(n, n))
+
+
 def scaled_bridson_ainv(A, drop_tolerance: float = 0.1,
                         nonzero_per_row: int = -1, lin_dropping: bool = False,
                         lin_param: int = 1) -> AINVOperator:
     """SPD AINV with columns scaled by 1/sqrt(p): M = W W^T
     (ainv.h:52, detail/ainv.inl scaled ctor)."""
+    nat = _native_spd(A, drop_tolerance, nonzero_per_row, lin_dropping,
+                      lin_param, scaled=True)
+    if nat is not None:
+        return nat
     n = A.num_rows
     S = to_scipy(A).tocsr()
     indptr, col, val = S.indptr, S.indices, S.data
@@ -133,6 +162,10 @@ def scaled_bridson_ainv(A, drop_tolerance: float = 0.1,
 def bridson_ainv(A, drop_tolerance: float = 0.1, nonzero_per_row: int = -1,
                  lin_dropping: bool = False, lin_param: int = 1) -> AINVOperator:
     """SPD AINV, unscaled: M = W D^-1 W^T (ainv.h:99)."""
+    nat = _native_spd(A, drop_tolerance, nonzero_per_row, lin_dropping,
+                      lin_param, scaled=False)
+    if nat is not None:
+        return nat
     n = A.num_rows
     S = to_scipy(A).tocsr()
     indptr, col, val = S.indptr, S.indices, S.data
@@ -164,6 +197,21 @@ def nonsym_bridson_ainv(A, drop_tolerance: float = 0.1,
     n = A.num_rows
     S = to_scipy(A).tocsr()
     St = S.T.tocsr()
+    from cusp_autotuned_tpu import native
+    nat = native.ainv_nonsym(S.indptr, S.indices,
+                             S.data.astype(np.float64),
+                             St.indptr, St.indices,
+                             St.data.astype(np.float64),
+                             drop_tolerance, nonzero_per_row, lin_dropping,
+                             lin_param)
+    if nat is not None:
+        (zr, zc, zv), (wr, wc, wv), diag = nat
+        Z = from_scipy(sp.coo_matrix((zv, (zr, zc)), shape=(n, n)), "csr")
+        W = from_scipy(sp.coo_matrix((wv, (wr, wc)), shape=(n, n)), "csr")
+        from cusp_autotuned_tpu.ops.transpose import transpose
+        Wt = transpose(W)
+        dinv = jnp.asarray((1.0 / diag).astype(S.data.dtype))
+        return AINVOperator(z=Z, wt=Wt, diag_inv=dinv, shape=(n, n))
     a_nnz_row = np.diff(S.indptr)
     zf = [{j: 1.0} for j in range(n)]
     wf = [{j: 1.0} for j in range(n)]

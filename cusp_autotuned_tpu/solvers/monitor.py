@@ -105,7 +105,7 @@ class Monitor:
     # -- driving (eager use) --------------------------------------------------
 
     def reset(self, b) -> None:
-        self.b_norm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+        self.b_norm = float(np.linalg.norm(np.asarray(b)))
         self.residuals: list = []
         if self.verbose:
             print(f"Solver will continue until residual norm {self.tolerance():.6g}"
@@ -114,7 +114,7 @@ class Monitor:
 
     def finished(self, r) -> bool:
         """Record ||r|| and report whether iteration should stop."""
-        r_norm = float(np.linalg.norm(np.asarray(r, dtype=np.float64)))
+        r_norm = float(np.linalg.norm(np.asarray(r)))
         self.residuals.append(r_norm)
         if self.verbose:
             print(f"  {self.iteration_count():10d}        {r_norm:14.6e}")
