@@ -14,21 +14,13 @@ denominator; 1.0 = memory-bound optimum).
 """
 
 import json
-import time
+import sys
 
 import numpy as np
 
+sys.path.insert(0, ".")
 
-def _timeit(f, *args, reps: int = 30, outer: int = 4) -> float:
-    import jax
-    jax.block_until_ready(f(*args))
-    best = float("inf")
-    for _ in range(outer):
-        t0 = time.perf_counter()
-        ys = [f(*args) for _ in range(reps)]
-        jax.block_until_ready(ys[-1])
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+from benchmarks.harness import time_fn as _timeit, stream_bandwidth_gbps
 
 
 def main():
@@ -53,12 +45,7 @@ def main():
     useful = (k * A.rows_padded + 2 * n) * itemsize
     spmv_gbps = useful / t_spmv / 1e9
 
-    # stream baseline: touch the same number of bytes with pure copies
-    total_elems = useful // itemsize
-    a = jnp.asarray(np.random.randn(total_elems // 2).astype(np.float32))
-    stream = jax.jit(lambda v: v * 2.0)
-    t_stream = _timeit(stream, a)
-    stream_gbps = (a.size * 2 * itemsize) / t_stream / 1e9
+    stream_gbps = stream_bandwidth_gbps(useful)
 
     print(json.dumps({
         "metric": f"SpMV DIA poisson5pt({grid}x{grid}) bandwidth "

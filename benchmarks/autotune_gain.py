@@ -15,7 +15,7 @@ from benchmarks.harness import time_fn
 from benchmarks.bytes_per_spmv import bytes_per_spmv
 
 
-def run(small: bool = False):
+def run(small: bool = False, scale: int | None = None):
     import jax
     from benchmarks.spmv import matrix_suite
     from cusp_autotuned_tpu.ops.convert import convert
@@ -27,7 +27,7 @@ def run(small: bool = False):
     tuner = Tuner(warmup=1, repeats=3)
     print(f"{'matrix':16s} {'fmt':5s} {'default us':>11} {'tuned us':>10} "
           f"{'speedup':>8}  best config")
-    for name, A0 in matrix_suite(small):
+    for name, A0 in matrix_suite(small, scale):
         rng = np.random.RandomState(0)
         x = jax.numpy.asarray(rng.randn(A0.num_cols).astype(np.float32))
         for fmt in ("dia", "ell", "ellr", "csr", "coo"):
@@ -51,4 +51,6 @@ if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--small", action="store_true")
-    run(small=p.parse_args().small)
+    p.add_argument("--scale", type=int, default=None)
+    a = p.parse_args()
+    run(small=a.small, scale=a.scale)

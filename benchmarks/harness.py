@@ -30,13 +30,48 @@ def _on_tpu() -> bool:
 
 
 def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> float:
-    """Seconds per call (async-enqueue timing).  Defaults shrink on the CPU
-    reference backend so smoke runs stay fast."""
+    """Seconds per call.
+
+    When f maps its first argument to a same-shape/dtype output (the square
+    SpMV / elementwise case), iterations are CHAINED — each output feeds the
+    next input inside one jitted fori_loop — so the measurement cannot be
+    served from any request cache and RPC latency amortizes.  Otherwise falls
+    back to async-enqueue timing (repeated identical dispatches), which on
+    relayed devices is only a lower bound."""
     import jax
+    import jax.numpy as jnp
     if reps is None:
         reps = 30 if _on_tpu() else 3
     if outer is None:
         outer = 4 if _on_tpu() else 2
+
+    x0 = args[0] if args else None
+    chainable = False
+    if args and isinstance(x0, jnp.ndarray):
+        try:
+            y0 = f(*args)
+            chainable = (isinstance(y0, jnp.ndarray) and y0.shape == x0.shape
+                         and y0.dtype == x0.dtype)
+        except Exception:  # noqa: BLE001
+            chainable = False
+
+    if chainable:
+        rest = args[1:]
+
+        @jax.jit
+        def chain(x, *rest):
+            # the damping keeps magnitudes bounded over long chains
+            return jax.lax.fori_loop(
+                0, reps, lambda i, v: f(v, *rest) * 0.125 + 0.25, x)
+
+        jax.block_until_ready(chain(x0, *rest))
+        best = float("inf")
+        for _ in range(outer):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(x0, *rest))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
     jax.block_until_ready(f(*args))
     best = float("inf")
     for _ in range(outer):
@@ -48,13 +83,14 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
 
 
 def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
-    """Measured copy bandwidth for roofline calibration."""
+    """Measured FMA-stream bandwidth for roofline calibration (chained, so
+    uncacheable; counts one read + one write per element per iteration)."""
     import jax
     import jax.numpy as jnp
     if nbytes is None:
         nbytes = (64 << 20) if _on_tpu() else (8 << 20)
     a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
-    f = jax.jit(lambda v: v * 2.0)
+    f = jax.jit(lambda v: v * 1.0000001 + 0.25)
     t = time_fn(f, a)
     return (a.size * 2 * 4) / t / 1e9
 

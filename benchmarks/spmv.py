@@ -23,9 +23,9 @@ from benchmarks.harness import time_fn, stream_bandwidth_gbps, l2_error
 from benchmarks.bytes_per_spmv import bytes_per_spmv, flops_per_spmv
 
 
-def matrix_suite(small: bool = False):
+def matrix_suite(small: bool = False, scale: int | None = None):
     from cusp_autotuned_tpu import gallery
-    s = 10 if small else 1
+    s = scale if scale is not None else (10 if small else 1)
     yield "poisson5pt_2d", gallery.poisson5pt(1000 // s, 1000 // s, format="coo")
     yield "poisson9pt_2d", gallery.poisson9pt(1000 // s, 1000 // s, format="coo")
     yield "poisson7pt_3d", gallery.poisson7pt(100 // s, 100 // s, 100 // s,
@@ -41,7 +41,8 @@ def matrix_suite(small: bool = False):
 FORMATS = ("csr", "dia", "ell", "ellr", "hyb", "coo")
 
 
-def run(tuned: bool = False, small: bool = False, csv_path: str | None = None):
+def run(tuned: bool = False, small: bool = False, csv_path: str | None = None,
+        scale: int | None = None):
     import jax
     from cusp_autotuned_tpu.ops.convert import convert
     from cusp_autotuned_tpu.kernels.variants import build_spmv, default_config
@@ -55,7 +56,7 @@ def run(tuned: bool = False, small: bool = False, csv_path: str | None = None):
           f"({jax.devices()[0].device_kind})")
     rows = []
     tuner = Tuner(warmup=1, repeats=3) if tuned else None
-    for name, A0 in matrix_suite(small):
+    for name, A0 in matrix_suite(small, scale):
         rng = np.random.RandomState(0)
         x = rng.randn(A0.num_cols).astype(np.float32)
         ref = reference_spmv(A0, x)
@@ -99,6 +100,8 @@ if __name__ == "__main__":
     p.add_argument("--tuned", action="store_true",
                    help="tune each (matrix, format) and use the best config")
     p.add_argument("--small", action="store_true")
+    p.add_argument("--scale", type=int, default=None,
+                   help="divide suite dimensions by this factor")
     p.add_argument("--csv")
     a = p.parse_args()
-    run(tuned=a.tuned, small=a.small, csv_path=a.csv)
+    run(tuned=a.tuned, small=a.small, csv_path=a.csv, scale=a.scale)

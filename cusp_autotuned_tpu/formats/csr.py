@@ -5,9 +5,11 @@ row_offsets/column_indices/values at :150-158).
 
 TPU-native layout: col/val padded to a multiple of 128 with col == 0,
 val == 0 beyond indptr[num_rows]; indptr is the exact (num_rows+1) offsets
-array.  Row ids for segment reductions are derived on demand
-(ops.format_utils.offsets_to_indices) — the CSR analogue of the reference's
-csr→coo view trick (generic/multiply/spmv.h:243-270).
+array.  The expanded per-entry row ids (the reference's csr→coo view trick,
+generic/multiply/spmv.h:243-270) are materialized ONCE at construction and
+carried in the container: +4 bytes/nnz buys segment reductions without a
+per-SpMV searchsorted, which dominates CSR SpMV time on TPU otherwise.
+Padding entries carry row == num_rows (dropped by segment reductions).
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ class CSR(MatrixBase):
     indptr: jnp.ndarray       # (num_rows + 1,) int32
     col: jnp.ndarray          # (nnz_pad,) int32; padding = 0
     val: jnp.ndarray          # (nnz_pad,) values; padding = 0
+    row: jnp.ndarray          # (nnz_pad,) int32 cached row ids; padding = m
     shape: Tuple[int, int] = static_field()
     nnz: int = static_field()
 
@@ -53,10 +56,12 @@ def csr_matrix(indptr, col, val, shape, *, dtype=None,
         raise ValueError("col/val shorter than indptr[-1]")
     col, val = col[:nnz], val[:nnz]
     npad = pad_to_len if pad_to_len is not None else max(LANE, round_up(nnz, LANE))
+    row = np.repeat(np.arange(m, dtype=np.int32), np.diff(indptr))
     return CSR(
         indptr=jnp.asarray(indptr),
         col=jnp.asarray(pad_to(col, npad, fill=0)),
         val=jnp.asarray(pad_to(val, npad, fill=0)),
+        row=jnp.asarray(pad_to(row, npad, fill=m)),
         shape=(m, n),
         nnz=nnz,
     )

@@ -57,7 +57,7 @@ def extract_diagonal(A) -> jnp.ndarray:
         idx = jnp.where(on_diag, A.row, k)  # k = out of range -> dropped
         return diag.at[idx].add(jnp.where(on_diag, A.val, 0), mode="drop")
     if isinstance(A, F.CSR):
-        row = offsets_to_indices(A.indptr, A.nnz_padded)
+        row = A.row
         on_diag = (row == A.col) & (jnp.arange(A.nnz_padded) < A.nnz)
         diag = jnp.zeros(k, dtype=A.dtype)
         idx = jnp.where(on_diag, row, k)

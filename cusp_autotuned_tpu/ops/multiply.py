@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cusp_autotuned_tpu import formats as F
-from cusp_autotuned_tpu.ops.format_utils import offsets_to_indices
 from cusp_autotuned_tpu.ops.segment import segment_sum, segment_reduce
 from cusp_autotuned_tpu.utils.exceptions import InvalidInputException
 
@@ -47,9 +46,8 @@ def spmv_coo(A: F.COO, x):
 
 
 def spmv_csr(A: F.CSR, x):
-    row = offsets_to_indices(A.indptr, A.nnz_padded)
     prod = _scale(A.val, x[A.col])
-    return segment_sum(prod, row, A.num_rows, indices_are_sorted=True)
+    return segment_sum(prod, A.row, A.num_rows, indices_are_sorted=True)
 
 
 def spmv_dia(A: F.DIA, x):
@@ -197,9 +195,8 @@ def _coo_view(A):
         valid = jnp.arange(A.nnz_padded) < A.nnz
         return A.row, A.col, A.val, valid
     if isinstance(A, F.CSR):
-        row = offsets_to_indices(A.indptr, A.nnz_padded)
         valid = jnp.arange(A.nnz_padded) < A.nnz
-        return row, A.col, A.val, valid
+        return A.row, A.col, A.val, valid
     if isinstance(A, (F.ELL, F.ELLR)):
         mp = A.rows_padded
         w = A.width

@@ -9,3 +9,6 @@ reductions.
 from cusp_autotuned_tpu.parallel.sharded import (
     make_row_mesh, shard_rows, replicate, distributed_cg, sharded_spmv,
 )
+from cusp_autotuned_tpu.parallel.shard_map_spmv import (
+    sharded_spmv_dia_shardmap, distributed_cg_shardmap,
+)

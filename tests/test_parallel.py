@@ -42,3 +42,25 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_shardmap_spmv_matches():
+    from cusp_autotuned_tpu.parallel import sharded_spmv_dia_shardmap
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 64, format="dia", dtype=np.float32)
+    x = np.linspace(0, 1, A.num_cols).astype(np.float32)
+    fn = sharded_spmv_dia_shardmap(A, mesh)
+    with mesh:
+        y = np.asarray(jax.jit(fn)(jax.device_put(x)))
+    np.testing.assert_allclose(y, np.asarray(multiply(A, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shardmap_cg_converges():
+    from cusp_autotuned_tpu.parallel import distributed_cg_shardmap
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 64, format="dia", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    x, r_norm = distributed_cg_shardmap(A, b, mesh, iterations=60)
+    r = b - np.asarray(multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
