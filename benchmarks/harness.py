@@ -60,9 +60,12 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
 
         @jax.jit
         def chain(x, *rest):
-            # the damping keeps magnitudes bounded over long chains
-            return jax.lax.fori_loop(
-                0, reps, lambda i, v: f(v, *rest) * 0.125 + 0.25, x)
+            # damping keeps magnitudes bounded; the optimization barrier
+            # forces each iteration to materialize (no cross-iteration fusion)
+            def body(i, v):
+                return jax.lax.optimization_barrier(
+                    f(v, *rest) * 0.125 + 0.25)
+            return jax.lax.fori_loop(0, reps, body, x)
 
         jax.block_until_ready(chain(x0, *rest))
         best = float("inf")
@@ -83,14 +86,17 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
 
 
 def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
-    """Measured FMA-stream bandwidth for roofline calibration (chained, so
-    uncacheable; counts one read + one write per element per iteration)."""
+    """Measured streaming bandwidth for roofline calibration.
+
+    Chained FMA passes separated by optimization barriers: uncacheable (each
+    iteration depends on the last) and unfusable (the barrier forces one full
+    read + write per iteration).  Counts 8 bytes/element/iteration."""
     import jax
     import jax.numpy as jnp
     if nbytes is None:
         nbytes = (64 << 20) if _on_tpu() else (8 << 20)
     a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
-    f = jax.jit(lambda v: v * 1.0000001 + 0.25)
+    f = jax.jit(lambda v: v * 1.0000001 + 0.125)
     t = time_fn(f, a)
     return (a.size * 2 * 4) / t / 1e9
 

@@ -155,19 +155,48 @@ class Tuner:
             if validate is not None and not validate(y):
                 return TuningResult(dict(config), ResultStatus.ValidationFailed,
                                     compilation_ms=compile_ms)
-            for _ in range(self.warmup):
-                y = fn(x)
-            jax.block_until_ready(y)
-            best = float("inf")
-            for _ in range(self.repeats):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(x))
-                best = min(best, (time.perf_counter() - t0) * 1e3)
+            best = self._time(fn, x, y)
         except Exception as e:  # noqa: BLE001
             return TuningResult(dict(config), ResultStatus.ComputationFailed,
                                 compilation_ms=compile_ms, error=str(e)[:500])
         return TuningResult(dict(config), ResultStatus.Ok, duration_ms=best,
                             compilation_ms=compile_ms)
+
+    def _time(self, fn, x, y) -> float:
+        """Milliseconds per call.  Square operators are timed as a chained
+        dependent loop inside one jit — immune to per-dispatch RPC latency
+        and to request caching on relayed devices; rectangular ones fall
+        back to repeated dispatches."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if isinstance(y, jnp.ndarray) and y.shape == x.shape and \
+                y.dtype == x.dtype:
+            reps = max(self.repeats * 2, 8)
+
+            @jax.jit
+            def chain(v):
+                def body(i, u):
+                    return jax.lax.optimization_barrier(fn(u) * 0.125 + 0.25)
+                return jax.lax.fori_loop(0, reps, body, v)
+
+            jax.block_until_ready(chain(x))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chain(x))
+                best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+            return best
+
+        for _ in range(self.warmup):
+            y = fn(x)
+        jax.block_until_ready(y)
+        best = float("inf")
+        for _ in range(self.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        return best
 
     # -- public engine ---------------------------------------------------------
 

@@ -34,6 +34,12 @@ def smooth_prolongator(S, T, omega: float = 4.0 / 3.0,
 
 
 def galerkin_product(R, A, P):
-    """A_c = R (A P) via two device SpGEMMs."""
-    AP = spgemm(A, P)
-    return spgemm(R, AP)
+    """A_c = R A P.  Setup-time triple product: runs on the host (scipy) —
+    the reference likewise keeps a separate SetupMatrixType for hierarchy
+    construction (smoothed_aggregation.h:166); the *solve* path SpGEMM
+    (ops.spgemm) stays on device."""
+    Rs = to_scipy(R).tocsr()
+    As = to_scipy(A).tocsr()
+    Ps = to_scipy(P).tocsr()
+    C = (Rs @ (As @ Ps)).tocoo()
+    return from_scipy(C, "csr", dtype=to_scipy(A).dtype)
