@@ -88,10 +88,14 @@ def matrix_signature(A) -> str:
 
 class Tuner:
     def __init__(self, cache_path: Optional[str] = None,
-                 warmup: int = 2, repeats: int = 5):
+                 warmup: int = 2, repeats: int = 5,
+                 log_fn: Optional[Callable[[str], None]] = None):
         self.cache_path = cache_path
         self.warmup = warmup
         self.repeats = repeats
+        # per-result logging sink (KTT log-redirection analogue,
+        # testing/ktt.cu:189-199); None = silent
+        self.log_fn = log_fn
         # signature -> {config_key: TuningResult}
         self.results: Dict[str, Dict[str, TuningResult]] = {}
         self._compiled: Dict[tuple, Callable] = {}
@@ -252,6 +256,11 @@ class Tuner:
             result = self._execute(A, x, config, validate=validate)
             store[config_key(config)] = result
             out.append(result)
+            if self.log_fn is not None:
+                self.log_fn(
+                    f"[tune {matrix_signature(A)}] {result.status.value} "
+                    f"{result.duration_ms:.3f} ms {result.configuration}"
+                    + (f" ({result.error})" if result.error else ""))
             if stop_condition is not None:
                 stop_condition.update(result)
         self.save()

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
 
-AVAILABLE = ("dia",)
+AVAILABLE = ("dia", "csr", "coo", "ell", "ellr")
 
 
 def _interpret() -> bool:
@@ -19,5 +19,9 @@ def build(format_name, A, config):
     if format_name == "dia":
         from cusp_autotuned_tpu.kernels.pallas_dia import build_dia
         return build_dia(A, config, interpret=_interpret())
+    if format_name in ("csr", "coo", "ell", "ellr"):
+        # the windowed one-hot kernel plans from the COO view of any format
+        from cusp_autotuned_tpu.kernels.pallas_csr import build_csr_onehot
+        return build_csr_onehot(A, config, interpret=_interpret())
     raise NotImplementedException(
         f"pallas kernel for {format_name} not yet available")

@@ -150,21 +150,25 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "gather": _build_ell_gather,
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
+        "pallas": _build_pallas("ell"),
     },
     "ellr": {
         "gather": _build_ell_gather,
         "rowlen": _build_ellr_rowlen,
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
+        "pallas": _build_pallas("ellr"),
     },
     "csr": {
         "segsum": _build_csr_segsum,
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
+        "pallas": _build_pallas("csr"),
     },
     "coo": {
         "segsum": _build_coo_segsum,
         "via_dia": _build_via_dia,
+        "pallas": _build_pallas("coo"),
     },
     "hyb": {
         "default": _build_hyb,
@@ -206,18 +210,25 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, b: (b > 0) == (i == "pallas"))
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
-            "ell": ("gather", "via_dia", "rcm_dia"),
-            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia"),
-            "csr": ("segsum", "via_dia", "rcm_dia"),
-            "coo": ("segsum", "via_dia"),
+            "ell": ("gather", "via_dia", "rcm_dia", "pallas"),
+            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia", "pallas"),
+            "csr": ("segsum", "via_dia", "rcm_dia", "pallas"),
+            "coo": ("segsum", "via_dia", "pallas"),
         }[fmt]
         space.add_parameter("impl", impls)
         space.add_parameter("dia_impl", ("none", "slices", "pallas"))
         space.add_parameter("block_rows", (0, 2048, 8192))
+        # one-hot kernel meta-parameters (impl == "pallas" only)
+        space.add_parameter("block_entries", (0, 2048, 4096))
+        space.add_parameter("col_window", (0, 2048, 8192))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
         space.add_constraint(("dia_impl", "block_rows"),
                              lambda d, b: (b > 0) == (d == "pallas"))
+        space.add_constraint(("impl", "block_entries"),
+                             lambda i, b: (b > 0) == (i == "pallas"))
+        space.add_constraint(("impl", "col_window"),
+                             lambda i, c: (c > 0) == (i == "pallas"))
     elif fmt == "hyb":
         space.add_parameter("impl", ("default",))
     else:

@@ -93,3 +93,16 @@ def test_dimension_mismatch():
     A = build(S, "csr")
     with pytest.raises(ct.InvalidInputException):
         ct.multiply(A, np.zeros(3, np.float32))
+
+
+def test_bfloat16_spmv():
+    """bf16 containers flow through SpMV (TPU-native dtype; loose tolerance)."""
+    import jax.numpy as jnp
+    S = example_matrices()["tri37"]
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    for fmt in ("dia", "ell", "csr"):
+        A = from_scipy(S, fmt, dtype=jnp.bfloat16)
+        x = np.linspace(-1, 1, 37).astype(np.float32)
+        y = np.asarray(ct.multiply(A, x.astype(jnp.bfloat16)),
+                       dtype=np.float32)
+        np.testing.assert_allclose(y, S @ x, rtol=0.05, atol=0.05)
