@@ -99,6 +99,8 @@ class Tuner:
         # signature -> {config_key: TuningResult}
         self.results: Dict[str, Dict[str, TuningResult]] = {}
         self._compiled: Dict[tuple, Callable] = {}
+        # signature -> compiled best fn once the space is exhausted
+        self._best_fn: Dict[str, Callable] = {}
         if cache_path and os.path.exists(cache_path):
             self.load(cache_path)
 
@@ -209,6 +211,9 @@ class Tuner:
         exhausted) and return y = A @ x."""
         from cusp_autotuned_tpu.autotune.space import configurations_for
         sig = matrix_signature(A)
+        fast = self._best_fn.get(sig)
+        if fast is not None:
+            return fast(x)
         store = self.results.setdefault(sig, {})
         for config in configurations_for(A):
             ck = config_key(config)
@@ -220,8 +225,9 @@ class Tuner:
                 # failed config: fall through to the default implementation
                 from cusp_autotuned_tpu.kernels.variants import default_config
                 return self._get_fn(A, default_config(A))(x)
-        best = self.best_configuration(A)
-        return self._get_fn(A, best)(x)
+        best_fn = self._get_fn(A, self.best_configuration(A))
+        self._best_fn[sig] = best_fn
+        return best_fn(x)
 
     def run(self, A, x, configuration: Dict[str, Any]):
         """y = A @ x with a fixed configuration."""
@@ -279,9 +285,11 @@ class Tuner:
         if A is None:
             self.results.clear()
             self._compiled.clear()
+            self._best_fn.clear()
         else:
             sig = matrix_signature(A)
             self.results.pop(sig, None)
+            self._best_fn.pop(sig, None)
             self._compiled = {k: v for k, v in self._compiled.items()
                               if k[0] != sig}
 

@@ -188,3 +188,19 @@ def test_lapack_suite():
     w, v = lapack.stev(alphas, betas)
     T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
     np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(T), rtol=1e-8)
+
+
+def test_iterator_utils():
+    from cusp_autotuned_tpu.ops import iterator_utils as it
+    np.testing.assert_array_equal(np.asarray(it.counting_array(4, 2)),
+                                  [2, 3, 4, 5])
+    np.testing.assert_array_equal(np.asarray(it.constant_array(3, 7.0)),
+                                  [7.0, 7.0, 7.0])
+    np.testing.assert_array_equal(
+        np.asarray(it.join(jnp.array([1, 2]), jnp.array([3]))), [1, 2, 3])
+    np.testing.assert_array_equal(
+        np.asarray(it.strided(jnp.arange(10), 3)), [0, 3, 6, 9])
+    r1 = np.asarray(it.random_array(16, seed=1))
+    r2 = np.asarray(it.random_array(16, seed=1))
+    np.testing.assert_array_equal(r1, r2)       # deterministic
+    assert np.all((r1 >= 0) & (r1 < 1))
