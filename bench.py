@@ -14,11 +14,12 @@ denominator; 1.0 = memory-bound optimum).
 """
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from benchmarks.harness import time_fn as _timeit, stream_bandwidth_gbps
 

@@ -58,3 +58,17 @@ def test_monitor_iteration_limit():
         assert not m.finished(b)
     assert m.finished(b)          # hit the limit
     assert not m.converged()
+
+
+def test_cg_with_matrix_free_operator():
+    """Solvers accept any linear operator as A (cusp/linear_operator.h
+    parity) — e.g. a tuned kernel closure or a matrix-free apply."""
+    A = gallery.poisson5pt(12, 12, format="dia", dtype=np.float64)
+    from cusp_autotuned_tpu.kernels.variants import build_spmv, default_config
+    spmv = build_spmv(A, default_config(A))
+    op = make_linear_operator(spmv, A.shape)
+    b = np.ones(A.num_rows)
+    x, mon = cg(op, b, monitor=Monitor(b, 300, 1e-8))
+    assert mon.converged()
+    r = b - np.asarray(ct.multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) < 1e-6
