@@ -35,7 +35,7 @@ from cusp_autotuned_tpu.autotune.result import ResultStatus, TuningResult
 from cusp_autotuned_tpu.autotune.search import DeterministicSearcher, Searcher, StopCondition
 from cusp_autotuned_tpu.autotune.space import config_key
 
-TUNABLE_FORMATS = ("dia", "ell", "ellr", "csr", "coo")
+TUNABLE_FORMATS = ("dia", "ell", "ellr", "csr", "coo", "hyb")
 
 _enabled = False
 _global_tuner: Optional["Tuner"] = None
@@ -319,3 +319,36 @@ def tune(A, x, reference_computation=None, searcher=None, stop_condition=None):
 
 def reset_tuning(A=None):
     get_tuner().reset_tuning(A)
+
+
+def choose_format(A, x=None, formats=TUNABLE_FORMATS,
+                  reference_computation=None, tuner: Optional[Tuner] = None):
+    """Per-matrix format selection: convert A to each candidate format, tune
+    each space, and return (best_container, best_configuration) by measured
+    time — the explicit version of what SURVEY.md §2.4 calls per-matrix
+    format selection (the dynamic hook does this implicitly via the
+    via_dia/rcm_dia moves)."""
+    from cusp_autotuned_tpu.ops.convert import convert
+    from cusp_autotuned_tpu.utils.exceptions import (
+        FormatConversionException, NotImplementedException)
+
+    tuner = tuner or get_tuner()
+    if x is None:
+        x = np.ones(A.num_cols, np.float32)
+    best = None
+    for fmt in formats:
+        try:
+            B = convert(A, fmt)
+        except (FormatConversionException, NotImplementedException):
+            continue
+        tuner.tune(B, x, reference_computation=reference_computation)
+        sig = matrix_signature(B)
+        ok = [r for r in tuner.results.get(sig, {}).values() if r.is_valid()]
+        if not ok:
+            continue
+        winner = min(ok, key=lambda r: r.duration_ms)
+        if best is None or winner.duration_ms < best[2]:
+            best = (B, dict(winner.configuration), winner.duration_ms)
+    if best is None:
+        raise NotImplementedException("no format produced a valid kernel")
+    return best[0], best[1]

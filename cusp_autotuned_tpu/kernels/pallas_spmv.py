@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
 
-AVAILABLE = ("dia", "csr", "coo", "ell", "ellr")
+AVAILABLE = ("dia", "csr", "coo", "ell", "ellr", "hyb")
 
 
 def _interpret() -> bool:
@@ -19,7 +19,7 @@ def build(format_name, A, config):
     if format_name == "dia":
         from cusp_autotuned_tpu.kernels.pallas_dia import build_dia
         return build_dia(A, config, interpret=_interpret())
-    if format_name in ("csr", "coo", "ell", "ellr"):
+    if format_name in ("csr", "coo", "ell", "ellr", "hyb"):
         # the windowed one-hot kernel plans from the COO view of any format
         from cusp_autotuned_tpu.kernels.pallas_csr import build_csr_onehot
         return build_csr_onehot(A, config, interpret=_interpret())

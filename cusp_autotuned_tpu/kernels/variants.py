@@ -172,6 +172,8 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
     },
     "hyb": {
         "default": _build_hyb,
+        "pallas": _build_pallas("hyb"),
+        "via_dia": _build_via_dia,
     },
 }
 
@@ -230,7 +232,16 @@ def tuning_space(A) -> TuningSpace:
         space.add_constraint(("impl", "col_window"),
                              lambda i, c: (c > 0) == (i == "pallas"))
     elif fmt == "hyb":
-        space.add_parameter("impl", ("default",))
+        space.add_parameter("impl", ("default", "via_dia", "pallas"))
+        space.add_parameter("dia_impl", ("none", "slices"))
+        space.add_parameter("block_entries", (0, 2048))
+        space.add_parameter("col_window", (0, 4096))
+        space.add_constraint(("impl", "dia_impl"),
+                             lambda i, d: (d == "none") == (i != "via_dia"))
+        space.add_constraint(("impl", "block_entries"),
+                             lambda i, b: (b > 0) == (i == "pallas"))
+        space.add_constraint(("impl", "col_window"),
+                             lambda i, c: (c > 0) == (i == "pallas"))
     else:
         raise NotImplementedException(f"no tuning space for format {fmt!r}")
     return space

@@ -175,3 +175,31 @@ def test_via_dia_fill_guard_is_skippable():
     assert via and all(r.status == ResultStatus.DeviceLimitsExceeded
                        for r in via)
     assert any(r.status == ResultStatus.Ok for r in results)
+
+
+def test_choose_format():
+    """Explicit per-matrix format selection across converted candidates."""
+    from cusp_autotuned_tpu.autotune.tuner import choose_format
+    A = gallery.make_diagonal_symmetric_matrix(256, 256, 2, 5).asformat("csr")
+    x = np.ones(256, np.float32)
+    B, config = choose_format(A, x, formats=("csr", "dia"),
+                              reference_computation=reference_spmv,
+                              tuner=Tuner(warmup=0, repeats=2))
+    assert B.format in ("csr", "dia")
+    assert "impl" in config
+    # the chosen (format, config) must reproduce the right answer
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+    y = np.asarray(build_spmv(B, config)(jnp_x := __import__("jax").numpy.asarray(x)))
+    np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4)
+
+
+def test_hyb_tuning_space():
+    """HYB joined the tunable formats (default / via_dia / one-hot pallas)."""
+    S = example_matrices()["widerow"]
+    A = build(S, "hyb")
+    x = np.random.RandomState(0).randn(A.num_cols).astype(np.float32)
+    results = Tuner().tune(A, x, reference_computation=reference_spmv)
+    impls_ok = {r.configuration["impl"] for r in results
+                if r.status == ResultStatus.Ok}
+    assert "default" in impls_ok
+    assert "pallas" in impls_ok
