@@ -58,6 +58,8 @@ def _compile() -> ctypes.CDLL | None:
                                 i32p, i32p, f64p, ctypes.c_int64,
                                 i32p, i32p, f64p, ctypes.c_int64,
                                 f64p, i64p, i64p]
+    lib.standard_aggregate.restype = ctypes.c_int32
+    lib.standard_aggregate.argtypes = [ctypes.c_int32, i32p, i32p, i32p, i32p]
     lib.pseudo_peripheral.restype = ctypes.c_int32
     lib.pseudo_peripheral.argtypes = [ctypes.c_int32, i32p, i32p]
     lib.rcm.restype = None
@@ -175,3 +177,18 @@ def pseudo_peripheral(indptr, col):
     indptr = np.ascontiguousarray(indptr, np.int32)
     col = np.ascontiguousarray(col, np.int32)
     return int(lib.pseudo_peripheral(n, _ptr_i32(indptr), _ptr_i32(col)))
+
+
+def standard_aggregate(indptr, col):
+    """Returns (agg, roots) or None when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    agg = np.empty(n, np.int32)
+    roots = np.empty(n, np.int32)
+    n_agg = lib.standard_aggregate(n, _ptr_i32(indptr), _ptr_i32(col),
+                                   _ptr_i32(agg), _ptr_i32(roots))
+    return agg, roots[:n_agg]

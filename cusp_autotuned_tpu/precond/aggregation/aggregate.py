@@ -20,9 +20,15 @@ def _adj(C):
 
 def standard_aggregate(C):
     """Vanek's three-pass greedy aggregation over the strength graph C.
-    Returns (aggregates (n,), roots (n_agg,))."""
+    Returns (aggregates (n,), roots (n_agg,)).  Uses the native C++
+    implementation when available."""
     n = C.num_rows
     indptr, col = _adj(C)
+    from cusp_autotuned_tpu import native
+    nat = native.standard_aggregate(indptr, col)
+    if nat is not None:
+        agg, roots = nat
+        return jnp.asarray(agg), jnp.asarray(roots)
     agg = np.full(n, -1, np.int64)
     roots = []
     # pass 1: nodes whose whole neighborhood is unaggregated seed aggregates
