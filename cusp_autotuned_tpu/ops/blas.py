@@ -46,6 +46,13 @@ def copy(x):
     return jnp.asarray(x)
 
 
+def fill(n_or_like, value):
+    """blas::fill — a constant vector (functional: returns a new array)."""
+    if hasattr(n_or_like, "shape"):
+        return jnp.full_like(jnp.asarray(n_or_like), value)
+    return jnp.full(int(n_or_like), value)
+
+
 def dot(x, y):
     return jnp.sum(jnp.asarray(x) * jnp.asarray(y))
 
