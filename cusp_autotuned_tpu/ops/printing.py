@@ -45,3 +45,24 @@ def spy(A, stream=None, max_size: int = 60) -> None:
     for r in grid:
         stream.write("|" + "".join("*" if c else " " for c in r) + "|\n")
     stream.write("+" + "-" * w + "+\n")
+
+
+def spy_svg(A, path, max_points: int = 20000, size: int = 600) -> None:
+    """Write the sparsity pattern as an SVG scatter (the file-output side of
+    the reference's OpenGL spy viewer, cusp/opengl/spy/)."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    row, col, _, (m, n) = _coo_arrays(A)
+    stride = max(1, row.size // max_points)
+    row, col = row[::stride], col[::stride]
+    sx = size / max(n, 1)
+    sy = size / max(m, 1)
+    r = max(0.5, min(sx, sy) / 2)
+    with open(path, "w") as f:
+        f.write(f'<svg xmlns="http://www.w3.org/2000/svg" '
+                f'width="{size}" height="{size}" '
+                f'viewBox="0 0 {size} {size}">\n')
+        f.write(f'<rect width="{size}" height="{size}" fill="white"/>\n')
+        for i, j in zip(row, col):
+            f.write(f'<circle cx="{(j + 0.5) * sx:.1f}" '
+                    f'cy="{(i + 0.5) * sy:.1f}" r="{r:.2f}" fill="black"/>\n')
+        f.write("</svg>\n")

@@ -204,3 +204,24 @@ def test_iterator_utils():
     r2 = np.asarray(it.random_array(16, seed=1))
     np.testing.assert_array_equal(r1, r2)       # deterministic
     assert np.all((r1 >= 0) & (r1 < 1))
+
+
+def test_spy_svg(tmp_path):
+    from cusp_autotuned_tpu.ops.printing import spy_svg
+    S = example_matrices()["tri37"]
+    A = build(S, "coo")
+    p = tmp_path / "spy.svg"
+    spy_svg(A, p)
+    content = p.read_text()
+    assert content.startswith("<svg") and "circle" in content
+
+
+def test_monitor_verbose(capsys):
+    from cusp_autotuned_tpu.solvers import Monitor
+    b = np.array([3.0, 4.0])
+    m = Monitor(b, iteration_limit=5, relative_tolerance=0.1, verbose=True)
+    m.finished(np.array([1.0, 0.0]))
+    m.finished(np.array([0.1, 0.0]))
+    out = capsys.readouterr().out
+    assert "Iteration Number" in out
+    assert "converged" in out
