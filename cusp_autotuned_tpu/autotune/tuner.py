@@ -66,14 +66,33 @@ def get_tuner() -> "Tuner":
     return _global_tuner
 
 
+def _content_digest(A) -> str:
+    """Cheap content fingerprint: exact nnz plus strided samples of the
+    index/value arrays.  Compiled kernels close over the matrix data, so two
+    same-shaped matrices must not share cache entries; sampling keeps the
+    per-call device→host traffic to a few hundred bytes."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str(getattr(A, "nnz", 0)).encode())
+
+    def eat(arr):
+        arr = arr.reshape(-1)
+        k = max(1, arr.shape[0] // 64)
+        h.update(np.asarray(arr[::k][:64]).tobytes())
+
+    for leaf in jax.tree_util.tree_leaves(A):
+        eat(leaf)
+    return h.hexdigest()[:16]
+
+
 def matrix_signature(A) -> str:
-    """Cache key: format + static layout + dtype + device kind.  Two matrices
-    with the same signature share tuning results (same compiled kernels)."""
+    """Cache key: format + static layout + dtype + device kind + a content
+    fingerprint (compiled kernels bake the matrix data in, so structurally
+    identical matrices with different entries must key separately)."""
     dev = jax.devices()[0].device_kind.replace(" ", "_")
     parts = [A.format, f"{A.shape[0]}x{A.shape[1]}", f"dtype={A.dtype}"]
-    if A.format == "coo":
-        parts.append(f"nnzp={A.nnz_padded}")
-    elif A.format == "csr":
+    if A.format in ("coo", "csr"):
         parts.append(f"nnzp={A.nnz_padded}")
     elif A.format == "dia":
         parts.append(f"ndiag={A.num_diagonals}")
@@ -82,6 +101,7 @@ def matrix_signature(A) -> str:
         parts.append(f"width={A.width}")
     elif A.format == "hyb":
         parts.append(f"w={A.ell.width},coo={A.coo.nnz_padded}")
+    parts.append(_content_digest(A))
     parts.append(dev)
     return ":".join(parts)
 

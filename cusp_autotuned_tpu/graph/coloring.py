@@ -30,7 +30,8 @@ def vertex_coloring(G, seed: int = 0):
     G = strip_diagonal(G)
     n = G.num_rows
     rng = np.random.RandomState(seed)
-    priority = jnp.asarray(rng.permutation(n).astype(np.float32) + 1.0)
+    from cusp_autotuned_tpu.graph.traversal import _id_dtype
+    priority = jnp.asarray(rng.permutation(n) + 1.0, dtype=_id_dtype(n + 1))
     colors = jnp.full(n, -1, jnp.int32)
     c = 0
     while bool(jnp.any(colors < 0)):

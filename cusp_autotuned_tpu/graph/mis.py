@@ -55,7 +55,8 @@ def maximal_independent_set(G, k: int = 1, seed: int = 0):
     n = G.num_rows
     rng = np.random.RandomState(seed)
     # unique random priorities break ties deterministically
-    priority = jnp.asarray(rng.permutation(n).astype(np.float32) + 1.0)
+    from cusp_autotuned_tpu.graph.traversal import _id_dtype
+    priority = jnp.asarray(rng.permutation(n) + 1.0, dtype=_id_dtype(n + 1))
     state = jnp.zeros(n, jnp.int32)
     while bool(jnp.any(state == UNDECIDED)):
         state = _mis_step(G, priority, state, int(k))

@@ -16,6 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from cusp_autotuned_tpu.ops.multiply import generalized_spmv, multiply
+from cusp_autotuned_tpu.utils.exceptions import InvalidInputException
+
+
+def _id_dtype(n: int):
+    """Float dtype that represents vertex ids 0..n exactly (ids ride the
+    max-semiring as floats; f32 is exact only below 2^24)."""
+    if n < (1 << 24):
+        return jnp.float32
+    import jax
+    if jax.config.jax_enable_x64:
+        return jnp.float64
+    raise InvalidInputException(
+        "graphs with >= 2^24 vertices need jax_enable_x64 for exact "
+        "id propagation")
 
 
 def _neighbor_max(A, x):
@@ -69,7 +83,7 @@ def breadth_first_search(G, src: int, mark_levels: bool = True):
             lvl += 1
         return labels
     labels = jnp.full(n, -1, jnp.int32).at[src].set(src)
-    ids = jnp.arange(n, dtype=jnp.float32)
+    ids = jnp.arange(n, dtype=_id_dtype(n))
     while bool(jnp.any(frontier > 0)):
         frontier, labels = _bfs_pred_step(G, frontier, labels, ids)
     return labels
@@ -84,7 +98,7 @@ def _cc_step(A, labels):
 
 def connected_components(G):
     """Returns (num_components, labels) with labels renumbered 0..count-1."""
-    labels = jnp.arange(G.num_rows, dtype=jnp.float32)
+    labels = jnp.arange(G.num_rows, dtype=_id_dtype(G.num_rows))
     changed = True
     while changed:
         labels, ch = _cc_step(G, labels)

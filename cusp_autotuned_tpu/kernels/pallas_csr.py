@@ -83,6 +83,9 @@ def build_csr_onehot(A, config, interpret: bool = False):
         raise NotImplementedException(
             "block_entries/col_window must be multiples of 128")
     m, n = A.shape
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "one-hot kernel supports real dtypes only")
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     row, col, val, _ = _coo_arrays(A)
     if row.size == 0:
@@ -103,9 +106,7 @@ def build_csr_onehot(A, config, interpret: bool = False):
     Bs = B // LANE
     row_rel = row_rel.reshape(nb, Bs, LANE)
     col_rel = col_rel.reshape(nb, Bs, LANE)
-    vals = vals.reshape(nb, Bs, LANE)
-    dtype = np.dtype(A.dtype) if A.dtype != jnp.bfloat16 else jnp.bfloat16
-    vals = vals.astype(A.dtype)
+    vals = vals.reshape(nb, Bs, LANE).astype(A.dtype)
 
     m_pad = round_up(m, LANE) + ROW_WINDOW
     rows_sub = m_pad // LANE

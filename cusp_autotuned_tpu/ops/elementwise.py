@@ -32,7 +32,9 @@ def elementwise(A, B, op):
     col = (keys % n).astype(np.int32)
     C = coo_matrix(row, col, vals, sa, sort=False)
     fmt = getattr(A, "format", "coo")
-    return C if fmt in ("coo", None) else convert(C, fmt)
+    if fmt not in ("csr", "dia", "ell", "ellr", "hyb"):
+        return C
+    return convert(C, fmt)
 
 
 def add(A, B):

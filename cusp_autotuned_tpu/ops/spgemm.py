@@ -66,6 +66,8 @@ def spgemm(A, B, initialize=None, combine=None, reduce=None):
     if A.num_cols != B.num_rows:
         raise InvalidInputException(f"dimension mismatch: {A.shape} @ {B.shape}")
     out_fmt = getattr(A, "format", "coo")
+    if out_fmt not in ("coo", "csr", "dia", "ell", "ellr", "hyb"):
+        out_fmt = "coo"           # e.g. permutation @ sparse yields COO
 
     a_row, a_col, a_val, (m, _) = _coo_arrays(A)
     Bc = convert(B, "csr")

@@ -85,7 +85,7 @@ class Multilevel(MatrixBase):
             monitor = default_monitor(b)
         r = b - multiply(self.levels[0].A, x)
         while not monitor.finished(np.asarray(r)):
-            x, r = _vcycle_step(self, x, b)
+            x, r = _vcycle_step(self, x, b, r)
         return x, monitor
 
     # -- reporting --------------------------------------------------------------
@@ -114,9 +114,9 @@ class Multilevel(MatrixBase):
 
 
 @jax.jit
-def _vcycle_step(M: Multilevel, x, b):
-    """x <- x + V(b - A x); returns (x, new residual)."""
+def _vcycle_step(M: Multilevel, x, b, r):
+    """x <- x + V(r); returns (x, new residual) — the caller feeds the
+    residual back in, so each iteration costs exactly one top-level SpMV."""
     A = M.levels[0].A
-    r = b - multiply(A, x, use_autotuning=False)
     x = x + M(r)
     return x, b - multiply(A, x, use_autotuning=False)

@@ -51,36 +51,42 @@ def _gmres_cycle(A, M, b, x, state, R):
             V, H, cs, sn, g, m_eff, state, done = op
             w = M(multiply(A, V[i]))
             # CGS2: two classical Gram-Schmidt passes, each an MXU matvec
+            # (conjugated projections so complex systems stay orthogonal)
             mask = jnp.arange(R + 1) <= i
-            h1 = jnp.where(mask, V @ w, 0)
+            h1 = jnp.where(mask, jnp.conj(V) @ w, 0)
             w = w - h1 @ V
-            h2 = jnp.where(mask, V @ w, 0)
+            h2 = jnp.where(mask, jnp.conj(V) @ w, 0)
             w = w - h2 @ V
             hs = h1 + h2
-            hnorm = blas.nrm2(w)
-            breakdown = hnorm <= 1e-30
+            hnorm = blas.nrm2(w).astype(dtype)
+            breakdown = jnp.abs(hnorm) <= 1e-30
             V = V.at[i + 1].set(w / jnp.where(breakdown, 1, hnorm))
 
             col = jnp.where(jnp.arange(R + 1) == i + 1, hnorm, hs)
 
-            # apply previous rotations j < i
+            # apply previous rotations j < i (complex-safe Givens, the
+            # reference's ApplyPlaneRotation: dy' = -conj(sn) dx + cs dy)
             def rot(j, col):
                 a, c2 = col[j], col[j + 1]
                 use = j < i
                 na = jnp.where(use, cs[j] * a + sn[j] * c2, a)
-                nb = jnp.where(use, -sn[j] * a + cs[j] * c2, c2)
+                nb = jnp.where(use, -jnp.conj(sn[j]) * a + cs[j] * c2, c2)
                 return col.at[j].set(na).at[j + 1].set(nb)
 
             col = jax.lax.fori_loop(0, R, rot, col)
 
+            # generate the new rotation (GeneratePlaneRotation parity:
+            # cs = |dx|/nrm, sn = (dx/|dx|) conj(dy)/nrm; dx==0 -> cs=0)
             dx, dy = col[i], col[i + 1]
-            denom = jnp.sqrt(dx * dx + dy * dy)
+            adx = jnp.abs(dx)
+            denom = jnp.sqrt(adx * adx + jnp.abs(dy) ** 2)
             safe = jnp.where(denom > 0, denom, 1)
-            c = jnp.where(denom > 0, dx / safe, 1).astype(dtype)
-            s = jnp.where(denom > 0, dy / safe, 0).astype(dtype)
+            sgn = jnp.where(adx > 0, dx / jnp.where(adx > 0, adx, 1), 1)
+            c = jnp.where(denom > 0, adx / safe, 1).astype(dtype)
+            s = jnp.where(denom > 0, sgn * jnp.conj(dy) / safe, 0).astype(dtype)
             col = col.at[i].set(c * dx + s * dy).at[i + 1].set(0)
             gi = g[i]
-            g = g.at[i].set(c * gi).at[i + 1].set(-s * gi)
+            g = g.at[i].set(c * gi).at[i + 1].set(-jnp.conj(s) * gi)
             H = H.at[:, i].set(col)
             cs = cs.at[i].set(c)
             sn = sn.at[i].set(s)

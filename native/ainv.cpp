@@ -31,7 +31,10 @@ void drop(Row& vec, double drop_tol, int row_count, int32_t keep) {
         std::vector<std::pair<double, int32_t>> mags;
         mags.reserve(vec.size());
         for (auto& kv : vec) mags.push_back({std::fabs(kv.second), kv.first});
-        std::nth_element(mags.begin(), mags.begin() + row_count, mags.end(),
+        // place the row_count-th largest magnitude at its sorted position;
+        // everything before it is >= cut
+        std::nth_element(mags.begin(), mags.begin() + (row_count - 1),
+                         mags.end(),
                          [](auto& a, auto& b) { return a.first > b.first; });
         double cut = mags[row_count - 1].first;
         bool has_keep = vec.count(keep) != 0;

@@ -203,3 +203,34 @@ def test_hyb_tuning_space():
                 if r.status == ResultStatus.Ok}
     assert "default" in impls_ok
     assert "pallas" in impls_ok
+
+
+def test_signature_distinguishes_same_shape_matrices():
+    """Two matrices with identical structure but different entries must not
+    share compiled kernels (the closures bake the data in)."""
+    S1 = gallery.poisson5pt(9, 9, format="dia")
+    import dataclasses
+    import jax.numpy as jnp
+    S2 = dataclasses.replace(S1, data=S1.data * 2.0)
+    assert matrix_signature(S1) != matrix_signature(S2)
+    x = np.ones(81, np.float32)
+    tuner = Tuner()
+    y1 = tuner.run(S1, x, {"impl": "slices"})
+    y2 = tuner.run(S2, x, {"impl": "slices"})
+    np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), rtol=1e-6)
+
+
+def test_permutation_spgemm_and_symmetric_permute():
+    """P @ A @ P^T works through multiply (regression: spgemm used to try
+    converting the product to format 'permutation')."""
+    import cusp_autotuned_tpu.formats as F
+    from cusp_autotuned_tpu.ops.transpose import transpose
+    S = example_matrices()["small4x4"]
+    A = build(S, "csr")
+    P = F.permutation_matrix([2, 0, 3, 1])
+    PA = ct.multiply(P, A)
+    PAPt = ct.multiply(PA, transpose(P))
+    perm = np.asarray(P.perm)
+    expect = np.asarray(S.todense())[perm][:, perm]
+    from tests.util import dense_of
+    np.testing.assert_allclose(dense_of(PAPt), expect, rtol=1e-6)

@@ -109,3 +109,18 @@ def test_bicgstab_m_shifts():
     for s, xs in zip(sigma, np.asarray(X)):
         expect = spla.spsolve(S + s * sp.eye(A.num_rows), b)
         assert np.linalg.norm(xs - expect) / np.linalg.norm(expect) < 1e-4, s
+
+
+def test_gmres_complex():
+    """GMRES on a complex system (conjugated CGS2 + complex-safe Givens)."""
+    rng = np.random.RandomState(11)
+    n = 60
+    S = (sp.random(n, n, density=0.08, random_state=rng).astype(np.complex128))
+    S.data = S.data + 1j * rng.randn(S.data.size)
+    S = S + sp.diags(np.full(n, 5.0 + 1.0j))
+    A = build(S.tocoo(), "csr")
+    b = (rng.randn(n) + 1j * rng.randn(n))
+    x, mon = gmres(A, b, restart=25, monitor=Monitor(b, 300, 1e-9))
+    assert mon.converged()
+    expect = spla.spsolve(S.tocsr(), b)
+    assert np.linalg.norm(np.asarray(x) - expect) / np.linalg.norm(expect) < 1e-6
