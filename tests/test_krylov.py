@@ -124,3 +124,13 @@ def test_gmres_complex():
     assert mon.converged()
     expect = spla.spsolve(S.tocsr(), b)
     assert np.linalg.norm(np.asarray(x) - expect) / np.linalg.norm(expect) < 1e-6
+
+
+def test_gmres_iteration_limit_mid_restart():
+    """The monitor's limit stops GMRES inside a restart cycle."""
+    A = _nonsym(100, seed=7)
+    b = np.ones(100)
+    x, mon = gmres(A, b, restart=40, monitor=Monitor(b, 7, 1e-12))
+    assert not mon.converged()
+    assert mon.iteration_count() >= 7
+    assert np.all(np.isfinite(np.asarray(x)))

@@ -106,3 +106,16 @@ def test_bfloat16_spmv():
         y = np.asarray(ct.multiply(A, x.astype(jnp.bfloat16)),
                        dtype=np.float32)
         np.testing.assert_allclose(y, S @ x, rtol=0.05, atol=0.05)
+
+
+def test_dia_many_diagonals_gather_fallback():
+    """More than _DIA_UNROLL_LIMIT diagonals takes the gather path."""
+    from cusp_autotuned_tpu import gallery
+    from cusp_autotuned_tpu.ops.multiply import _DIA_UNROLL_LIMIT
+    k = _DIA_UNROLL_LIMIT + 5
+    A = gallery.make_diagonal_symmetric_matrix(400, 400, 1, k)
+    assert A.num_diagonals > _DIA_UNROLL_LIMIT
+    x = np.random.RandomState(0).randn(400).astype(np.float32)
+    y = np.asarray(ct.multiply(A, x))
+    from cusp_autotuned_tpu.backend.reference import reference_spmv
+    np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
