@@ -60,18 +60,33 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
 
         @jax.jit
         def chain(x, *rest):
-            # damping keeps magnitudes bounded; the optimization barrier
-            # forces each iteration to materialize (no cross-iteration fusion)
+            # damping + mixing the ORIGINAL input back in each iteration:
+            # damping keeps magnitudes bounded, the x-mix keeps the output
+            # genuinely input-dependent (a pure contraction converges to an
+            # input-independent fixed point, which the relay detects and
+            # serves from its memo cache — reporting terabytes/s), and the
+            # optimization barrier forces each iteration to materialize
             def body(i, v):
                 return jax.lax.optimization_barrier(
-                    f(v, *rest) * 0.125 + 0.25)
+                    f(v, *rest) * 0.125 + x * 0.875)
             return jax.lax.fori_loop(0, reps, body, x)
 
+        # materially distinct input per outer repetition: the relay serves
+        # repeated requests from a cache keyed on a LOW-PRECISION value
+        # fingerprint (measured: a 2^-16 perturbation — invisible in bf16 —
+        # still hits the cache and reports terabytes/s), so scale by O(1)
+        # factors that survive any downcast
+        if jnp.issubdtype(x0.dtype, jnp.floating) or jnp.issubdtype(
+                x0.dtype, jnp.complexfloating):
+            xs = [jax.block_until_ready(x0 * (1.0 + (i + 1) * 0.37))
+                  for i in range(outer)]
+        else:
+            xs = [x0] * outer
         jax.block_until_ready(chain(x0, *rest))
         best = float("inf")
-        for _ in range(outer):
+        for i in range(outer):
             t0 = time.perf_counter()
-            jax.block_until_ready(chain(x0, *rest))
+            jax.block_until_ready(chain(xs[i], *rest))
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
@@ -98,7 +113,9 @@ def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
     a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
     f = jax.jit(lambda v: v * 1.0000001 + 0.125)
     t = time_fn(f, a)
-    return (a.size * 2 * 4) / t / 1e9
+    # the chained harness body is a triad (read v, read x, write v):
+    # 3 accesses x 4 bytes per element per iteration
+    return (a.size * 3 * 4) / t / 1e9
 
 
 def l2_error(y, expected) -> float:

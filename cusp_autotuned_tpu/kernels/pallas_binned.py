@@ -1,0 +1,282 @@
+"""Pallas TPU unstructured SpMV — lane-binned kernels.
+
+Rebuild target: the fork's nnz-balanced CSR kernel family
+(cusp/system/cuda/ktt/kernels/csr_kernel.h:160-372 — naive/warp/block/
+balanced rails) and the ahead-of-time worker→row partition
+(cusp/system/cuda/ktt/csr_multiply.h:38-61, cpu_compute_row_starts).
+
+TPU design (all planning ahead-of-time on host, like cpu_compute_row_starts,
+but the partition carries much more structure than a row split):
+
+`binned` (row-lane-binned; best for row-local patterns — stencils, FEM,
+banded after RCM):
+  Entries are cut, in CSR order, into blocks of (Bs, 128) slots.  An entry
+  with target row r occupies lane column r & 127 (fill order picks the
+  sublane), so the SCATTER is free: summing sublanes within each 128-row
+  group q lands every product on its output row — no one-hot matmuls, no
+  atomics, no segmented scan.  The GATHER decomposes each column index into
+  (chunk, lane): a static loop over the block's column window selects
+  broadcast x rows, and Mosaic's native in-lane take_along_axis resolves
+  the lane.  Blocks close when a lane fills, the row window (q bits) is
+  exceeded, or the column span exceeds the window.
+
+(The dual strategy for scattered patterns lives in pallas_colsort.py.)
+
+Rows with more entries than a lane can hold across reasonable blocks (hubs)
+are pre-spilled to an XLA segment-sum pass fused into the same jit.
+Patterns that cannot be planned raise FormatConversionException — the
+autotuner records those as skippable results (KTT ResultStatus semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusp_autotuned_tpu.utils.exceptions import (
+    FormatConversionException, NotImplementedException,
+)
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+
+MAX_X_VMEM_BYTES = 8 * 1024 * 1024
+# planned arrays ride the jit as embedded constants; the relay's compile
+# request rejects programs past ~64 MB, so guard well below it (skippable)
+MAX_PLAN_BYTES = 48 * 1024 * 1024
+# pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
+MAX_BLOCKS_FACTOR = 6
+
+
+def _host_coo(A):
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "binned kernels support real dtypes only")
+    row, col, val, shape = _coo_arrays(A)
+    if row.size == 0:
+        raise FormatConversionException("empty matrix — use the default path")
+    return (np.asarray(row, np.int64), np.asarray(col, np.int64),
+            np.asarray(val, np.float64), shape)
+
+
+def _spill_hubs(row, col, val, key, size, hub_cap):
+    """Split off entries whose bin key (row for `binned`, column for
+    `colsort`) has more than hub_cap entries: they share one lane column and
+    would force pathological tiny blocks."""
+    counts = np.bincount(key, minlength=size)
+    hub = counts[key] > hub_cap
+    keep = ~hub
+    return ((row[keep], col[keep], val[keep]),
+            (row[hub], col[hub], val[hub]))
+
+
+def _lane_fill(lanes):
+    """Per-entry fill order within its lane value (stable)."""
+    order = np.argsort(lanes, kind="stable")
+    sl = lanes[order]
+    grp = np.searchsorted(sl, np.arange(LANE))
+    fill_sorted = np.arange(lanes.shape[0]) - grp[sl]
+    fill = np.empty(lanes.shape[0], np.int64)
+    fill[order] = fill_sorted
+    return fill
+
+
+# -- row-lane-binned plan + kernel --------------------------------------------
+
+def plan_binned(row, col, val, shape, B, C, RW, hub_cap):
+    m, n = shape
+    Bs = B // LANE
+    RS = RW // LANE + 1          # +1 sublane for the 128-alignment remainder
+    CW = C // LANE
+    (row, col, val), spill = _spill_hubs(row, col, val, row, m, hub_cap)
+    nnz = row.shape[0]
+    if nnz == 0:
+        return None, None, None, None, None, spill, RS, CW
+    max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 1) + 16
+
+    blocks = []
+    i = 0
+    while i < nnz:
+        rb = int(row[i]) & ~(LANE - 1)
+        j = min(i + B, int(np.searchsorted(row, rb + RW)))
+        while j > i + 1:                       # column-span shrink
+            c0 = int(col[i:j].min()) >> 7
+            c1 = int(col[i:j].max()) >> 7
+            if c1 - c0 + 1 <= CW:
+                break
+            j = i + max(1, (j - i) * 3 // 4)
+        lanes = (row[i:j] & (LANE - 1)).astype(np.int64)
+        fill = _lane_fill(lanes)
+        over = np.nonzero(fill >= Bs)[0]
+        if over.size:                          # lane overflow closes the block
+            j = i + int(over[0])
+            lanes = lanes[: over[0]]
+            fill = fill[: over[0]]
+        k = slice(i, j)
+        cb = (int(col[k].min()) >> 7 << 7)
+        vals2d = np.zeros((Bs, LANE), np.float64)
+        packed = np.zeros((Bs, LANE), np.int64)
+        q = (row[k] - rb) >> 7
+        vals2d[fill, lanes] = val[k]
+        # packed: q in the top bits, col-relative (chunk<<7 | lane) below
+        packed[fill, lanes] = (q << 24) | (col[k] - cb)
+        span = (int(col[k].max()) >> 7) - (cb >> 7) + 1
+        blocks.append((vals2d, packed, rb // LANE, cb // LANE, span))
+        if len(blocks) > max_blocks:
+            raise FormatConversionException(
+                "pattern cannot be planned for the row-binned kernel")
+        i = j
+
+    vals = np.stack([b[0] for b in blocks]).astype(np.float32)
+    packs = np.stack([b[1] for b in blocks]).astype(np.int32)
+    rbs = np.array([b[2] for b in blocks], np.int32)
+    cbs = np.array([b[3] for b in blocks], np.int32)
+    spans = np.array([b[4] for b in blocks], np.int32)
+    return vals, packs, rbs, cbs, spans, spill, RS, CW
+
+
+def _binned_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
+                   *, Bs, RS, CW):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    packed = pack_ref[0]
+    vals = val_ref[0]
+    lane = jnp.bitwise_and(packed, jnp.int32(LANE - 1))
+    chunk = jnp.bitwise_and(jax.lax.shift_right_logical(packed, jnp.int32(7)),
+                            jnp.int32((1 << 17) - 1))
+    qv = jax.lax.shift_right_logical(packed, jnp.int32(24))
+    dtype = y_ref.dtype
+
+    # gather: static chunk passes over the column window (a static unrolled
+    # loop measures faster than a dynamic fori on the block's actual span)
+    xw = x_ref[pl.ds(cbs[g], CW), :]
+    xg = jnp.zeros((Bs, LANE), dtype)
+    for c in range(CW):
+        xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
+        t = jnp.take_along_axis(xrep, lane, axis=1)
+        xg = jnp.where(chunk == c, t, xg)
+    prod = vals * xg
+
+    # scatter: lane is row-pinned, so each 128-row group q is a masked
+    # sublane sum — no matmuls, no data movement
+    rb = rbs[g]
+    for q in range(RS):
+        part = jnp.sum(jnp.where(qv == q, prod, 0), axis=0)
+        y_ref[rb + q, :] = y_ref[rb + q, :] + part
+
+
+# -- shared builder -------------------------------------------------------------
+
+def _build(A, config, interpret):
+    B = int(config.get("block_entries", 4096))
+    if B % LANE != 0:
+        raise NotImplementedException("block_entries must be a multiple of 128")
+    Bs = B // LANE
+    RW = int(config.get("row_window", 512))
+    if RW % LANE != 0:
+        raise NotImplementedException("row_window must be a multiple of 128")
+    # a bin key (row for binned, column for colsort) with more entries than
+    # one lane column holds (Bs slots) would close blocks pathologically —
+    # spill it; a configured hub_cap is clamped to that capacity
+    hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
+    row, col, val, shape = _host_coo(A)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    C = int(config.get("col_window", 2048))
+    if C % LANE != 0:
+        raise NotImplementedException("col_window must be a multiple of 128")
+    vals, packs, rbs, cbs, spans, spill, RS, CW = plan_binned(
+        row, col, val, shape, B, C, RW, hub_cap)
+    kernel = functools.partial(_binned_kernel, Bs=Bs, RS=RS, CW=CW)
+    pad_cols = C + LANE
+
+    if vals is None:
+        # everything spilled: pure segment-sum path (row-sorted spill)
+        srow, scol, sval = spill
+        order = np.lexsort((scol, srow))
+        srow_d = jnp.asarray(srow[order].astype(np.int32))
+        scol_d = jnp.asarray(scol[order].astype(np.int32))
+        sval_d = jnp.asarray(sval[order].astype(dtype))
+
+        def spill_only(x):
+            if x.ndim != 1:
+                raise NotImplementedException("binned kernels are SpMV-only")
+            return jax.ops.segment_sum(sval_d * x[scol_d], srow_d,
+                                       num_segments=m,
+                                       indices_are_sorted=True)
+        return spill_only
+
+    nb = vals.shape[0]
+    if vals.nbytes + packs.nbytes > MAX_PLAN_BYTES:
+        raise NotImplementedException(
+            "planned arrays exceed the compile-request budget")
+    m_pad = round_up(m, LANE) + RS * LANE
+    rows_sub = m_pad // LANE
+    n_pad = round_up(n, LANE) + pad_cols
+    x_rows = n_pad // LANE
+    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES:
+        raise NotImplementedException(
+            "x too large for the VMEM-resident binned kernel")
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x (fully resident)
+                pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM),   # vals (streamed)
+                pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM),   # packed (streamed)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nb * Bs * LANE,
+            bytes_accessed=(2 * nb * Bs * LANE + x_rows * LANE
+                            + rows_sub * LANE) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    vals_d = jnp.asarray(vals.astype(dtype))
+    packs_d = jnp.asarray(packs)
+    rbs_d, cbs_d, spans_d = map(jnp.asarray, (rbs, cbs, spans))
+
+    srow, scol, sval = spill
+    has_spill = srow.size > 0
+    if has_spill:
+        srow_d = jnp.asarray(srow.astype(np.int32))
+        scol_d = jnp.asarray(scol.astype(np.int32))
+        sval_d = jnp.asarray(sval.astype(dtype))
+
+    def fn(x):
+        if x.ndim != 1:
+            raise NotImplementedException("binned kernels are SpMV-only")
+        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        y2 = call(rbs_d, cbs_d, spans_d, x2, vals_d, packs_d)
+        y = y2.reshape(m_pad)[:m]
+        if has_spill:
+            y = y + jax.ops.segment_sum(sval_d * x[scol_d], srow_d,
+                                        num_segments=m,
+                                        indices_are_sorted=True)
+        return y
+
+    return fn
+
+
+def build_binned(A, config, interpret: bool = False):
+    """Row-lane-binned SpMV (scatter-free); see module docstring."""
+    return _build(A, config, interpret)

@@ -1,0 +1,370 @@
+"""Pallas TPU SpMV for scattered patterns (power-law graphs, webbase/LP).
+
+Rebuild target: the fork's COO strategy family
+(cusp/system/cuda/ktt/kernels/coo_kernel.h:64-369 — warp-scan segmented
+reduce / shared-memory row-boundary variants) which exists because scattered
+matrices defeat the row-partitioned CSR kernels.
+
+TPU design — everything irregular is resolved at PLAN TIME on the host;
+the kernels contain no atomics, no segmented scans, and no one-hot matmuls:
+
+`main` pass (rows with <= lane-capacity entries):
+  Entries are bucketed by row window and column-sorted inside.  A slot
+  (sublane s, lane j) holds an entry whose COLUMN lane is j — the gather is
+  a native in-lane take_along (tpu.dynamic_gather) of a transposed column
+  window.  Within each sublane, at most one entry per target ROW lane, so
+  the scatter is ONE take_along with a plan-computed permutation followed
+  by masked per-q sublane sums.
+
+`hub` pass (heavy rows):
+  Hub rows are grouped NR at a time; each group's entries are column-sorted
+  together, so blocks stay inside a narrow column window.  The kernel emits
+  per-block (NR, 128) lane partials; XLA reduces lanes and scatter-adds the
+  nb*NR row totals — tiny compared to the entry stream.
+
+Patterns that cannot be planned raise FormatConversionException (skippable
+autotuner results, KTT ResultStatus semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusp_autotuned_tpu.utils.exceptions import (
+    FormatConversionException, NotImplementedException,
+)
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+
+MAX_X_VMEM_BYTES = 8 * 1024 * 1024
+# planned arrays ride the jit as embedded constants; the relay's compile
+# request rejects programs past ~64 MB, so guard well below it (skippable)
+MAX_PLAN_BYTES = 48 * 1024 * 1024
+MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
+NR = 16                    # distinct rows per hub block
+
+
+def _plan_main(row, col, val, shape, B, RW, CW):
+    """Blocks of (Bs, 128) slots; slot lane = column lane; per sublane at
+    most one entry per target row lane.  Unplaceable entries roll to the
+    next block through a pool."""
+    m, n = shape
+    Bs = B // LANE
+    RS = RW // LANE + 1
+    nnz = row.shape[0]
+    bucket = row // RW
+    order = np.lexsort((col, bucket))
+    row, col, val = row[order], col[order], val[order]
+    bucket = bucket[order]
+    cl = (col & (LANE - 1)).astype(np.int64)
+    rl = (row & (LANE - 1)).astype(np.int64)
+    max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 2)
+
+    pool = np.arange(nnz)
+    blocks = []
+    while pool.size:
+        if len(blocks) > max_blocks:
+            raise FormatConversionException(
+                "pattern cannot be planned for the colsort kernel")
+        b = bucket[pool[0]]
+        cb = int(col[pool[0]]) >> 7 << 7
+        lim = np.searchsorted(bucket[pool], b + 1)
+        lim = min(lim, int(np.searchsorted(col[pool[:lim]], cb + CW * LANE)))
+        lim = min(lim, 4 * B)
+        cand = pool[:lim]
+        rb = int(b) * RW & ~(LANE - 1)
+
+        vals2d = np.zeros((Bs, LANE), np.float64)
+        chunk2d = np.zeros((Bs, LANE), np.int64)
+        pq2d = np.zeros((Bs, LANE), np.int64)     # (q<<7 | perm), rl layout
+        used_rl = np.zeros((Bs, LANE), bool)
+        placed = np.zeros(cand.size, bool)
+        remaining = np.arange(cand.size)
+        for s in range(Bs):
+            if remaining.size == 0:
+                break
+            e = cand[remaining]
+            _, i1 = np.unique(cl[e], return_index=True)      # pos in remaining
+            _, i2 = np.unique(rl[e[i1]], return_index=True)  # pos in i1
+            chosen = i1[i2]
+            ce = cand[remaining[chosen]]
+            lanes = cl[ce]
+            rls = rl[ce]
+            vals2d[s, lanes] = val[ce]
+            chunk2d[s, lanes] = (col[ce] >> 7) - (cb >> 7)
+            pq2d[s, rls] = (((row[ce] - rb) >> 7) << 7) | lanes
+            used_rl[s, rls] = True
+            placed[remaining[chosen]] = True
+            mask = np.ones(remaining.size, bool)
+            mask[chosen] = False
+            remaining = remaining[mask]
+        # unused row-lanes point at val-0 column lanes (each placed entry
+        # consumes one lane AND one row-lane, so spares always pair up)
+        for s in range(Bs):
+            unused_r = np.nonzero(~used_rl[s])[0]
+            free_c = np.nonzero(vals2d[s] == 0)[0]
+            pq2d[s, unused_r] = free_c[: unused_r.size]
+        blocks.append((vals2d, chunk2d, pq2d, rb // LANE, cb // LANE))
+        pool = pool[~np.isin(pool, cand[placed], assume_unique=True)]
+
+    vals = np.stack([b[0] for b in blocks]).astype(np.float32)
+    chunks = np.stack([b[1] for b in blocks]).astype(np.int32)
+    pqs = np.stack([b[2] for b in blocks]).astype(np.int32)
+    rbs = np.array([b[3] for b in blocks], np.int32)
+    cbs = np.array([b[4] for b in blocks], np.int32)
+    return vals, chunks, pqs, rbs, cbs, RS
+
+
+def _main_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
+                 *, Bs, RS, CW):
+    W = CW // LANE
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    vals = val_ref[0]
+    chunk = chunk_ref[0]
+    pq = pq_ref[0]
+    perm = jnp.bitwise_and(pq, jnp.int32(LANE - 1))
+    qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
+    dtype = y_ref.dtype
+
+    # gather: transpose the column window once, then one native in-lane
+    # take per 128-chunk group
+    xw = x_ref[pl.ds(cbs[g], CW), :]
+    xt = jnp.swapaxes(xw, 0, 1)                       # (128, CW)
+    cht = jnp.swapaxes(chunk, 0, 1)                   # (128, Bs)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    gt = jnp.zeros((LANE, LANE), dtype)
+    for w in range(W):
+        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+    xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
+    prod = vals * xg
+
+    # scatter: one permutation take into row-lane layout, then masked
+    # per-q sublane sums
+    pr = jnp.take_along_axis(prod, perm, axis=1)
+    rb = rbs[g]
+    for q in range(RS):
+        part = jnp.sum(jnp.where(qv == q, pr, 0), axis=0)
+        y_ref[rb + q, :] = y_ref[rb + q, :] + part
+
+
+def _plan_hub(row, col, val, shape, B, CW):
+    """Hub rows grouped NR at a time; group entries column-sorted so blocks
+    keep a narrow column window.  Slot lane = column lane."""
+    m, n = shape
+    Bs = B // LANE
+    urows_all, inv = np.unique(row, return_inverse=True)
+    gid = inv // NR
+    order = np.lexsort((col, gid))
+    row, col, val, gid = row[order], col[order], val[order], gid[order]
+    nnz = row.shape[0]
+    cl = (col & (LANE - 1)).astype(np.int64)
+    max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 2)
+
+    blocks = []
+    i = 0
+    while i < nnz:
+        if len(blocks) > max_blocks:
+            raise FormatConversionException(
+                "pattern cannot be planned for the colsort hub pass")
+        gset = int(gid[i])
+        j = min(i + B, int(np.searchsorted(gid, gset + 1)))
+        cb = int(col[i]) >> 7 << 7
+        j = i + int(np.searchsorted(col[i:j], cb + CW * LANE))
+        lanes = cl[i:j]
+        o2 = np.argsort(lanes, kind="stable")
+        sl = lanes[o2]
+        grp = np.searchsorted(sl, np.arange(LANE))
+        fill = np.empty(j - i, np.int64)
+        fill[o2] = np.arange(j - i) - grp[sl]
+        over = np.nonzero(fill >= Bs)[0]
+        if over.size:
+            j = i + int(over[0])
+            lanes = lanes[: over[0]]
+            fill = fill[: over[0]]
+        k = slice(i, j)
+        urows = urows_all[gset * NR:(gset + 1) * NR]
+        rid = np.searchsorted(urows, row[k])
+        vals2d = np.zeros((Bs, LANE), np.float64)
+        packed = np.zeros((Bs, LANE), np.int64)
+        vals2d[fill, lanes] = val[k]
+        packed[fill, lanes] = (rid << 12) | ((col[k] >> 7) - (cb >> 7))
+        rows_blk = np.full(LANE, m, np.int64)     # pad ids dropped on add
+        rows_blk[: urows.size] = urows
+        blocks.append((vals2d, packed, cb // LANE, rows_blk))
+        i = j
+
+    nb = len(blocks)
+    nb_pad = (nb + 7) // 8 * 8
+    vals = np.zeros((nb_pad, Bs, LANE), np.float32)
+    packs = np.zeros((nb_pad, Bs, LANE), np.int32)
+    cbs = np.zeros(nb_pad, np.int32)
+    rows = np.full((nb_pad, LANE), m, np.int64)
+    for g, (v2, p2, cb_s, rows_blk) in enumerate(blocks):
+        vals[g] = v2
+        packs[g] = p2
+        cbs[g] = cb_s
+        rows[g] = rows_blk
+    return vals, packs, cbs, rows
+
+
+def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW):
+    W = CW // LANE
+    g = pl.program_id(0)
+    vals = val_ref[0]
+    packed = pack_ref[0]
+    chunk = jnp.bitwise_and(packed, jnp.int32((1 << 12) - 1))
+    rid = jax.lax.shift_right_logical(packed, jnp.int32(12))
+    dtype = out_ref.dtype
+
+    xw = x_ref[pl.ds(cbs[g], CW), :]
+    xt = jnp.swapaxes(xw, 0, 1)
+    cht = jnp.swapaxes(chunk, 0, 1)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    gt = jnp.zeros((LANE, LANE), dtype)
+    for w in range(W):
+        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+    prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+
+    # per-row lane partials; the lane reduction + scatter happen in XLA
+    rows = []
+    for k in range(NR):
+        rows.append(jnp.sum(jnp.where(rid == k, prod, 0), axis=0)[None, :])
+    out_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+def build_colsort(A, config, interpret: bool = False):
+    """Column-sorted lane-binned SpMV; see module docstring."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "colsort kernel supports real dtypes only")
+    row, col, val, shape = _coo_arrays(A)
+    if row.size == 0:
+        raise FormatConversionException("empty matrix — use the default path")
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float64)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    B = int(config.get("block_entries", 4096))
+    RW = int(config.get("row_window", 2048))
+    # the column window is a whole number of 128-chunk take groups
+    W = max(1, -(-int(config.get("col_window", 16384)) // (LANE * LANE)))
+    CW = W * LANE
+    if B % LANE != 0 or RW % LANE != 0:
+        raise NotImplementedException(
+            "block_entries/row_window must be multiples of 128")
+    Bs = B // LANE
+    hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
+
+    n_pad = round_up(n, LANE) + (CW + 1) * LANE
+    x_rows = n_pad // LANE
+    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES:
+        raise NotImplementedException(
+            "x too large for the VMEM-resident colsort kernel")
+
+    counts = np.bincount(row, minlength=m)
+    hub = counts[row] > hub_cap
+
+    parts = []       # callables composed into one traced fn
+
+    if (~hub).any():
+        vals_, chunks_, pqs_, rbs_, cbs_, RS = _plan_main(
+            row[~hub], col[~hub], val[~hub], shape, B, RW, CW)
+        nb = vals_.shape[0]
+        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > MAX_PLAN_BYTES:
+            raise NotImplementedException(
+                "planned arrays exceed the compile-request budget")
+        m_pad = round_up(m, LANE) + RS * LANE
+        rows_sub = m_pad // LANE
+        kern = functools.partial(_main_kernel, Bs=Bs, RS=RS, CW=CW)
+        call = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(nb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 3,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb * Bs * LANE,
+                bytes_accessed=(3 * nb * Bs * LANE + x_rows * LANE
+                                + rows_sub * LANE) * dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret)
+        md = (jnp.asarray(vals_.astype(dtype)), jnp.asarray(chunks_),
+              jnp.asarray(pqs_), jnp.asarray(rbs_), jnp.asarray(cbs_))
+
+        def main_part(x2, md=md, call=call, m_pad=m_pad):
+            v, c, p, rbs_d, cbs_d = md
+            return call(rbs_d, cbs_d, x2, v, c, p).reshape(m_pad)[:m]
+        parts.append(main_part)
+
+    if hub.any():
+        hvals, hpacks, hcbs, hrows = _plan_hub(
+            row[hub], col[hub], val[hub], shape, B, CW)
+        nb_pad = hvals.shape[0]
+        if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES:
+            raise NotImplementedException(
+                "planned arrays exceed the compile-request budget")
+        kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW)
+        call = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nb_pad,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((1, NR, LANE), lambda g, *_: (g, 0, 0),
+                                       memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, NR, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb_pad * Bs * LANE,
+                bytes_accessed=(2 * nb_pad * Bs * LANE + x_rows * LANE)
+                * dtype.itemsize,
+                transcendentals=0),
+            interpret=interpret)
+        hd = (jnp.asarray(hvals.astype(dtype)), jnp.asarray(hpacks),
+              jnp.asarray(hcbs),
+              jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
+
+        def hub_part(x2, hd=hd, call=call):
+            v, p, cbs_d, rows_flat = hd
+            partials = call(cbs_d, x2, v, p)          # (nb, NR, 128)
+            totals = jnp.sum(partials, axis=2).reshape(-1)
+            return jnp.zeros(m, v.dtype).at[rows_flat].add(
+                totals, mode="drop")
+        parts.append(hub_part)
+
+    def fn(x):
+        if x.ndim != 1:
+            raise NotImplementedException("colsort kernel is SpMV-only")
+        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        y = parts[0](x2)
+        for p in parts[1:]:
+            y = y + p(x2)
+        return y
+
+    return fn

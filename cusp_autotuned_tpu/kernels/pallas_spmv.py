@@ -25,3 +25,13 @@ def build(format_name, A, config):
         return build_csr_onehot(A, config, interpret=_interpret())
     raise NotImplementedException(
         f"pallas kernel for {format_name} not yet available")
+
+
+def build_binned(A, config):
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned as bb
+    return bb(A, config, interpret=_interpret())
+
+
+def build_colsort(A, config):
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort as bc
+    return bc(A, config, interpret=_interpret())

@@ -83,6 +83,18 @@ def _build_pallas(format_name):
     return build
 
 
+def _build_binned(A, config):
+    """Row-lane-binned Pallas kernel (scatter-free unstructured SpMV)."""
+    from cusp_autotuned_tpu.kernels import pallas_spmv
+    return pallas_spmv.build_binned(A, config)
+
+
+def _build_colsort(A, config):
+    """Column-lane-binned Pallas kernel (gather-free; scattered patterns)."""
+    from cusp_autotuned_tpu.kernels import pallas_spmv
+    return pallas_spmv.build_colsort(A, config)
+
+
 def _build_ellr_rowlen(A, config):
     """ELLR-semantics SpMV: mask slots by row_lengths instead of the -1
     sentinel (the fork's ELLR=1 kernel rail, kernels/ell_kernel.h:86-213)."""
@@ -151,6 +163,8 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("ell"),
+        "binned": _build_binned,
+        "colsort": _build_colsort,
     },
     "ellr": {
         "gather": _build_ell_gather,
@@ -158,22 +172,30 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("ellr"),
+        "binned": _build_binned,
+        "colsort": _build_colsort,
     },
     "csr": {
         "segsum": _build_csr_segsum,
         "via_dia": _build_via_dia,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("csr"),
+        "binned": _build_binned,
+        "colsort": _build_colsort,
     },
     "coo": {
         "segsum": _build_coo_segsum,
         "via_dia": _build_via_dia,
         "pallas": _build_pallas("coo"),
+        "binned": _build_binned,
+        "colsort": _build_colsort,
     },
     "hyb": {
         "default": _build_hyb,
         "pallas": _build_pallas("hyb"),
         "via_dia": _build_via_dia,
+        "binned": _build_binned,
+        "colsort": _build_colsort,
     },
 }
 
@@ -212,36 +234,48 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, b: (b > 0) == (i == "pallas"))
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
-            "ell": ("gather", "via_dia", "rcm_dia", "pallas"),
-            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia", "pallas"),
-            "csr": ("segsum", "via_dia", "rcm_dia", "pallas"),
-            "coo": ("segsum", "via_dia", "pallas"),
+            "ell": ("gather", "via_dia", "rcm_dia", "pallas", "binned",
+                    "colsort"),
+            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia", "pallas",
+                     "binned", "colsort"),
+            "csr": ("segsum", "via_dia", "rcm_dia", "pallas", "binned",
+                    "colsort"),
+            "coo": ("segsum", "via_dia", "pallas", "binned", "colsort"),
         }[fmt]
         space.add_parameter("impl", impls)
         space.add_parameter("dia_impl", ("none", "slices", "pallas"))
         space.add_parameter("block_rows", (0, 2048, 8192))
-        # one-hot kernel meta-parameters (impl == "pallas" only)
+        # Pallas kernel meta-parameters (impl in pallas/binned/colsort):
+        # block_entries = entries per grid step, col_window = resident x
+        # window (one-hot + binned), row_window = scatter window (binned +
+        # colsort)
         space.add_parameter("block_entries", (0, 2048, 4096))
         space.add_parameter("col_window", (0, 2048, 8192))
+        space.add_parameter("row_window", (0, 512, 2048))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
         space.add_constraint(("dia_impl", "block_rows"),
                              lambda d, b: (b > 0) == (d == "pallas"))
         space.add_constraint(("impl", "block_entries"),
-                             lambda i, b: (b > 0) == (i == "pallas"))
+                             lambda i, b: (b > 0) == (i in ("pallas", "binned", "colsort")))
         space.add_constraint(("impl", "col_window"),
-                             lambda i, c: (c > 0) == (i == "pallas"))
+                             lambda i, c: (c > 0) == (i in ("pallas", "binned", "colsort")))
+        space.add_constraint(("impl", "row_window"),
+                             lambda i, r: (r > 0) == (i in ("binned", "colsort")))
     elif fmt == "hyb":
-        space.add_parameter("impl", ("default", "via_dia", "pallas"))
+        space.add_parameter("impl", ("default", "via_dia", "pallas", "binned"))
         space.add_parameter("dia_impl", ("none", "slices"))
         space.add_parameter("block_entries", (0, 2048))
         space.add_parameter("col_window", (0, 4096))
+        space.add_parameter("row_window", (0, 512))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i != "via_dia"))
         space.add_constraint(("impl", "block_entries"),
-                             lambda i, b: (b > 0) == (i == "pallas"))
+                             lambda i, b: (b > 0) == (i in ("pallas", "binned")))
         space.add_constraint(("impl", "col_window"),
-                             lambda i, c: (c > 0) == (i == "pallas"))
+                             lambda i, c: (c > 0) == (i in ("pallas", "binned")))
+        space.add_constraint(("impl", "row_window"),
+                             lambda i, r: (r > 0) == (i == "binned"))
     else:
         raise NotImplementedException(f"no tuning space for format {fmt!r}")
     return space

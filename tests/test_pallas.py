@@ -114,3 +114,81 @@ def test_onehot_wide_scatter_pattern_is_skippable():
     with _pytest.raises(FormatConversionException):
         build_csr_onehot(A, {"block_entries": 512, "col_window": 512},
                          interpret=True)
+
+
+# -- lane-binned kernels (binned / colsort) -----------------------------------
+
+def _check_binned(S, builder_name, fmt="csr", **cfg):
+    from cusp_autotuned_tpu.kernels import pallas_binned, pallas_colsort
+    A = from_scipy(S.tocoo(), fmt)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(A.num_cols).astype(np.float32))
+    mod = pallas_binned if builder_name == "build_binned" else pallas_colsort
+    build = getattr(mod, builder_name)
+    fn = build(A, cfg, interpret=True)
+    y = np.asarray(jax.jit(fn)(x))
+    ref = reference_spmv(A, np.asarray(x))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def _powerlaw(n, nnz, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    deg = np.minimum(rng.zipf(1.7, n).astype(np.int64), n // 2)
+    deg = np.maximum(deg * nnz // max(1, deg.sum()), 1)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.size)
+    return sp.coo_matrix(
+        (rng.standard_normal(rows.size), (rows, cols)), shape=(n, n)).tocsr()
+
+
+@pytest.mark.parametrize("builder", ["build_binned", "build_colsort"])
+def test_binned_poisson9(builder):
+    _check_binned(gallery.poisson9pt(35, 35, format="csr").to_scipy(),
+                  builder, block_entries=2048, col_window=1024,
+                  row_window=256)
+
+
+@pytest.mark.parametrize("builder", ["build_binned", "build_colsort"])
+def test_binned_random(builder):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(11)
+    S = sp.random(600, 600, density=0.01, random_state=rng).tocsr() + sp.eye(600)
+    _check_binned(S, builder, block_entries=512, col_window=1024,
+                  row_window=256)
+
+
+@pytest.mark.parametrize("builder", ["build_binned", "build_colsort"])
+def test_binned_powerlaw_hub_spill(builder):
+    # hub rows exceed the lane capacity and must route through the
+    # segment-sum spill path
+    S = _powerlaw(800, 8000, seed=3)
+    _check_binned(S, builder, block_entries=512, col_window=2048,
+                  row_window=256, hub_cap=8)
+
+
+@pytest.mark.parametrize("builder", ["build_binned", "build_colsort"])
+def test_binned_rectangular(builder):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(13)
+    S = sp.random(300, 900, density=0.01, random_state=rng).tocsr()
+    _check_binned(S, builder, block_entries=512, col_window=1024,
+                  row_window=256)
+
+
+@pytest.mark.parametrize("fmt", ["coo", "ell", "hyb"])
+def test_binned_other_formats(fmt):
+    import scipy.sparse as sp
+    S = sp.diags([np.ones(499), 2 * np.ones(500), 3 * np.ones(499)],
+                 [-1, 0, 1]).tocsr()
+    _check_binned(S, "build_binned", fmt=fmt, block_entries=512,
+                  col_window=1024, row_window=128)
+
+
+def test_binned_single_dense_row():
+    import scipy.sparse as sp
+    # one row holding everything: all entries hub-spill
+    S = sp.coo_matrix((np.ones(500), (np.zeros(500, int), np.arange(500))),
+                      shape=(500, 500)).tocsr() + sp.eye(500)
+    _check_binned(S, "build_binned", block_entries=512, col_window=1024,
+                  row_window=128, hub_cap=16)
