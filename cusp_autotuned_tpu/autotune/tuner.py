@@ -86,12 +86,16 @@ def _content_digest(A) -> str:
     return h.hexdigest()[:16]
 
 
-def matrix_signature(A) -> str:
+def matrix_signature(A, x=None) -> str:
     """Cache key: format + static layout + dtype + device kind + a content
     fingerprint (compiled kernels bake the matrix data in, so structurally
-    identical matrices with different entries must key separately)."""
+    identical matrices with different entries must key separately).  A 2-D
+    right-hand side (SpMM) keys separately per k — the best kernel for a
+    vector is rarely the best for a block of k vectors."""
     dev = jax.devices()[0].device_kind.replace(" ", "_")
     parts = [A.format, f"{A.shape[0]}x{A.shape[1]}", f"dtype={A.dtype}"]
+    if x is not None and getattr(x, "ndim", 1) == 2:
+        parts.append(f"k={x.shape[1]}")
     if A.format in ("coo", "csr"):
         parts.append(f"nnzp={A.nnz_padded}")
     elif A.format == "dia":
@@ -148,9 +152,9 @@ class Tuner:
 
     # -- compilation + execution ---------------------------------------------
 
-    def _get_fn(self, A, config: Dict[str, Any]):
+    def _get_fn(self, A, config: Dict[str, Any], x=None):
         from cusp_autotuned_tpu.kernels.variants import build_spmv
-        key = (matrix_signature(A), config_key(config))
+        key = (matrix_signature(A, x), config_key(config))
         fn = self._compiled.get(key)
         if fn is None:
             fn = jax.jit(build_spmv(A, config))
@@ -162,7 +166,7 @@ class Tuner:
         statuses (parity: KTT ResultStatus semantics)."""
         t0 = time.perf_counter()
         try:
-            fn = self._get_fn(A, config)
+            fn = self._get_fn(A, config, x)
             y = jax.block_until_ready(fn(x))
         except Exception as e:  # noqa: BLE001 — any compile/run error is a skippable result
             from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
@@ -202,15 +206,23 @@ class Tuner:
 
             @jax.jit
             def chain(v):
+                # damping + mixing the original input back in each iteration:
+                # a pure contraction converges to an input-independent fixed
+                # point, which the relay detects and serves from its memo
+                # cache (reporting nonsense timings)
                 def body(i, u):
-                    return jax.lax.optimization_barrier(fn(u) * 0.125 + 0.25)
+                    return jax.lax.optimization_barrier(
+                        fn(u) * 0.125 + v * 0.875)
                 return jax.lax.fori_loop(0, reps, body, v)
 
             jax.block_until_ready(chain(x))
             best = float("inf")
-            for _ in range(2):
+            for i in range(2):
+                # materially distinct input per repetition — the relay's
+                # request cache keys on a LOW-precision value fingerprint
+                xi = jax.block_until_ready(x * (1.0 + (i + 1) * 0.37))
                 t0 = time.perf_counter()
-                jax.block_until_ready(chain(x))
+                jax.block_until_ready(chain(xi))
                 best = min(best, (time.perf_counter() - t0) / reps * 1e3)
             return best
 
@@ -230,7 +242,7 @@ class Tuner:
         """Run the next untried configuration (or the known best once
         exhausted) and return y = A @ x."""
         from cusp_autotuned_tpu.autotune.space import configurations_for
-        sig = matrix_signature(A)
+        sig = matrix_signature(A, x)
         fast = self._best_fn.get(sig)
         if fast is not None:
             return fast(x)
@@ -241,17 +253,17 @@ class Tuner:
                 result = self._execute(A, x, config)
                 store[ck] = result
                 if result.is_valid():
-                    return self._get_fn(A, config)(x)
+                    return self._get_fn(A, config, x)(x)
                 # failed config: fall through to the default implementation
                 from cusp_autotuned_tpu.kernels.variants import default_config
-                return self._get_fn(A, default_config(A))(x)
-        best_fn = self._get_fn(A, self.best_configuration(A))
+                return self._get_fn(A, default_config(A), x)(x)
+        best_fn = self._get_fn(A, self.best_configuration(A, x), x)
         self._best_fn[sig] = best_fn
         return best_fn(x)
 
     def run(self, A, x, configuration: Dict[str, Any]):
         """y = A @ x with a fixed configuration."""
-        return self._get_fn(A, configuration)(x)
+        return self._get_fn(A, configuration, x)(x)
 
     def tune(self, A, x, reference_computation=None,
              searcher: Optional[Searcher] = None,
@@ -271,7 +283,7 @@ class Tuner:
                 err = np.linalg.norm(np.asarray(y, dtype=np.float64) - expected)
                 return err / scale <= tol
 
-        sig = matrix_signature(A)
+        sig = matrix_signature(A, x)
         store = self.results.setdefault(sig, {})
         out: List[TuningResult] = []
         if stop_condition is not None:
@@ -292,8 +304,8 @@ class Tuner:
         self.save()
         return out
 
-    def best_configuration(self, A) -> Dict[str, Any]:
-        sig = matrix_signature(A)
+    def best_configuration(self, A, x=None) -> Dict[str, Any]:
+        sig = matrix_signature(A, x)
         store = self.results.get(sig, {})
         ok = [r for r in store.values() if r.is_valid()]
         if not ok:

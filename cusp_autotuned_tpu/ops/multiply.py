@@ -134,7 +134,8 @@ def multiply(A, B, *, use_autotuning: bool | None = None):
         if B.shape[0] != A.num_cols:
             raise InvalidInputException(
                 f"dimension mismatch: {A.shape} @ {B.shape}")
-        if use_autotuning is not False and _is_concrete(A, B) and B.ndim == 1:
+        if use_autotuning is not False and _is_concrete(A, B) \
+                and B.ndim in (1, 2):
             from cusp_autotuned_tpu import autotune
             if autotune.is_enabled() and A.format in autotune.TUNABLE_FORMATS:
                 return autotune.multiply(A, B)

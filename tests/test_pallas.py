@@ -192,3 +192,47 @@ def test_binned_single_dense_row():
                       shape=(500, 500)).tocsr() + sp.eye(500)
     _check_binned(S, "build_binned", block_entries=512, col_window=1024,
                   row_window=128, hub_cap=16)
+
+
+# -- DIA SpMM (block right-hand sides) ----------------------------------------
+
+@pytest.mark.parametrize("k", [3, 32, 130])
+def test_dia_spmm(k):
+    A = gallery.poisson5pt(40, 45, format="dia", dtype=np.float32)
+    rng = np.random.RandomState(17)
+    X = jnp.asarray(rng.randn(A.num_cols, k).astype(np.float32))
+    fn = build_dia(A, {"block_rows": 1024}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    ref = to_scipy(A).astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dia_spmm_rectangular():
+    import scipy.sparse as sp
+    S = sp.diags([np.ones(300), 2 * np.ones(300), 3 * np.ones(200)],
+                 [0, 150, 320], shape=(300, 520)).tocoo()
+    A = from_scipy(S, "dia")
+    rng = np.random.RandomState(19)
+    X = jnp.asarray(rng.randn(520, 16).astype(np.float32))
+    fn = build_dia(A, {"block_rows": 1024}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = S.astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tuner_spmm_signature_and_iteration():
+    """SpMM routes through the tuner with a per-k signature; SpMV-only
+    variants become skippable results rather than errors."""
+    from cusp_autotuned_tpu.autotune.tuner import Tuner, matrix_signature
+    A = gallery.poisson5pt(20, 20, format="dia", dtype=np.float32)
+    x1 = np.ones(A.num_cols, np.float32)
+    x2 = np.ones((A.num_cols, 8), np.float32)
+    assert matrix_signature(A, x1) != matrix_signature(A, x2)
+    t = Tuner()
+    from cusp_autotuned_tpu.backend.reference import reference_spmv
+    results = t.tune(A, x2, reference_computation=reference_spmv)
+    assert any(r.is_valid() for r in results)
+    y = t.tune_iteration(A, x2)
+    ref = reference_spmv(A, x2)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
