@@ -32,11 +32,15 @@ from cusp_autotuned_tpu.utils.padding import LANE, round_up
 MAX_WORKSPACE = 16 << 20
 
 
-@partial(jax.jit, static_argnames=("E", "E_pad", "num_rows"))
+@partial(jax.jit, static_argnames=("E", "E_pad", "num_rows", "combine",
+                                   "reduce"))
 def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
-                E, E_pad, num_rows):
-    """Expand-sort-compress one slice.  Returns (rows, cols, vals, seg_id)
-    with duplicates merged into the first slot of each (row, col) segment."""
+                E, E_pad, num_rows, combine=None, reduce=None):
+    """Expand-sort-compress one slice, parameterized by the semiring
+    (parity: cusp/detail/multiply.inl:114-151 — generalized_spgemm runs the
+    same device path as plain SpGEMM with combine/reduce plugged in).
+    Returns (rows, cols, vals, nseg) with duplicates merged into the first
+    slot of each (row, col) segment."""
     e = jnp.arange(E_pad, dtype=jnp.int32)
     k = jnp.searchsorted(exp_offsets, e, side="right").astype(jnp.int32) - 1
     k = jnp.clip(k, 0, a_row.shape[0] - 1)
@@ -46,23 +50,47 @@ def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
     valid = e < E
     crow = jnp.where(valid, a_row[k], num_rows).astype(jnp.int32)
     ccol = jnp.where(valid, b_col[bidx], 0).astype(jnp.int32)
-    cval = jnp.where(valid, a_val[k] * b_val[bidx], 0)
+    raw = (a_val[k] * b_val[bidx] if combine is None
+           else combine(a_val[k], b_val[bidx]))
+    cval = jnp.where(valid, raw, 0)
     crow, ccol, cval = jax.lax.sort((crow, ccol, cval), num_keys=2)
     # compress duplicates into segments
     prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), crow[:-1]])
     prev_c = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ccol[:-1]])
     new_seg = (crow != prev_r) | (ccol != prev_c)
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    vals = jax.ops.segment_sum(cval, seg_id, num_segments=E_pad,
-                               indices_are_sorted=True)
+    if reduce is None:
+        vals = jax.ops.segment_sum(cval, seg_id, num_segments=E_pad,
+                                   indices_are_sorted=True)
+    else:
+        from cusp_autotuned_tpu.ops.segment import segment_reduce
+        vals, _ = segment_reduce(cval, seg_id, E_pad, reduce)
     rows = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(crow)
     cols = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(ccol)
     nseg = seg_id[-1] + 1
     return rows, cols, vals, nseg
 
 
+_BUILTIN_OPS = {}
+
+
+def _normalize_op(fn):
+    """Map Python builtins/operators to their jnp equivalents so the same
+    semiring call works on host scalars and on device tracers."""
+    import operator
+    if not _BUILTIN_OPS:
+        _BUILTIN_OPS.update({
+            min: jnp.minimum, max: jnp.maximum,
+            operator.add: jnp.add, operator.mul: jnp.multiply,
+            operator.sub: jnp.subtract,
+        })
+    return _BUILTIN_OPS.get(fn, fn)
+
+
 def spgemm(A, B, initialize=None, combine=None, reduce=None):
     """C = A @ B (or the semiring generalization when combine/reduce given)."""
+    combine = _normalize_op(combine) if combine is not None else None
+    reduce = _normalize_op(reduce) if reduce is not None else None
     if A.num_cols != B.num_rows:
         raise InvalidInputException(f"dimension mismatch: {A.shape} @ {B.shape}")
     out_fmt = getattr(A, "format", "coo")
@@ -74,11 +102,6 @@ def spgemm(A, B, initialize=None, combine=None, reduce=None):
     n = B.num_cols
     b_indptr = np.asarray(Bc.indptr)
     b_len = np.diff(b_indptr)
-
-    generic = combine is not None or reduce is not None
-    if generic:
-        return _spgemm_generic_host(a_row, a_col, a_val, Bc, (m, n),
-                                    initialize, combine, reduce, out_fmt)
 
     exp_len = b_len[a_col] if a_col.size else np.zeros(0, np.int64)
     total = int(exp_len.sum())
@@ -96,57 +119,42 @@ def spgemm(A, B, initialize=None, combine=None, reduce=None):
         stop = max(stop, start + 1)
         pieces.append(_esc_slice(a_row[start:stop], a_col[start:stop],
                                  a_val[start:stop],
-                                 (cum[start:stop + 1] - cum[start]), Bc, m))
+                                 (cum[start:stop + 1] - cum[start]), Bc, m,
+                                 combine, reduce))
         start = stop
     rows = np.concatenate([p[0] for p in pieces])
     cols = np.concatenate([p[1] for p in pieces])
     vals = np.concatenate([p[2] for p in pieces])
     if len(pieces) > 1:
-        # merge duplicates across slice boundaries
+        # merge duplicates across slice boundaries (rare: only (row, col)
+        # pairs whose expansion straddled a workspace cut)
         key = rows.astype(np.int64) * (n + 1) + cols
         uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-        merged = np.zeros(uniq.size, dtype=vals.dtype)
-        np.add.at(merged, inv, vals)
+        if reduce is None:
+            merged = np.zeros(uniq.size, dtype=vals.dtype)
+            np.add.at(merged, inv, vals)
+        else:
+            merged = vals[first].copy()
+            dup = np.setdiff1d(np.arange(rows.size), first, assume_unique=False)
+            for p in dup:
+                merged[inv[p]] = reduce(merged[inv[p]], vals[p])
         rows, cols, vals = rows[first], cols[first], merged
     C = coo_matrix(rows, cols, vals, (m, n), sort=True)
     return C if out_fmt == "coo" else convert(C, out_fmt)
 
 
-def _esc_slice(a_row, a_col, a_val, offsets, Bcsr, m):
+def _esc_slice(a_row, a_col, a_val, offsets, Bcsr, m, combine=None,
+               reduce=None):
     E = int(offsets[-1])
     E_pad = max(LANE, round_up(E, LANE))
     offs_dev = jnp.asarray(np.asarray(offsets).astype(np.int32))  # (nnz_slice + 1,)
     rows, cols, vals, nseg = _esc_kernel(
         jnp.asarray(a_row), jnp.asarray(a_col), jnp.asarray(a_val),
         offs_dev, Bcsr.indptr, Bcsr.col, Bcsr.val,
-        E=E, E_pad=E_pad, num_rows=m)
+        E=E, E_pad=E_pad, num_rows=m, combine=combine, reduce=reduce)
     nseg = int(nseg)
     rows = np.asarray(rows)[:nseg]
     cols = np.asarray(cols)[:nseg]
     vals = np.asarray(vals)[:nseg]
     keep = rows < m
     return rows[keep], cols[keep], vals[keep]
-
-
-def _spgemm_generic_host(a_row, a_col, a_val, Bcsr, shape, initialize,
-                         combine, reduce, out_fmt):
-    """Semiring SpGEMM with arbitrary combine/reduce — host reference path."""
-    m, n = shape
-    b_indptr = np.asarray(Bcsr.indptr)
-    b_col = np.asarray(Bcsr.col)[: Bcsr.nnz]
-    b_val = np.asarray(Bcsr.val)[: Bcsr.nnz]
-    acc: dict = {}
-    for r, c, v in zip(a_row, a_col, a_val):
-        for p in range(b_indptr[c], b_indptr[c + 1]):
-            key = (int(r), int(b_col[p]))
-            term = combine(v, b_val[p])
-            acc[key] = reduce(acc[key], term) if key in acc else term
-    if not acc:
-        C = coo_matrix(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                       np.zeros(0, a_val.dtype), shape)
-    else:
-        rows = np.array([k[0] for k in acc], dtype=np.int32)
-        cols = np.array([k[1] for k in acc], dtype=np.int32)
-        vals = np.array(list(acc.values()))
-        C = coo_matrix(rows, cols, vals, shape, sort=True)
-    return C if out_fmt == "coo" else convert(C, out_fmt)
