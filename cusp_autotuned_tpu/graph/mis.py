@@ -5,9 +5,9 @@ selected vertices are pairwise more than k hops apart, every vertex is
 within k hops of a selected one.  k=2 drives the AMG aggregation
 (cusp/precond/aggregation/.../mis_aggregate.h).
 
-Each round is one jitted step (k masked neighborhood-max sweeps); the
-round loop runs on the host — these are setup ops, and host-driven rounds
-sidestep an XLA-CPU multi-device deadlock seen with while_loop here.
+On device the round fixpoint is one jitted lax.while_loop program; the
+host-driven rounds remain only on the XLA-CPU oracle backend (while_loop
++ segment reductions deadlock there on oversubscribed hosts).
 """
 
 from __future__ import annotations
@@ -58,7 +58,22 @@ def maximal_independent_set(G, k: int = 1, seed: int = 0):
     from cusp_autotuned_tpu.graph.traversal import _id_dtype
     priority = jnp.asarray(rng.permutation(n) + 1.0, dtype=_id_dtype(n + 1))
     state = jnp.zeros(n, jnp.int32)
-    while bool(jnp.any(state == UNDECIDED)):
-        state = _mis_step(G, priority, state, int(k))
+    from cusp_autotuned_tpu.graph.traversal import _device_loops
+    if _device_loops():
+        state = _mis_device(G, priority, state, int(k))
+    else:
+        while bool(jnp.any(state == UNDECIDED)):
+            state = _mis_step(G, priority, state, int(k))
     stencil = (state == IN_SET).astype(jnp.int32)
     return int(jnp.sum(stencil)), stencil
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _mis_device(A, priority, state, k: int):
+    def cond(st):
+        return jnp.any(st == UNDECIDED)
+
+    def body(st):
+        return _mis_step(A, priority, st, k)
+
+    return jax.lax.while_loop(cond, body, state)
