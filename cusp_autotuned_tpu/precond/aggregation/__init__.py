@@ -52,10 +52,14 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                          min_level_size: int = MIN_LEVEL_SIZE,
                          max_levels: int = MAX_LEVELS,
                          aggregator: str = "standard",
-                         smoother: str = "jacobi") -> Multilevel:
+                         smoother: str = "jacobi",
+                         strength: str = "symmetric",
+                         epsilon: float = 4.0) -> Multilevel:
     """Build the SA-AMG hierarchy.  B: near-nullspace candidate (default
     ones).  aggregator: 'standard' | 'mis'.  smoother: 'jacobi' |
-    'gauss_seidel' | 'sor' | 'polynomial'."""
+    'gauss_seidel' | 'sor' | 'polynomial'.  strength: 'symmetric' (theta
+    threshold) | 'evolution' (ODE strength, epsilon drop factor — parity:
+    evolution_strength.h:180-399; stronger on anisotropic operators)."""
     from cusp_autotuned_tpu.precond import smoothers as sm
 
     smoother_factory = {
@@ -74,7 +78,11 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
            and len(levels) < max_levels - 1):
         rho = rho_Dinv_A(sa.A)
         sa.rho_DinvA = rho
-        C = symmetric_strength_of_connection(sa.A, theta)
+        if strength == "evolution":
+            C = evolution_strength_of_connection(sa.A, sa.B, rho_DinvA=rho,
+                                                 epsilon=epsilon)
+        else:
+            C = symmetric_strength_of_connection(sa.A, theta)
         sa.aggregates, sa.roots = aggregate(C)
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)
         sa.T = T

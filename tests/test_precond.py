@@ -126,3 +126,26 @@ def test_strength_measures():
     assert C.nnz < A.nnz          # anisotropy filters weak couplings
     E = evolution_strength_of_connection(A)
     assert E.nnz <= A.nnz + A.num_rows
+
+
+def test_sa_amg_evolution_strength_anisotropic():
+    """strength='evolution' is selectable and helps (or at least matches)
+    symmetric strength on an anisotropic diffusion operator (parity:
+    evolution_strength.h:180-399 exposed through smoothed_aggregation)."""
+    from cusp_autotuned_tpu import gallery, solvers
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.solvers.monitor import Monitor
+    A = gallery.diffusion(40, 40, eps=1e-3, theta=0.0, format="csr",
+                          dtype=np.float64)
+    b = np.ones(A.num_rows, np.float64)
+
+    iters = {}
+    for strength in ("symmetric", "evolution"):
+        M = smoothed_aggregation(A, strength=strength)
+        mon = Monitor(b, iteration_limit=200, relative_tolerance=1e-8)
+        x, mon = solvers.cg(A, b, monitor=mon, M=M)
+        assert mon.converged(), f"{strength} did not converge"
+        iters[strength] = mon.iteration_count()
+    # evolution strength must not be (much) worse; on anisotropy it usually
+    # reduces the iteration count
+    assert iters["evolution"] <= iters["symmetric"] + 2, iters
