@@ -7,7 +7,8 @@ reductions.
 """
 
 from cusp_autotuned_tpu.parallel.sharded import (
-    make_row_mesh, shard_rows, replicate, distributed_cg, sharded_spmv,
+    make_row_mesh, shard_rows, shard_rows_aligned, replicate,
+    distributed_cg, distributed_bicgstab, sharded_spmv,
 )
 from cusp_autotuned_tpu.parallel.shard_map_spmv import (
     sharded_spmv_dia_shardmap, distributed_cg_shardmap,

@@ -56,6 +56,44 @@ def shard_rows(A, mesh: Mesh, axis: str = "rows"):
     raise TypeError(f"cannot shard {type(A)}")
 
 
+def shard_rows_aligned(A, mesh: Mesh, axis: str = "rows"):
+    """Row-ALIGNED placement for COO/CSR: entries are re-padded on the host
+    so each device owns a contiguous row range with an equal padded entry
+    count — segment reductions then never cross shard boundaries (the
+    nnz-blocked placement in shard_rows splits rows across devices and
+    forces GSPMD to insert cross-device combines).  Returns a sharded COO."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    from cusp_autotuned_tpu.formats.coo import coo_matrix
+    from cusp_autotuned_tpu.utils.padding import round_up
+
+    n_dev = mesh.devices.size
+    row, col, val, (m, n) = _coo_arrays(A)
+    m_pad = round_up(max(m, 1), 128 * n_dev)
+    rows_per_dev = m_pad // n_dev
+    cuts = np.searchsorted(row, np.arange(1, n_dev) * rows_per_dev)
+    chunks = np.split(np.arange(row.size), cuts)
+    width = round_up(max(max(len(c) for c in chunks), 1), 128)
+    rr = np.zeros(n_dev * width, np.int32)
+    cc = np.zeros(n_dev * width, np.int32)
+    vv = np.zeros(n_dev * width, np.asarray(val).dtype)
+    for d, idx in enumerate(chunks):
+        s = d * width
+        rr[s:s + idx.size] = row[idx]
+        cc[s:s + idx.size] = col[idx]
+        vv[s:s + idx.size] = val[idx]
+        # padding entries carry val 0 on a row the device owns
+        rr[s + idx.size:s + width] = min(d * rows_per_dev, m - 1)
+    C = coo_matrix(rr, cc, vv, (m, n), sort=False)
+    vec = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf):
+        if leaf.ndim == 1 and leaf.shape[0] == n_dev * width:
+            return jax.device_put(leaf, vec)
+        return jax.device_put(leaf, repl)
+    return jax.tree_util.tree_map(place, C)
+
+
 def sharded_spmv(A, x):
     """y = A @ x under GSPMD — same traceable kernel as single-chip."""
     from cusp_autotuned_tpu.ops.multiply import multiply
@@ -87,6 +125,46 @@ def distributed_cg(A, b, mesh: Mesh, iterations: int = 25):
         carry = (x0, r0, r0, jnp.vdot(r0, r0))
         x, r, p, rz = jax.lax.fori_loop(0, iterations, body, carry)
         return x, jnp.sqrt(jnp.real(rz))
+
+    with mesh:
+        return solve(A, b)
+
+
+def distributed_bicgstab(A, b, mesh: Mesh, iterations: int = 25,
+                         aligned: bool = True):
+    """Fixed-iteration BiCGstab with the matrix sharded over the mesh —
+    the nonsymmetric companion to distributed_cg (parity target:
+    cusp/krylov/detail/bicgstab.inl recurrences).  aligned=True uses the
+    row-aligned COO placement so segment sums stay shard-local.
+    Returns (x, r_norm)."""
+    from cusp_autotuned_tpu.ops.multiply import multiply
+
+    A = (shard_rows_aligned(A, mesh) if aligned and A.format in ("coo", "csr")
+         else shard_rows(A, mesh))
+    b = replicate(jnp.asarray(b), mesh)
+
+    @jax.jit
+    def solve(A, b):
+        def body(_, carry):
+            x, r, p, v, r0h, rho, alpha, omega = carry
+            rho_new = jnp.vdot(r0h, r)
+            beta = (rho_new / rho) * (alpha / omega)
+            p = r + beta * (p - omega * v)
+            v = multiply(A, p)
+            alpha = rho_new / jnp.vdot(r0h, v)
+            s = r - alpha * v
+            t = multiply(A, s)
+            omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+            x = x + alpha * p + omega * s
+            r = s - omega * t
+            return (x, r, p, v, r0h, rho_new, alpha, omega)
+
+        x0 = jnp.zeros_like(b)
+        one = jnp.ones((), b.dtype)
+        carry = (x0, b, jnp.zeros_like(b), jnp.zeros_like(b), b,
+                 one, one, one)
+        x, r, *_ = jax.lax.fori_loop(0, iterations, body, carry)
+        return x, jnp.sqrt(jnp.real(jnp.vdot(r, r)))
 
     with mesh:
         return solve(A, b)

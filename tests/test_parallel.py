@@ -5,6 +5,8 @@ import pytest
 from cusp_autotuned_tpu import gallery
 from cusp_autotuned_tpu.parallel import make_row_mesh, shard_rows, distributed_cg
 from cusp_autotuned_tpu.ops.multiply import multiply
+from cusp_autotuned_tpu.backend.reference import from_scipy, reference_spmv
+import jax.numpy as jnp
 
 
 def test_virtual_mesh_available():
@@ -83,3 +85,34 @@ def test_monitored_cg_runs_sharded_unchanged():
     # a little above the f32 recurrence tolerance
     r = b_host - np.asarray(multiply(A, np.asarray(x)))
     assert np.linalg.norm(r) <= 1e-4 * np.linalg.norm(b_host)
+
+
+def test_distributed_bicgstab_aligned_csr():
+    """BiCGstab over the mesh with row-aligned CSR placement matches the
+    single-device solve."""
+    from cusp_autotuned_tpu.parallel import distributed_bicgstab, make_row_mesh
+    import scipy.sparse as sp
+    mesh = make_row_mesh()
+    rng = np.random.RandomState(3)
+    n = 8 * 128
+    S = (sp.diags([np.full(n - 1, -1.0), np.full(n, 2.5),
+                   np.full(n - 1, -0.7)], [-1, 0, 1])).tocsr().astype(np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    b = np.ones(n, np.float32)
+    x, r = distributed_bicgstab(A, b, mesh, iterations=20)
+    assert np.all(np.isfinite(np.asarray(x)))
+    resid = np.linalg.norm(S @ np.asarray(x, np.float64) - b)
+    assert resid < 1e-2 * np.linalg.norm(b), resid
+
+
+def test_shard_rows_aligned_spmv_matches():
+    from cusp_autotuned_tpu.parallel import shard_rows_aligned, make_row_mesh
+    from cusp_autotuned_tpu.ops.multiply import multiply
+    mesh = make_row_mesh()
+    A = gallery.poisson5pt(32, 32, format="csr", dtype=np.float32)
+    As = shard_rows_aligned(A, mesh)
+    x = np.random.RandomState(0).randn(A.num_cols).astype(np.float32)
+    with mesh:
+        y = np.asarray(jax.jit(multiply)(As, jnp.asarray(x)))
+    ref = reference_spmv(A, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
