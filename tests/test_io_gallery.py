@@ -106,3 +106,32 @@ def test_ktt_generators():
 
     with pytest.raises(ct.InvalidInputException):
         gallery.make_diagonal_matrix(4, 4, [10])
+
+
+def test_cusp_binary_roundtrip():
+    """The reference wire format (cusp/io/detail/binary.inl:42-104):
+    3 x size_t header + raw index/value arrays."""
+    import struct
+    from cusp_autotuned_tpu.io.binary import (
+        write_cusp_binary_file, read_cusp_binary_file)
+    A = gallery.poisson5pt(9, 11, format="coo", dtype=np.float32)
+    path = "/tmp/_cusp_bin_test.bin"
+    write_cusp_binary_file(A, path)
+    # byte-level check of the header layout
+    with open(path, "rb") as f:
+        m, n, nnz = struct.unpack("<QQQ", f.read(24))
+    assert (m, n, nnz) == (A.num_rows, A.num_cols, A.nnz)
+    B = read_cusp_binary_file(path, format="csr")
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    assert (to_scipy(A) != to_scipy(B)).nnz == 0
+
+
+def test_williams_suite_generators():
+    from cusp_autotuned_tpu.gallery.suite import williams_suite, stencil_suite
+    suite = williams_suite(scale=0.1)
+    assert len(suite) == 14
+    assert suite["LP"].shape[0] != suite["LP"].shape[1]   # rectangular
+    deg = np.diff(suite["Webbase"].indptr)
+    assert deg.max() > 50 * deg.mean()                    # hub tail
+    st = stencil_suite(scale=0.02)
+    assert len(st) == 5
