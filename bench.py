@@ -24,6 +24,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from benchmarks.harness import time_fn as _timeit, stream_bandwidth_gbps
 
 
+def _sweep(on_tpu):
+    """Compact multi-format sweep folded into the headline JSON so a
+    driver-recorded run notices CSR/colsort/SpMM regressions, not just DIA."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.gallery.suite import _powerlaw
+    from cusp_autotuned_tpu.gallery import poisson9pt, poisson5pt
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+    from cusp_autotuned_tpu.kernels.pallas_dia import build_dia
+
+    out = {}
+    # CSR binned on poisson9pt 1M nnz
+    A = poisson9pt(333, 333, format="csr", dtype=np.float32)
+    cfg = ({"impl": "binned", "block_entries": 8192, "col_window": 2048,
+            "row_window": 1024} if on_tpu else {"impl": "segsum"})
+    fn = jax.jit(build_spmv(A, cfg))
+    x = jnp.asarray(np.random.RandomState(0).randn(A.num_cols)
+                    .astype(np.float32))
+    t = _timeit(fn, x)
+    useful = A.nnz * 8 + A.num_rows * 8
+    out["csr_binned_p9_1m_gbps"] = round(useful / t / 1e9, 2)
+
+    # colsort on a power-law matrix (hub pass exercised)
+    S = _powerlaw(100_000, 1_000_000, a=1.7, seed=0)
+    P = from_scipy(S.tocoo().astype(np.float32), "csr")
+    cfg = ({"impl": "colsort", "block_entries": 4096, "col_window": 16384,
+            "row_window": 2048} if on_tpu else {"impl": "segsum"})
+    fn = jax.jit(build_spmv(P, cfg))
+    xp = jnp.asarray(np.random.RandomState(1).randn(P.num_cols)
+                     .astype(np.float32))
+    t = _timeit(fn, xp)
+    out["csr_colsort_powerlaw_1m_gbps"] = round(
+        (S.nnz * 8 + S.shape[0] * 8) / t / 1e9, 2)
+
+    # DIA SpMM k=128
+    D = poisson5pt(300, 300, format="dia", dtype=np.float32)
+    fn = jax.jit(build_dia(D, {"block_rows": 4096}) if on_tpu
+                 else build_spmv(D, {"impl": "slices"}))
+    X = jnp.asarray(np.random.RandomState(2).randn(D.num_cols, 128)
+                    .astype(np.float32))
+    t = _timeit(fn, X)
+    out["dia_spmm_k128_gflops"] = round(2 * D.nnz * 128 / t / 1e9, 1)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -48,12 +95,18 @@ def main():
 
     stream_gbps = stream_bandwidth_gbps(useful)
 
+    try:
+        sweep = _sweep(on_tpu)
+    except Exception as e:  # noqa: BLE001 — the headline must still print
+        sweep = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": f"SpMV DIA poisson5pt({grid}x{grid}) bandwidth "
                   f"(stream baseline {stream_gbps:.0f} GB/s)",
         "value": round(spmv_gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(spmv_gbps / stream_gbps, 4),
+        "sweep": sweep,
     }))
 
 

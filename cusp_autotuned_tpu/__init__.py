@@ -51,3 +51,11 @@ from cusp_autotuned_tpu import eigen, graph, precond, relaxation
 from cusp_autotuned_tpu.operators import (
     IdentityOperator, FunctionOperator, identity_operator, make_linear_operator,
 )
+
+# central runtime config (SURVEY §5 config/flag system): honor the
+# CUSP_TPU_AUTOTUNE env flag at import
+from cusp_autotuned_tpu.utils.config import get_config as _get_config
+
+if _get_config().autotune_on_import:
+    from cusp_autotuned_tpu import autotune as _autotune
+    _autotune.enable()

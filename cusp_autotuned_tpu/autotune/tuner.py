@@ -62,7 +62,10 @@ def get_tuner() -> "Tuner":
     """Lazy global tuner (cusp::ktt::get_tuner, ktt.inl:20-62)."""
     global _global_tuner
     if _global_tuner is None:
-        _global_tuner = Tuner(cache_path=os.environ.get(DEFAULT_CACHE_ENV))
+        from cusp_autotuned_tpu.utils.config import get_config
+        cfg = get_config()
+        _global_tuner = Tuner(cache_path=cfg.tuning_cache,
+                              log_fn=cfg.log_fn())
     return _global_tuner
 
 

@@ -43,10 +43,16 @@ from cusp_autotuned_tpu.utils.exceptions import (
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
 
-MAX_X_VMEM_BYTES = 8 * 1024 * 1024
-# planned arrays ride the jit as embedded constants; the relay's compile
-# request rejects programs past ~64 MB, so guard well below it (skippable)
-MAX_PLAN_BYTES = 48 * 1024 * 1024
+def MAX_X_VMEM_BYTES():
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().vmem_budget_bytes
+
+
+def MAX_PLAN_BYTES():
+    # planned arrays ride the jit as embedded constants; the relay's compile
+    # request rejects programs past ~64 MB, so guard well below it (skippable)
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().plan_budget_bytes
 # pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
 MAX_BLOCKS_FACTOR = 6
 
@@ -216,14 +222,14 @@ def _build(A, config, interpret):
         return spill_only
 
     nb = vals.shape[0]
-    if vals.nbytes + packs.nbytes > MAX_PLAN_BYTES:
+    if vals.nbytes + packs.nbytes > MAX_PLAN_BYTES():
         raise NotImplementedException(
             "planned arrays exceed the compile-request budget")
     m_pad = round_up(m, LANE) + RS * LANE
     rows_sub = m_pad // LANE
     n_pad = round_up(n, LANE) + pad_cols
     x_rows = n_pad // LANE
-    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES:
+    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES():
         raise NotImplementedException(
             "x too large for the VMEM-resident binned kernel")
 

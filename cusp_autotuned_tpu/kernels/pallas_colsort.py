@@ -41,10 +41,16 @@ from cusp_autotuned_tpu.utils.exceptions import (
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
 
-MAX_X_VMEM_BYTES = 8 * 1024 * 1024
-# planned arrays ride the jit as embedded constants; the relay's compile
-# request rejects programs past ~64 MB, so guard well below it (skippable)
-MAX_PLAN_BYTES = 48 * 1024 * 1024
+def MAX_X_VMEM_BYTES():
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().vmem_budget_bytes
+
+
+def MAX_PLAN_BYTES():
+    # planned arrays ride the jit as embedded constants; the relay's compile
+    # request rejects programs past ~64 MB, so guard well below it (skippable)
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().plan_budget_bytes
 MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
 NR = 16                    # distinct rows per hub block
 
@@ -280,7 +286,7 @@ def build_colsort(A, config, interpret: bool = False):
 
     n_pad = round_up(n, LANE) + (CW + 1) * LANE
     x_rows = n_pad // LANE
-    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES:
+    if x_rows * LANE * dtype.itemsize > MAX_X_VMEM_BYTES():
         raise NotImplementedException(
             "x too large for the VMEM-resident colsort kernel")
 
@@ -293,7 +299,7 @@ def build_colsort(A, config, interpret: bool = False):
         vals_, chunks_, pqs_, rbs_, cbs_, RS = _plan_main(
             row[~hub], col[~hub], val[~hub], shape, B, RW, CW)
         nb = vals_.shape[0]
-        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > MAX_PLAN_BYTES:
+        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > MAX_PLAN_BYTES():
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
         m_pad = round_up(m, LANE) + RS * LANE
@@ -326,7 +332,7 @@ def build_colsort(A, config, interpret: bool = False):
         hvals, hpacks, hcbs, hrows = _plan_hub(
             row[hub], col[hub], val[hub], shape, B, CW)
         nb_pad = hvals.shape[0]
-        if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES:
+        if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES():
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
         kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW)

@@ -33,8 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
 from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
 
-# beyond this, x no longer fits comfortably in VMEM next to the data blocks
-MAX_X_VMEM_BYTES = 10 * 1024 * 1024
+def MAX_X_VMEM_BYTES():
+    # beyond this, x no longer fits comfortably in VMEM next to the data
+    # blocks (configurable: CUSP_TPU_VMEM_BUDGET + 2 MB headroom)
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().vmem_budget_bytes + 2 * 1024 * 1024
 MIN_BLOCK_ROWS = 8 * LANE   # (8, 128) min tile
 
 
@@ -51,7 +54,7 @@ def build_dia(A, config, interpret: bool = False):
     sub_block = block_rows // LANE
     max_q = (max(offsets) + left) // LANE + 2
     x_rows = rows_sub + max_q + (left // LANE) + 2
-    if x_rows * LANE * A.dtype.itemsize > MAX_X_VMEM_BYTES:
+    if x_rows * LANE * A.dtype.itemsize > MAX_X_VMEM_BYTES():
         raise NotImplementedException(
             f"x of {x_rows * LANE} elements exceeds the VMEM-resident kernel")
 

@@ -10,9 +10,11 @@ AVAILABLE = ("dia", "csr", "coo", "ell", "ellr", "hyb")
 
 def _interpret() -> bool:
     """Pallas kernels compile with Mosaic on TPU and run interpreted on the
-    CPU reference platform (tests)."""
+    CPU reference platform (tests); CUSP_TPU_INTERPRET=1 forces interpret
+    mode everywhere (debugging)."""
     import jax
-    return jax.default_backend() != "tpu"
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().force_interpret or jax.default_backend() != "tpu"
 
 
 def build(format_name, A, config):

@@ -1,0 +1,77 @@
+"""Central runtime configuration.
+
+Parity: the reference's configuration surface is compile-time — backend
+selection macros (cusp/detail/config/device_system.h), the CUSP_PATH
+compile definition locating runtime-compiled kernels (ktt utils.h:10-11),
+and per-kernel tuning parameters.  The TPU rebuild replaces those with one
+runtime flag module: every knob is an env-var-backed field with a typed
+accessor and a programmatic override, so tests and embedding applications
+configure the library without touching the environment.
+
+Env vars (all optional):
+  CUSP_TPU_TUNING_CACHE    path of the persistent tuning-results JSON
+  CUSP_TPU_INTERPRET       "1": force Pallas interpret mode (debugging)
+  CUSP_TPU_AUTOTUNE        "1": enable the dynamic tuning hook at import
+  CUSP_TPU_VMEM_BUDGET     bytes of VMEM the kernel builders may plan for
+  CUSP_TPU_PLAN_BUDGET     bytes of planned arrays per compiled kernel
+  CUSP_TPU_LOG             "1": tuner logs every result to stderr
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import Optional
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_bool(name: str) -> bool:
+    return os.environ.get(name, "").strip() in ("1", "true", "yes", "on")
+
+
+@dataclasses.dataclass
+class Config:
+    tuning_cache: Optional[str] = dataclasses.field(
+        default_factory=lambda: os.environ.get("CUSP_TPU_TUNING_CACHE"))
+    force_interpret: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("CUSP_TPU_INTERPRET"))
+    autotune_on_import: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("CUSP_TPU_AUTOTUNE"))
+    vmem_budget_bytes: int = dataclasses.field(
+        default_factory=lambda: _env_int("CUSP_TPU_VMEM_BUDGET",
+                                         8 * 1024 * 1024))
+    plan_budget_bytes: int = dataclasses.field(
+        default_factory=lambda: _env_int("CUSP_TPU_PLAN_BUDGET",
+                                         48 * 1024 * 1024))
+    log_tuning: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("CUSP_TPU_LOG"))
+
+    def log_fn(self):
+        if not self.log_tuning:
+            return None
+        return lambda msg: print(msg, file=sys.stderr)
+
+
+_config: Optional[Config] = None
+
+
+def get_config() -> Config:
+    global _config
+    if _config is None:
+        _config = Config()
+    return _config
+
+
+def configure(**kwargs) -> Config:
+    """Override configuration fields programmatically (tests, embedders)."""
+    cfg = get_config()
+    for k, v in kwargs.items():
+        if not hasattr(cfg, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(cfg, k, v)
+    return cfg

@@ -52,3 +52,26 @@ def test_profile_spmv_report():
     assert rep.model_bytes == min_read_bytes(A)
     assert np.isfinite(rep.roofline_fraction)
     assert "GB/s" in str(rep)
+
+
+def test_config_module():
+    """Central config (SURVEY §5 config/flag system): env-backed fields with
+    programmatic overrides that the kernel builders honor."""
+    from cusp_autotuned_tpu.utils.config import get_config, configure
+    cfg = get_config()
+    old = cfg.plan_budget_bytes
+    try:
+        configure(plan_budget_bytes=1024)   # absurdly small: plans rejected
+        from cusp_autotuned_tpu import gallery
+        from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+        from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
+        A = gallery.poisson9pt(30, 30, format="csr", dtype=np.float32)
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedException):
+            build_binned(A, {"block_entries": 2048, "col_window": 1024,
+                             "row_window": 256}, interpret=True)
+    finally:
+        configure(plan_budget_bytes=old)
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        configure(not_a_field=1)
