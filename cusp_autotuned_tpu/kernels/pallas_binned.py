@@ -104,6 +104,17 @@ def plan_binned(row, col, val, shape, B, C, RW, hub_cap):
         return None, None, None, None, None, spill, RS, CW
     max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 1) + 16
 
+    # native planner fast path (same block contract, incremental greedy)
+    from cusp_autotuned_tpu import native
+    try:
+        nat = native.plan_binned(row, col, val, B, C, RW, max_blocks)
+    except ValueError:
+        raise FormatConversionException(
+            "pattern cannot be planned for the row-binned kernel")
+    if nat is not None:
+        vals, packs, rbs, cbs, spans = nat
+        return vals, packs, rbs, cbs, spans, spill, RS, CW
+
     blocks = []
     i = 0
     while i < nnz:

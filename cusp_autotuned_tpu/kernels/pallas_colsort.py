@@ -71,6 +71,16 @@ def _plan_main(row, col, val, shape, B, RW, CW):
     rl = (row & (LANE - 1)).astype(np.int64)
     max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 2)
 
+    # native planner fast path (same slot contract, per-entry greedy)
+    from cusp_autotuned_tpu import native
+    try:
+        nat = native.plan_colsort_main(row, col, val, B, RW, CW, max_blocks)
+    except ValueError:
+        raise FormatConversionException(
+            "pattern cannot be planned for the colsort kernel")
+    if nat is not None:
+        return nat + (RS,)
+
     pool = np.arange(nnz)
     blocks = []
     while pool.size:

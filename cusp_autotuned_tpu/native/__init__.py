@@ -64,6 +64,19 @@ def _compile() -> ctypes.CDLL | None:
     lib.pseudo_peripheral.argtypes = [ctypes.c_int32, i32p, i32p]
     lib.rcm.restype = None
     lib.rcm.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.plan_binned.restype = ctypes.c_int64
+    lib.plan_binned.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64,
+                                f32p, i32p, i32p, i32p, i32p,
+                                ctypes.c_int64]
+    lib.plan_colsort_main.restype = ctypes.c_int64
+    lib.plan_colsort_main.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64,
+                                      f32p, i32p, i32p, i32p, i32p,
+                                      ctypes.c_int64]
     return lib
 
 
@@ -192,3 +205,74 @@ def standard_aggregate(indptr, col):
     n_agg = lib.standard_aggregate(n, _ptr_i32(indptr), _ptr_i32(col),
                                    _ptr_i32(agg), _ptr_i32(roots))
     return agg, roots[:n_agg]
+
+
+# -- SpMV kernel planners -------------------------------------------------------
+
+def _ptr_i64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _ptr_f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def plan_binned(row, col, val, B, C, RW, nb_max):
+    """Row-lane-binned block plan (kernels/pallas_binned).  Returns
+    (vals, packed, rbs, cbs, spans) trimmed to the block count, None when
+    the native library is unavailable, and raises ValueError past nb_max.
+    Output buffers start at a tight estimate and grow on overflow —
+    allocating the worst case up front costs more than the plan itself."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    Bs = B // 128
+    cap = min(nb_max, 2 * (row.size // B) + 16)
+    while True:
+        vals = np.empty((cap, Bs, 128), np.float32)
+        packed = np.empty((cap, Bs, 128), np.int32)
+        rbs = np.empty(cap, np.int32)
+        cbs = np.empty(cap, np.int32)
+        spans = np.empty(cap, np.int32)
+        nb = lib.plan_binned(row.size, _ptr_i64(row), _ptr_i64(col),
+                             _ptr_f64(val), B, C, RW,
+                             _ptr_f32(vals), _ptr_i32(packed), _ptr_i32(rbs),
+                             _ptr_i32(cbs), _ptr_i32(spans), cap)
+        if nb >= 0:
+            return (vals[:nb], packed[:nb], rbs[:nb], cbs[:nb], spans[:nb])
+        if cap >= nb_max:
+            raise ValueError("plan overflow")
+        cap = min(nb_max, cap * 4)
+
+
+def plan_colsort_main(row, col, val, B, RW, CW, nb_max):
+    """Column-lane-binned main-pass plan (kernels/pallas_colsort).  Entries
+    must be sorted by (row // RW, col).  Returns (vals, chunk, pq, rbs, cbs)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    Bs = B // 128
+    cap = min(nb_max, 4 * (row.size // B) + 16)
+    while True:
+        vals = np.empty((cap, Bs, 128), np.float32)
+        chunk = np.empty((cap, Bs, 128), np.int32)
+        pq = np.empty((cap, Bs, 128), np.int32)
+        rbs = np.empty(cap, np.int32)
+        cbs = np.empty(cap, np.int32)
+        nb = lib.plan_colsort_main(row.size, _ptr_i64(row), _ptr_i64(col),
+                                   _ptr_f64(val), B, RW, CW,
+                                   _ptr_f32(vals), _ptr_i32(chunk),
+                                   _ptr_i32(pq),
+                                   _ptr_i32(rbs), _ptr_i32(cbs), cap)
+        if nb >= 0:
+            return (vals[:nb], chunk[:nb], pq[:nb], rbs[:nb], cbs[:nb])
+        if cap >= nb_max:
+            raise ValueError("plan overflow")
+        cap = min(nb_max, cap * 4)

@@ -1,0 +1,178 @@
+// Host planners for the lane-binned Pallas SpMV kernels.
+//
+// The reference computes its worker->row partition on the host too
+// (cusp/system/cuda/ktt/csr_multiply.h:38-61, cpu_compute_row_starts); these
+// planners carry more structure (lane binning, windows, permutations) and
+// are the conversion-time hot path, hence C++.  Bound via ctypes from
+// cusp_autotuned_tpu/native; the NumPy planners remain as the fallback.
+//
+// Entry layout contracts match kernels/pallas_binned.py and
+// kernels/pallas_colsort.py.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+constexpr int LANE = 128;
+}
+
+extern "C" {
+
+// Row-lane-binned plan (pallas_binned.plan_binned, incremental greedy:
+// a block closes at the first entry that would overflow its lane, leave
+// the row window, or widen the column window).
+//
+// Inputs: entries sorted by (row, col), hubs already spilled by the caller.
+// Outputs (caller-allocated for nb_max blocks):
+//   vals   (nb_max * Bs * 128) f32
+//   packed (nb_max * Bs * 128) i32   q<<24 | (col - cb)
+//   rbs, cbs, spans (nb_max)   i32   (in 128-row/chunk units for rbs/cbs)
+// Returns the number of blocks, or -1 if nb_max is exceeded.
+std::int64_t plan_binned(
+    std::int64_t nnz, const std::int64_t* row, const std::int64_t* col,
+    const double* val, std::int64_t B, std::int64_t C, std::int64_t RW,
+    float* vals, std::int32_t* packed, std::int32_t* rbs, std::int32_t* cbs,
+    std::int32_t* spans, std::int64_t nb_max) {
+  const std::int64_t Bs = B / LANE;
+  const std::int64_t CW = C / LANE;
+  std::vector<std::int32_t> fill(LANE);
+  std::int64_t i = 0, nb = 0;
+  while (i < nnz) {
+    if (nb >= nb_max) return -1;
+    const std::int64_t rb = row[i] & ~(std::int64_t)(LANE - 1);
+    std::fill(fill.begin(), fill.end(), 0);
+    std::int64_t cmin = col[i], cmax = col[i];
+    std::int64_t j = i;
+    const std::int64_t jcap = std::min(i + B, nnz);
+    // scan forward until a constraint trips
+    std::vector<std::int64_t> slot_of(jcap - i);
+    while (j < jcap) {
+      const std::int64_t r = row[j];
+      if (r - rb >= RW) break;
+      const std::int64_t c = col[j];
+      const std::int64_t ncmin = std::min(cmin, c);
+      const std::int64_t ncmax = std::max(cmax, c);
+      if ((ncmax >> 7) - (ncmin >> 7) + 1 > CW) break;
+      const int lane = (int)(r & (LANE - 1));
+      if (fill[lane] >= Bs) break;
+      slot_of[j - i] = fill[lane]++;
+      cmin = ncmin;
+      cmax = ncmax;
+      ++j;
+    }
+    const std::int64_t cb = (cmin >> 7) << 7;
+    float* vblk = vals + nb * Bs * LANE;
+    std::int32_t* pblk = packed + nb * Bs * LANE;
+    std::memset(vblk, 0, sizeof(float) * Bs * LANE);
+    std::memset(pblk, 0, sizeof(std::int32_t) * Bs * LANE);
+    for (std::int64_t e = i; e < j; ++e) {
+      const int lane = (int)(row[e] & (LANE - 1));
+      const std::int64_t s = slot_of[e - i];
+      const std::int64_t q = (row[e] - rb) >> 7;
+      vblk[s * LANE + lane] = (float)val[e];
+      pblk[s * LANE + lane] =
+          (std::int32_t)((q << 24) | (col[e] - cb));
+    }
+    rbs[nb] = (std::int32_t)(rb / LANE);
+    cbs[nb] = (std::int32_t)(cb / LANE);
+    spans[nb] = (std::int32_t)((cmax >> 7) - (cb >> 7) + 1);
+    ++nb;
+    i = j;
+  }
+  return nb;
+}
+
+// Column-lane-binned "main" plan (pallas_colsort._plan_main): entries
+// sorted by (row-bucket, col); slot lane = column lane; per sublane at
+// most one entry per target row lane.  Unplaceable entries roll forward
+// through a pool.
+//
+// Outputs per block: vals f32, chunk i32 (col chunk - cb, slot layout),
+// pq i32 ((q<<7)|perm in row-lane layout), rbs, cbs.
+// Returns nb or -1 on overflow.
+std::int64_t plan_colsort_main(
+    std::int64_t nnz, const std::int64_t* row, const std::int64_t* col,
+    const double* val, std::int64_t B, std::int64_t RW, std::int64_t CW,
+    float* vals, std::int32_t* chunk, std::int32_t* pq,
+    std::int32_t* rbs, std::int32_t* cbs, std::int64_t nb_max) {
+  const std::int64_t Bs = B / LANE;
+  std::vector<std::int64_t> pool(nnz);
+  for (std::int64_t e = 0; e < nnz; ++e) pool[e] = e;
+  std::vector<std::int64_t> next_pool;
+  next_pool.reserve(1024);
+  std::vector<std::uint8_t> lane_used(Bs * LANE), rl_used(Bs * LANE);
+  std::int64_t nb = 0;
+  std::int64_t p0 = 0;
+  while (p0 < (std::int64_t)pool.size()) {
+    if (nb >= nb_max) return -1;
+    const std::int64_t first = pool[p0];
+    const std::int64_t bkt = row[first] / RW;
+    const std::int64_t rb = (bkt * RW) & ~(std::int64_t)(LANE - 1);
+    const std::int64_t cb = (col[first] >> 7) << 7;
+    std::fill(lane_used.begin(), lane_used.end(), 0);
+    std::fill(rl_used.begin(), rl_used.end(), 0);
+    float* vblk = vals + nb * Bs * LANE;
+    std::int32_t* cblk = chunk + nb * Bs * LANE;
+    std::int32_t* qblk = pq + nb * Bs * LANE;
+    std::memset(vblk, 0, sizeof(float) * Bs * LANE);
+    std::memset(cblk, 0, sizeof(std::int32_t) * Bs * LANE);
+    std::memset(qblk, 0, sizeof(std::int32_t) * Bs * LANE);
+
+    next_pool.clear();
+    std::int64_t placed = 0;
+    std::int64_t p = p0;
+    for (; p < (std::int64_t)pool.size(); ++p) {
+      const std::int64_t e = pool[p];
+      if (row[e] / RW != bkt) break;                    // next bucket
+      const std::int64_t ch = (col[e] >> 7) - (cb >> 7);
+      if (ch >= CW) break;                              // window exceeded
+      if (placed >= B) break;
+      const int cl = (int)(col[e] & (LANE - 1));
+      const int rl = (int)(row[e] & (LANE - 1));
+      std::int64_t s = -1;
+      for (std::int64_t t = 0; t < Bs; ++t) {
+        if (!lane_used[t * LANE + cl] && !rl_used[t * LANE + rl]) {
+          s = t;
+          break;
+        }
+      }
+      if (s < 0) {
+        next_pool.push_back(e);                         // roll forward
+        continue;
+      }
+      lane_used[s * LANE + cl] = 1;
+      rl_used[s * LANE + rl] = 1;
+      vblk[s * LANE + cl] = (float)val[e];
+      cblk[s * LANE + cl] = (std::int32_t)ch;
+      const std::int64_t q = (row[e] - rb) >> 7;
+      qblk[s * LANE + rl] = (std::int32_t)((q << 7) | cl);
+      ++placed;
+    }
+    // unused row-lanes point at val-0 column lanes
+    for (std::int64_t s = 0; s < Bs; ++s) {
+      int free_c = 0;
+      for (int rl = 0; rl < LANE; ++rl) {
+        if (rl_used[s * LANE + rl]) continue;
+        while (free_c < LANE && lane_used[s * LANE + free_c]) ++free_c;
+        if (free_c < LANE) qblk[s * LANE + rl] = free_c++;
+      }
+    }
+    rbs[nb] = (std::int32_t)(rb / LANE);
+    cbs[nb] = (std::int32_t)(cb / LANE);
+    ++nb;
+    // remaining pool = rolled entries + untouched tail
+    if (!next_pool.empty()) {
+      std::vector<std::int64_t> rest(next_pool);
+      rest.insert(rest.end(), pool.begin() + p, pool.end());
+      pool.swap(rest);
+      p0 = 0;
+    } else {
+      p0 = p;
+    }
+  }
+  return nb;
+}
+
+}  // extern "C"
