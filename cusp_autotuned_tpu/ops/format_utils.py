@@ -36,11 +36,25 @@ def indices_to_offsets(indices: jnp.ndarray, num_rows: int) -> jnp.ndarray:
 
 
 def extract_diagonal(A) -> jnp.ndarray:
-    """Main diagonal of A as a dense vector of length min(m, n)."""
+    """Main diagonal of A as a dense vector of length min(m, n).
+
+    Concrete (non-traced) operands take a host fast path: the device scatter
+    this otherwise lowers to costs a multi-second XLA compile per distinct
+    shape on a relayed TPU, and diagonal extraction is a setup-time op
+    (jacobi/diagonal preconditioners, SA-AMG smoother factories)."""
+    import jax
     from cusp_autotuned_tpu import formats as F
 
     m, n = A.shape
     k = min(m, n)
+    if not any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree_util.tree_leaves(A)):
+        from cusp_autotuned_tpu.ops.convert import _coo_arrays
+        row, col, val, _ = _coo_arrays(A)
+        on = row == col
+        d = np.zeros(k, np.asarray(val).dtype)
+        d[row[on]] = val[on]
+        return jnp.asarray(d, dtype=A.dtype)
     if isinstance(A, F.DIA):
         offsets = np.asarray(A.offsets)
         hit = np.nonzero(offsets == 0)[0]

@@ -16,11 +16,16 @@ from cusp_autotuned_tpu.ops.format_utils import extract_diagonal
 
 def symmetric_strength_of_connection(A, theta: float = 0.0):
     """Filtered pattern C: keep a_ij with |a_ij| >= theta*sqrt(|a_ii a_jj|)
-    (diagonal always kept)."""
-    S = to_scipy(A).tocoo()
-    d = np.abs(np.asarray(extract_diagonal(A), dtype=np.float64))
+    (diagonal always kept).  theta == 0 keeps everything — return before
+    touching the device (extract_diagonal would compile a fresh program per
+    AMG level)."""
     if theta == 0.0:
         return A.asformat("csr")
+    S = to_scipy(A).tocoo()
+    # host-side diagonal: this is setup-time planning, no device round trip
+    diag_mask = S.row == S.col
+    d = np.zeros(S.shape[0], np.float64)
+    d[S.row[diag_mask]] = np.abs(S.data[diag_mask])
     keep = (np.abs(S.data) ** 2 >= (theta * theta) * d[S.row] * d[S.col]) \
         | (S.row == S.col)
     import scipy.sparse as sp
