@@ -51,8 +51,8 @@ def _sweep(on_tpu):
     # colsort on a power-law matrix (hub pass exercised)
     S = _powerlaw(100_000, 1_000_000, a=1.7, seed=0)
     P = from_scipy(S.tocoo().astype(np.float32), "csr")
-    cfg = ({"impl": "colsort", "block_entries": 4096, "col_window": 131072,
-            "row_window": 2048} if on_tpu else {"impl": "segsum"})
+    cfg = ({"impl": "colsort", "block_entries": 16384, "col_window": 131072,
+            "row_window": 4096} if on_tpu else {"impl": "segsum"})
     fn = jax.jit(build_spmv(P, cfg))
     xp = jnp.asarray(np.random.RandomState(1).randn(P.num_cols)
                      .astype(np.float32))

@@ -34,8 +34,8 @@ def candidate_configs(rect: bool):
                          "col_window": 8192, "row_window": 1024}),
         ("colsort", {"impl": "colsort", "block_entries": 4096,
                      "col_window": 16384, "row_window": 2048}),
-        ("colsort-wide", {"impl": "colsort", "block_entries": 4096,
-                          "col_window": 131072, "row_window": 2048}),
+        ("colsort-wide", {"impl": "colsort", "block_entries": 16384,
+                          "col_window": 131072, "row_window": 4096}),
         ("onehot", {"impl": "pallas", "block_entries": 2048,
                     "col_window": 4096}),
     ]

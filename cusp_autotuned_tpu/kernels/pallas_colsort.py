@@ -292,6 +292,9 @@ def build_colsort(A, config, interpret: bool = False):
         raise NotImplementedException(
             "block_entries/row_window must be multiples of 128")
     Bs = B // LANE
+    if Bs > LANE:
+        raise NotImplementedException(
+            "block_entries above 16384 exceed the transposed-gather tile")
     hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
 
     n_pad = round_up(n, LANE) + (CW + 1) * LANE

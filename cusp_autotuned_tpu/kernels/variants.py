@@ -249,9 +249,9 @@ def tuning_space(A) -> TuningSpace:
         # block_entries = entries per grid step, col_window = resident x
         # window (one-hot + binned), row_window = scatter window (binned +
         # colsort)
-        space.add_parameter("block_entries", (0, 2048, 4096))
-        space.add_parameter("col_window", (0, 2048, 8192))
-        space.add_parameter("row_window", (0, 512, 2048))
+        space.add_parameter("block_entries", (0, 2048, 4096, 16384))
+        space.add_parameter("col_window", (0, 2048, 8192, 131072))
+        space.add_parameter("row_window", (0, 512, 2048, 4096))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
         space.add_constraint(("dia_impl", "block_rows"),
