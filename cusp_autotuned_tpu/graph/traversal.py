@@ -139,6 +139,10 @@ def breadth_first_search(G, src: int, mark_levels: bool = True):
 def _cc_step(A, labels):
     best = _neighbor_max(A, labels + 1.0)
     new = jnp.maximum(labels, best - 1.0)
+    # pointer jumping: adopt the label of the vertex whose id equals your
+    # current label — halves the propagation distance every round, so the
+    # fixpoint takes O(log diameter) rounds instead of O(diameter)
+    new = jnp.maximum(new, new[new.astype(jnp.int32)])
     return new, jnp.any(new != labels)
 
 

@@ -127,3 +127,22 @@ def test_hilbert_curve():
     pts3 = rng.rand(500, 3)
     parts3 = np.asarray(graph.hilbert_curve(pts3, 8))
     assert np.bincount(parts3, minlength=8).min() > 0
+
+
+def test_cc_multi_component_symmetric():
+    """Pointer-jumped label propagation matches scipy on a symmetric graph
+    with several components (CC semantics are undirected, like the
+    reference's)."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as cg
+    rng = np.random.RandomState(0)
+    blocks = [sp.random(200, 200, density=0.015, random_state=rng)
+              + sp.eye(200) for _ in range(4)]
+    S = sp.block_diag(blocks).tocsr()
+    S = (S + S.T).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    nc, lab = graph.connected_components(A)
+    nc_ref, lab_ref = cg.connected_components(S, directed=False)
+    assert nc == nc_ref
+    pairs = set(zip(np.asarray(lab).tolist(), lab_ref.tolist()))
+    assert len(pairs) == nc_ref
