@@ -11,5 +11,5 @@ from cusp_autotuned_tpu.parallel.sharded import (
     distributed_cg, distributed_bicgstab, sharded_spmv,
 )
 from cusp_autotuned_tpu.parallel.shard_map_spmv import (
-    sharded_spmv_dia_shardmap, distributed_cg_shardmap,
+    sharded_spmv_dia_shardmap, distributed_cg_shardmap, distributed_cg_halo,
 )

@@ -126,3 +126,75 @@ def distributed_cg_shardmap(A: F.DIA, b, mesh: Mesh, iterations: int = 25,
     with mesh:
         x_pad, r_norm = jax.jit(solve)(data_sh, b_pad)
     return x_pad[:m], r_norm
+
+
+def distributed_cg_halo(A: F.DIA, b, mesh: Mesh, iterations: int = 25,
+                        axis: str = "rows"):
+    """CG with HALO-EXCHANGE communication: each device holds a contiguous
+    row block of the banded DIA operator, and per iteration exchanges only
+    the halo edges (two `ppermute`s of max-offset-width slices) instead of
+    all-gathering the full vector — the per-iteration ICI traffic drops from
+    O(n) to O(bandwidth).  Returns (x, final residual norm)."""
+    if not isinstance(A, F.DIA):
+        raise NotImplementedException("halo CG currently takes DIA")
+    n_dev = mesh.devices.size
+    m, n = A.shape
+    offs = A.offsets
+    left = -min(0, min(offs))
+    right = max(0, max(offs))
+    data, block, _, _, mp = _dia_local_blocks(A, n_dev)
+    if left > block or right > block:
+        raise NotImplementedException(
+            "diagonal span exceeds the per-device block; use the "
+            "all-gather path")
+    # halo widths padded to a lane multiple so slices stay aligned
+    hl = max(round_up(left, 128), 128)
+    hr = max(round_up(right, 128), 128)
+    if hl > block or hr > block:
+        raise NotImplementedException(
+            "halo wider than the per-device block; use the all-gather path")
+    data_sh = jax.device_put(jnp.asarray(data),
+                             NamedSharding(mesh, P(None, axis)))
+    b_pad = jnp.pad(jnp.asarray(b), (0, mp - m))
+
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]      # halo to the right
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]      # halo to the left
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)), out_specs=(P(axis), P()))
+    def solve(data_blk, b_blk):
+        def spmv_local(v_blk):
+            # my left halo = tail of the PREVIOUS device's block
+            lh = jax.lax.ppermute(v_blk[-hl:], axis, fwd)
+            rh = jax.lax.ppermute(v_blk[:hr], axis, bwd)
+            x_ext = jnp.concatenate([lh, v_blk, rh])
+            acc = None
+            for d, off in enumerate(offs):
+                seg = jax.lax.dynamic_slice(x_ext, (hl + off,), (block,))
+                term = data_blk[d] * seg
+                acc = term if acc is None else acc + term
+            return acc
+
+        def pdot(u_blk, v_blk):
+            return jax.lax.psum(jnp.vdot(u_blk, v_blk), axis)
+
+        def body(_, carry):
+            x_blk, r_blk, p_blk, rz = carry
+            y_blk = spmv_local(p_blk)
+            alpha = rz / pdot(p_blk, y_blk)
+            x_blk = x_blk + alpha * p_blk
+            r_blk = r_blk - alpha * y_blk
+            rz_new = pdot(r_blk, r_blk)
+            p_blk = r_blk + (rz_new / rz) * p_blk
+            return (x_blk, r_blk, p_blk, rz_new)
+
+        x0 = jnp.zeros_like(b_blk)
+        carry = (x0, b_blk, b_blk, pdot(b_blk, b_blk))
+        x_blk, r_blk, p_blk, rz = jax.lax.fori_loop(0, iterations, body,
+                                                    carry)
+        return x_blk, jnp.sqrt(jnp.real(rz))
+
+    with mesh:
+        x_pad, r_norm = jax.jit(solve)(data_sh, b_pad)
+    return x_pad[:m], r_norm

@@ -116,3 +116,21 @@ def test_shard_rows_aligned_spmv_matches():
         y = np.asarray(jax.jit(multiply)(As, jnp.asarray(x)))
     ref = reference_spmv(A, x)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_cg_halo_matches_allgather():
+    """Halo-exchange CG (two ppermutes of bandwidth-sized edges per
+    iteration) agrees with the all-gather shard_map path and with GSPMD."""
+    from cusp_autotuned_tpu.parallel import (
+        distributed_cg_halo, distributed_cg_shardmap, distributed_cg,
+        make_row_mesh)
+    mesh = make_row_mesh()
+    A = gallery.poisson5pt(16, 64, format="dia", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    x1, r1 = distributed_cg_halo(A, b, mesh, iterations=8)
+    x2, r2 = distributed_cg_shardmap(A, b, mesh, iterations=8)
+    x3, r3 = distributed_cg(A, b, mesh, iterations=8)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x3),
+                               rtol=1e-4, atol=1e-5)
