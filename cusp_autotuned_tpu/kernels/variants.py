@@ -248,10 +248,18 @@ def tuning_space(A) -> TuningSpace:
         # Pallas kernel meta-parameters (impl in pallas/binned/colsort):
         # block_entries = entries per grid step, col_window = resident x
         # window (one-hot + binned), row_window = scatter window (binned +
-        # colsort)
-        space.add_parameter("block_entries", (0, 2048, 4096, 16384))
-        space.add_parameter("col_window", (0, 2048, 8192, 131072))
-        space.add_parameter("row_window", (0, 512, 2048, 4096))
+        # colsort).  Values that exceed the matrix are pruned — a block
+        # larger than nnz or a window wider than the matrix adds nothing
+        # (and would bloat the exhaustive-validation walk).
+        def fit(values, cap):
+            kept = tuple(v for v in values if v == 0 or v <= cap)
+            return kept if len(kept) > 1 else values[:2]
+        space.add_parameter("block_entries",
+                            fit((0, 2048, 16384), 2 * A.nnz + 2048))
+        space.add_parameter("col_window",
+                            fit((0, 2048, 131072), 2 * A.num_cols + 2048))
+        space.add_parameter("row_window",
+                            fit((0, 512, 4096), 2 * A.num_rows + 512))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
         space.add_constraint(("dia_impl", "block_rows"),
