@@ -168,6 +168,13 @@ def _dia_spmm(A, block_rows, interpret):
 
     def fn(x):
         k = x.shape[1]
+        if k <= 64:
+            # measured on v5e: for small k the XLA fused path beats both the
+            # native-k and row-packed Pallas spellings (Mosaic lowers the
+            # per-diagonal lane work poorly at sub-128 widths) — surface a
+            # skippable error so the tuner keeps the XLA variant
+            raise NotImplementedException(
+                "DIA SpMM Pallas kernel is profitable for k >= 65 only")
         call, kp, x_rows_total, data_l, mp_l = make(k)
         x2 = jnp.pad(x, ((left, x_rows_total - left - n), (0, kp - k)))
         return call(data_l, x2, x2)[:m, :k]

@@ -196,7 +196,7 @@ def test_binned_single_dense_row():
 
 # -- DIA SpMM (block right-hand sides) ----------------------------------------
 
-@pytest.mark.parametrize("k", [3, 32, 130])
+@pytest.mark.parametrize("k", [100, 130])
 def test_dia_spmm(k):
     A = gallery.poisson5pt(40, 45, format="dia", dtype=np.float32)
     rng = np.random.RandomState(17)
@@ -208,13 +208,24 @@ def test_dia_spmm(k):
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_dia_spmm_small_k_is_skippable():
+    """k <= 64 routes to the XLA fused path (measured faster there); the
+    Pallas build surfaces the skippable exception for the tuner."""
+    from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
+    A = gallery.poisson5pt(40, 45, format="dia", dtype=np.float32)
+    fn = build_dia(A, {"block_rows": 1024}, interpret=True)
+    X = jnp.ones((A.num_cols, 32), jnp.float32)
+    with pytest.raises(NotImplementedException):
+        fn(X)
+
+
 def test_dia_spmm_rectangular():
     import scipy.sparse as sp
     S = sp.diags([np.ones(300), 2 * np.ones(300), 3 * np.ones(200)],
                  [0, 150, 320], shape=(300, 520)).tocoo()
     A = from_scipy(S, "dia")
     rng = np.random.RandomState(19)
-    X = jnp.asarray(rng.randn(520, 16).astype(np.float32))
+    X = jnp.asarray(rng.randn(520, 80).astype(np.float32))
     fn = build_dia(A, {"block_rows": 1024}, interpret=True)
     Y = np.asarray(jax.jit(fn)(X))
     ref = S.astype(np.float64) @ np.asarray(X, np.float64)
