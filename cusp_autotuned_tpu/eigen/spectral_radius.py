@@ -62,29 +62,51 @@ def estimate_spectral_radius(A, k: int = 20, seed: int = 0) -> float:
     return float(run(A, x))
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lanczos_device(A, v0, k):
+    """k-step Lanczos with full reorthogonalization as ONE jitted fori_loop
+    program — a host round trip per step costs ~30 ms through the relay."""
+    n = v0.shape[0]
+    dtype = v0.dtype
+    V = jnp.zeros((k + 1, n), dtype).at[0].set(v0 / jnp.linalg.norm(v0))
+    alphas = jnp.zeros(k, dtype)
+    betas = jnp.zeros(k, dtype)
+
+    def body(j, st):
+        V, alphas, betas = st
+        v = V[j]
+        w = multiply(A, v)
+        alpha = jnp.dot(v, w)
+        w = w - alpha * v
+        # full reorthogonalization against the basis built so far (masked
+        # rows beyond j are zero, so the matmul form is exact)
+        coeff = V @ w
+        w = w - V.T @ coeff
+        beta = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(jnp.where(beta > 1e-12, w / jnp.maximum(
+            beta, 1e-30), jnp.zeros_like(w)))
+        return (V, alphas.at[j].set(alpha), betas.at[j].set(beta))
+
+    V, alphas, betas = jax.lax.fori_loop(0, k, body, (V, alphas, betas))
+    return alphas, betas, V
+
+
 def _lanczos_tridiag(A, k: int, seed: int = 0, v0=None):
     """k-step Lanczos with full reorthogonalization; returns (alphas, betas,
-    V) as host arrays (alphas m, betas m, V (m+1, n))."""
+    V) as host arrays (alphas m, betas m, V (m+1, n)), trimmed at the first
+    breakdown like the reference's sequential loop."""
     n = A.num_rows
     rng = np.random.RandomState(seed)
     dtype = np.float32 if "32" in str(A.dtype) else np.float64
     v = np.asarray(v0, dtype) if v0 is not None else rng.rand(n).astype(dtype)
-    v = v / np.linalg.norm(v)
-    V = [v]
-    alphas, betas = [], []
-    beta = 0.0
-    spmv = jax.jit(lambda A, x: multiply(A, x))
-    for j in range(min(k, n)):
-        w = np.asarray(spmv(A, jnp.asarray(V[-1])))
-        alpha = float(np.dot(V[-1], w))
-        w = w - alpha * V[-1] - (beta * V[-2] if len(V) > 1 else 0)
-        # full reorthogonalization (lanczos_options reorth=Full analogue)
-        for u in V:
-            w = w - np.dot(u, w) * u
-        beta = float(np.linalg.norm(w))
-        alphas.append(alpha)
-        betas.append(beta)
-        if beta < 1e-12:
-            break
-        V.append(w / beta)
-    return np.asarray(alphas), np.asarray(betas), np.asarray(V)
+    k = min(k, n)
+    alphas, betas, V = _lanczos_device(A, jnp.asarray(v), k)
+    alphas = np.asarray(alphas)
+    betas = np.asarray(betas)
+    V = np.asarray(V)
+    small = np.nonzero(betas < 1e-12)[0]
+    m = int(small[0]) + 1 if small.size else k
+    return alphas[:m], betas[:m], V[: m + 1]
