@@ -55,8 +55,10 @@ def build_dia(A, config, interpret: bool = False):
     max_q = (max(offsets) + left) // LANE + 2
     x_rows = rows_sub + max_q + (left // LANE) + 2
     if x_rows * LANE * A.dtype.itemsize > MAX_X_VMEM_BYTES():
-        raise NotImplementedException(
-            f"x of {x_rows * LANE} elements exceeds the VMEM-resident kernel")
+        # x no longer fits next to the data blocks: stream it as two
+        # consecutive row blocks per grid step (same trick as the SpMM
+        # kernel) — works whenever the diagonal span fits one block
+        return _build_dia_streamed(A, block_rows, interpret)
 
     grid = mp // block_rows
     data = A.data
@@ -96,6 +98,84 @@ def build_dia(A, config, interpret: bool = False):
         return call(x2, data3).reshape(mp)[:m]
 
     return fn
+
+
+def _build_dia_streamed(A, block_rows, interpret):
+    """DIA SpMV with x STREAMED as two consecutive (block_rows/128, 128)
+    blocks per grid step instead of fully VMEM-resident — lifts the matrix
+    size cap for banded operators whose diagonal span fits one block."""
+    m, n = A.shape
+    offsets = A.offsets
+    k = len(offsets)
+    left = -min(0, min(offsets))
+    if left + max(max(offsets), 0) > block_rows - LANE:
+        raise NotImplementedException(
+            "diagonal span exceeds block_rows for the streamed DIA kernel")
+    mp = round_up(A.rows_padded, block_rows)
+    rows_sub = mp // LANE
+    sub_block = block_rows // LANE
+    grid = mp // block_rows
+    data = A.data
+    if data.shape[1] != mp:
+        data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
+    data3 = data.reshape(k, rows_sub, LANE)
+    x_rows_total = (grid + 2) * sub_block
+
+    kernel = functools.partial(_dia_streamed_kernel, offsets=offsets,
+                               left=left, sub_block=sub_block)
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((sub_block, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # x block i
+            pl.BlockSpec((sub_block, LANE), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),          # x block i+1
+            pl.BlockSpec((k, sub_block, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # streamed data
+        ],
+        out_specs=pl.BlockSpec((sub_block, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), A.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * mp,
+            bytes_accessed=(k * mp + 3 * mp) * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    x_len = x_rows_total * LANE
+
+    def fn(x):
+        if x.ndim == 2:
+            return _dia_spmm(A, block_rows, interpret)(x)
+        if x.ndim != 1:
+            raise NotImplementedException("pallas DIA kernel takes 1-D/2-D x")
+        x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows_total, LANE)
+        return call(x2, x2, data3).reshape(mp)[:m]
+
+    return fn
+
+
+def _dia_streamed_kernel(xa_ref, xb_ref, data_ref, y_ref, *, offsets, left,
+                         sub_block):
+    xcat = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub_block, LANE), 1)
+    acc = None
+    for d, off in enumerate(offsets):
+        t = off + left
+        q, r = divmod(t, LANE)
+        if r == 0:
+            shifted = xcat[q: q + sub_block, :]
+        else:
+            a = xcat[q: q + sub_block, :]
+            b = xcat[q + 1: q + 1 + sub_block, :]
+            ra = pltpu.roll(a, LANE - r, 1)
+            rb = pltpu.roll(b, LANE - r, 1)
+            shifted = jnp.where(lane < LANE - r, ra, rb)
+        term = data_ref[d] * shifted
+        acc = term if acc is None else acc + term
+    y_ref[:] = acc
 
 
 def _dia_spmm(A, block_rows, interpret):
