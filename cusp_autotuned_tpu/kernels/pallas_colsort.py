@@ -146,8 +146,9 @@ def _main_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         y_ref[:] = jnp.zeros_like(y_ref)
 
     vals = val_ref[0]
-    chunk = chunk_ref[0]
-    pq = pq_ref[0]
+    # int16-packed metadata upconverts once in VMEM (values <= 2^15-1)
+    chunk = chunk_ref[0].astype(jnp.int32)
+    pq = pq_ref[0].astype(jnp.int32)
     perm = jnp.bitwise_and(pq, jnp.int32(LANE - 1))
     qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
     dtype = y_ref.dtype
@@ -238,13 +239,13 @@ def _plan_hub(row, col, val, shape, B, CW):
     return vals, packs, cbs, rows
 
 
-def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW):
+def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW, rid_shift):
     W = CW // LANE
     g = pl.program_id(0)
     vals = val_ref[0]
-    packed = pack_ref[0]
-    chunk = jnp.bitwise_and(packed, jnp.int32((1 << 12) - 1))
-    rid = jax.lax.shift_right_logical(packed, jnp.int32(12))
+    packed = pack_ref[0].astype(jnp.int32)
+    chunk = jnp.bitwise_and(packed, jnp.int32((1 << rid_shift) - 1))
+    rid = jax.lax.shift_right_logical(packed, jnp.int32(rid_shift))
     dtype = out_ref.dtype
 
     xw = x_ref[pl.ds(cbs[g], CW), :]
@@ -308,9 +309,24 @@ def build_colsort(A, config, interpret: bool = False):
 
     parts = []       # callables composed into one traced fn
 
+    # int16 metadata packing: main-pass chunk (< W*128 <= 2^14) and pq
+    # (< RS*128) always fit 15 bits across the tuning space; the hub pack
+    # re-layouts (rid<<12|chunk) -> (rid<<11|chunk) when chunk < 2^11.
+    # 16-bit tiles need the sublane count to be a multiple of 16.
+    pack16 = config.get("pack16", "auto")
+    if pack16 == "auto":
+        pack16 = Bs % 16 == 0
+    elif pack16 and Bs % 16 != 0:
+        raise NotImplementedException(
+            "pack16 requires block_entries % 2048 == 0")
+
     if (~hub).any():
         vals_, chunks_, pqs_, rbs_, cbs_, RS = _plan_main(
             row[~hub], col[~hub], val[~hub], shape, B, RW, CW)
+        if pack16 and chunks_.max(initial=0) < (1 << 15) \
+                and pqs_.max(initial=0) < (1 << 15):
+            chunks_ = chunks_.astype(np.int16)
+            pqs_ = pqs_.astype(np.int16)
         nb = vals_.shape[0]
         if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > MAX_PLAN_BYTES():
             raise NotImplementedException(
@@ -329,8 +345,10 @@ def build_colsort(A, config, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * nb * Bs * LANE,
-                bytes_accessed=(3 * nb * Bs * LANE + x_rows * LANE
-                                + rows_sub * LANE) * dtype.itemsize,
+                bytes_accessed=(nb * Bs * LANE * dtype.itemsize
+                                + chunks_.nbytes + pqs_.nbytes
+                                + (x_rows * LANE + rows_sub * LANE)
+                                * dtype.itemsize),
                 transcendentals=0),
             interpret=interpret)
         md = (jnp.asarray(vals_.astype(dtype)), jnp.asarray(chunks_),
@@ -344,11 +362,18 @@ def build_colsort(A, config, interpret: bool = False):
     if hub.any():
         hvals, hpacks, hcbs, hrows = _plan_hub(
             row[hub], col[hub], val[hub], shape, B, CW)
+        rid_shift = 12
+        if pack16 and (hpacks & ((1 << 12) - 1)).max(initial=0) < (1 << 11):
+            rid = hpacks >> 12
+            hpacks = ((rid << 11) | (hpacks & ((1 << 11) - 1))).astype(
+                np.int16)
+            rid_shift = 11
         nb_pad = hvals.shape[0]
         if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES():
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
-        kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW)
+        kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW,
+                                 rid_shift=rid_shift)
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -361,8 +386,9 @@ def build_colsort(A, config, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((nb_pad, NR, LANE), dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * nb_pad * Bs * LANE,
-                bytes_accessed=(2 * nb_pad * Bs * LANE + x_rows * LANE)
-                * dtype.itemsize,
+                bytes_accessed=(nb_pad * Bs * LANE * dtype.itemsize
+                                + hpacks.nbytes
+                                + x_rows * LANE * dtype.itemsize),
                 transcendentals=0),
             interpret=interpret)
         hd = (jnp.asarray(hvals.astype(dtype)), jnp.asarray(hpacks),

@@ -185,6 +185,38 @@ def test_binned_other_formats(fmt):
                   col_window=1024, row_window=128)
 
 
+@pytest.mark.parametrize("builder", ["build_binned", "build_colsort"])
+def test_binned_pack16(builder):
+    # int16 metadata packing (block sublanes % 16 == 0 makes it eligible)
+    S = _powerlaw(900, 9000, seed=5)
+    _check_binned(S, builder, block_entries=2048, col_window=2048,
+                  row_window=512, hub_cap=12, pack16=True)
+
+
+def test_binned_pack16_rejects_wide_window():
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    A = from_scipy(_powerlaw(400, 2000, seed=6).tocoo(), "csr")
+    with pytest.raises(Exception):
+        build_binned(A, {"block_entries": 2048, "col_window": 8192,
+                         "row_window": 512, "pack16": True}, interpret=True)
+
+
+def test_pack16_plans_are_int16():
+    # guard against silently falling back to the int32 layout
+    from cusp_autotuned_tpu.kernels import pallas_binned
+    S = gallery.poisson5pt(40, 40, format="csr").to_scipy()
+    row, col, val, shape = (S.tocoo().row.astype(np.int64),
+                            S.tocoo().col.astype(np.int64),
+                            S.tocoo().data.astype(np.float64),
+                            S.shape)
+    vals, packs, *_ = pallas_binned.plan_binned(
+        row, col, val, shape, 2048, 2048, 512, 16)
+    q = packs >> 24
+    rel = packs & ((1 << 24) - 1)
+    repacked = (q << 12) | rel
+    assert repacked.max() < (1 << 15)       # fits the int16 layout
+
+
 def test_binned_single_dense_row():
     import scipy.sparse as sp
     # one row holding everything: all entries hub-spill
