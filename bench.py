@@ -68,6 +68,15 @@ def _sweep(on_tpu):
                     .astype(np.float32))
     t = _timeit(fn, X)
     out["dia_spmm_k128_gflops"] = round(2 * D.nnz * 128 / t / 1e9, 1)
+
+    # unstructured SpMM: binned k-loop kernel on poisson9pt (k=16)
+    cfg = ({"impl": "binned", "block_entries": 4096, "col_window": 2048,
+            "row_window": 512} if on_tpu else {"impl": "segsum"})
+    fn = jax.jit(build_spmv(A, cfg))
+    Xk = jnp.asarray(np.random.RandomState(3).randn(A.num_cols, 16)
+                     .astype(np.float32))
+    t = _timeit(fn, Xk)
+    out["csr_binned_spmm_k16_gflops"] = round(2 * A.nnz * 16 / t / 1e9, 1)
     return out
 
 

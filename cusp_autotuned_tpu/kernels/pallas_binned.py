@@ -192,6 +192,45 @@ def _binned_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
         y_ref[rb + q, :] = y_ref[rb + q, :] + part
 
 
+def _binned_spmm_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
+                        *, Bs, RS, CW, qshift, K):
+    """SpMM rail: same plan and decode as the SpMV kernel, but the entry
+    block is read from HBM ONCE and reused for all K right-hand-side
+    columns (the fori_loop walks the k-major resident x / y).  Parity
+    target: the reference's CSR x dense-block kernel
+    (cusp/system/cuda/detail/multiply/csr_block_spmv.h:187-226)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    packed = pack_ref[0].astype(jnp.int32)
+    vals = val_ref[0]
+    lane = jnp.bitwise_and(packed, jnp.int32(LANE - 1))
+    chunk = jnp.bitwise_and(jax.lax.shift_right_logical(packed, jnp.int32(7)),
+                            jnp.int32((1 << (qshift - 7)) - 1))
+    qv = jax.lax.shift_right_logical(packed, jnp.int32(qshift))
+    dtype = y_ref.dtype
+    rb = rbs[g]
+    cb = cbs[g]
+
+    def body(kk, carry):
+        xw = x_ref[kk, pl.ds(cb, CW), :]
+        xg = jnp.zeros((Bs, LANE), dtype)
+        for c in range(CW):
+            xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
+            t = jnp.take_along_axis(xrep, lane, axis=1)
+            xg = jnp.where(chunk == c, t, xg)
+        prod = vals * xg
+        for q in range(RS):
+            part = jnp.sum(jnp.where(qv == q, prod, 0), axis=0)
+            y_ref[kk, rb + q, :] = y_ref[kk, rb + q, :] + part
+        return carry
+
+    jax.lax.fori_loop(0, K, body, 0)
+
+
 # -- shared builder -------------------------------------------------------------
 
 def _build(A, config, interpret):
@@ -247,9 +286,8 @@ def _build(A, config, interpret):
         sval_d = jnp.asarray(sval[order].astype(dtype))
 
         def spill_only(x):
-            if x.ndim != 1:
-                raise NotImplementedException("binned kernels are SpMV-only")
-            return jax.ops.segment_sum(sval_d * x[scol_d], srow_d,
+            sv = sval_d if x.ndim == 1 else sval_d[:, None]
+            return jax.ops.segment_sum(sv * x[scol_d], srow_d,
                                        num_segments=m,
                                        indices_are_sorted=True)
         return spill_only
@@ -302,14 +340,56 @@ def _build(A, config, interpret):
         scol_d = jnp.asarray(scol.astype(np.int32))
         sval_d = jnp.asarray(sval.astype(dtype))
 
+    def _spmm_call(K):
+        # the SpMM pallas_call is shaped by k, known only at trace time;
+        # the planned arrays are shared with the SpMV rail
+        if K * (x_rows + rows_sub) * LANE * dtype.itemsize \
+                > 2 * MAX_X_VMEM_BYTES():
+            raise NotImplementedException(
+                "x/y block too large for the VMEM-resident binned SpMM")
+        kern = functools.partial(_binned_spmm_kernel, Bs=Bs, RS=RS, CW=CW,
+                                 qshift=qshift, K=K)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # x (k-major)
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((K, rows_sub, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb * Bs * LANE * K,
+                bytes_accessed=(nb * Bs * LANE * dtype.itemsize + packs.nbytes
+                                + K * (x_rows + rows_sub) * LANE
+                                * dtype.itemsize),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+
     def fn(x):
-        if x.ndim != 1:
-            raise NotImplementedException("binned kernels are SpMV-only")
-        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
-        y2 = call(rbs_d, cbs_d, spans_d, x2, vals_d, packs_d)
-        y = y2.reshape(m_pad)[:m]
+        if x.ndim == 1:
+            x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+            y2 = call(rbs_d, cbs_d, spans_d, x2, vals_d, packs_d)
+            y = y2.reshape(m_pad)[:m]
+        elif x.ndim == 2:
+            K = x.shape[1]
+            x3 = jnp.pad(x, ((0, n_pad - n), (0, 0))).T.reshape(
+                K, x_rows, LANE)
+            y3 = _spmm_call(K)(rbs_d, cbs_d, spans_d, x3, vals_d, packs_d)
+            y = y3.reshape(K, m_pad)[:, :m].T
+        else:
+            raise NotImplementedException("binned kernels take 1-D/2-D x")
         if has_spill:
-            y = y + jax.ops.segment_sum(sval_d * x[scol_d], srow_d,
+            sv = sval_d if x.ndim == 1 else sval_d[:, None]
+            y = y + jax.ops.segment_sum(sv * x[scol_d], srow_d,
                                         num_segments=m,
                                         indices_are_sorted=True)
         return y

@@ -217,6 +217,34 @@ def test_pack16_plans_are_int16():
     assert repacked.max() < (1 << 15)       # fits the int16 layout
 
 
+@pytest.mark.parametrize("k", [3, 16])
+def test_binned_spmm(k):
+    # SpMM rail: entry blocks read once, fori over the k resident columns
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    S = gallery.poisson9pt(30, 30, format="csr").to_scipy()
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(9)
+    X = jnp.asarray(rng.randn(A.num_cols, k).astype(np.float32))
+    fn = build_binned(A, {"block_entries": 2048, "col_window": 1024,
+                          "row_window": 256}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_binned_spmm_hub_spill():
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    S = _powerlaw(500, 5000, seed=4)
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(10)
+    X = jnp.asarray(rng.randn(A.num_cols, 5).astype(np.float32))
+    fn = build_binned(A, {"block_entries": 512, "col_window": 2048,
+                          "row_window": 256, "hub_cap": 8}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_binned_single_dense_row():
     import scipy.sparse as sp
     # one row holding everything: all entries hub-spill
