@@ -1,8 +1,12 @@
 """Sparse/dense containers (parity: cusp/{coo,csr,dia,ell,hyb,permutation}_matrix.h
-plus the fork's cusp/ktt/ellr_matrix.h).  Dense vectors and matrices are plain
-jnp arrays — JAX's native array replaces cusp::array1d/array2d."""
+plus the fork's cusp/ktt/ellr_matrix.h).  Dense vectors are jnp arrays
+(array1d/array1d_view exist as parity constructors); pitched dense matrices
+with row/column orientation and views live in formats/dense.py (Array2d)."""
 
 from cusp_autotuned_tpu.formats.base import MatrixBase
+from cusp_autotuned_tpu.formats.dense import (
+    Array2d, array2d, make_array2d_view, array1d, array1d_view,
+)
 from cusp_autotuned_tpu.formats.coo import COO, coo_matrix, coo_from_scipy
 from cusp_autotuned_tpu.formats.csr import CSR, csr_matrix, csr_from_scipy
 from cusp_autotuned_tpu.formats.dia import DIA, dia_matrix

@@ -37,7 +37,8 @@ FILL_THRESHOLD = 1e6
 def _coo_arrays(A):
     """(row, col, val, shape) as host arrays, trimmed of padding, sorted by
     (row, col)."""
-    if isinstance(A, (np.ndarray, jnp.ndarray)):
+    from cusp_autotuned_tpu.formats.dense import Array2d
+    if isinstance(A, (np.ndarray, jnp.ndarray, Array2d)):
         dense = np.asarray(A)
         if dense.ndim != 2:
             raise ValueError("dense source must be 2-D")

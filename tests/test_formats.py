@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 import cusp_autotuned_tpu as ct
@@ -86,3 +87,66 @@ def test_matmul_operator():
     A = build(S, "csr")
     x = np.arange(37, dtype=np.float32)
     np.testing.assert_allclose(np.asarray(A @ x), S @ x, rtol=1e-5)
+
+
+# -- dense containers (pitched array2d / array1d views) -------------------------
+
+def test_array2d_pitch_lane_aligned():
+    A = F.array2d(5, 7, fill=2.0)
+    assert A.shape == (5, 7)
+    assert A.pitch == 128                      # lane-aligned default
+    assert A.values.shape == (5, 128)
+    np.testing.assert_array_equal(np.asarray(A.to_dense()),
+                                  np.full((5, 7), 2.0, np.float32))
+
+
+def test_array2d_orientation_and_views():
+    src = np.arange(12, dtype=np.float32).reshape(3, 4)
+    for orient in ("c", "f"):
+        A = F.Array2d.from_dense(src, orientation=orient)
+        np.testing.assert_array_equal(np.asarray(A.to_dense()), src)
+        np.testing.assert_array_equal(np.asarray(A.row(1)), src[1])
+        np.testing.assert_array_equal(np.asarray(A.column(2)), src[:, 2])
+        assert A[2, 3] == src[2, 3]
+    # O(1) transpose flips orientation
+    At = F.Array2d.from_dense(src).T
+    assert At.shape == (4, 3)
+    np.testing.assert_array_equal(np.asarray(At.to_dense()), src.T)
+
+
+def test_array2d_custom_pitch_and_view_wrap():
+    src = np.ones((4, 5), np.float32)
+    A = F.Array2d.from_dense(src, pitch=8)
+    assert A.pitch == 8
+    V = F.make_array2d_view(A.values, 4, 5)
+    np.testing.assert_array_equal(np.asarray(V.to_dense()), src)
+    with pytest.raises(ValueError):
+        F.make_array2d_view(A.values, 4, 9)    # minor exceeds pitch
+
+
+def test_array2d_pytree_jit():
+    import jax
+
+    A = F.Array2d.from_dense(np.eye(3, dtype=np.float32) * 4)
+
+    @jax.jit
+    def trace(M):
+        return jnp.trace(M.to_dense())
+
+    assert float(trace(A)) == 12.0
+
+
+def test_array2d_convert_and_matmul():
+    src = np.diag([1.0, 2.0, 3.0]).astype(np.float32)
+    A = F.Array2d.from_dense(src)
+    C = ct.convert(A, "csr")
+    assert C.nnz == 3
+    y = A @ np.ones(3, np.float32)
+    np.testing.assert_allclose(np.asarray(y), [1, 2, 3])
+
+
+def test_array1d_view():
+    v = F.array1d(10, fill=1.5)
+    assert v.shape == (10,)
+    w = F.array1d_view(np.arange(10.0), start=2, stop=9, stride=3)
+    np.testing.assert_array_equal(np.asarray(w), [2.0, 5.0, 8.0])
