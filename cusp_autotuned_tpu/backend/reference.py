@@ -14,7 +14,35 @@ import scipy.sparse as sp
 
 
 def to_scipy(A):
-    """Convert any container to a scipy.sparse matrix (or dense ndarray)."""
+    """Convert any container to a scipy.sparse matrix (or dense ndarray).
+
+    Cached per container (`_host_scipy`), and built from the host COO
+    mirror when one exists — repeated setup-time oracle reads then never
+    pull arrays back through the device relay."""
+    cached = getattr(A, "_host_scipy", None)
+    if cached is not None:
+        return cached
+    from cusp_autotuned_tpu import formats as F
+
+    S = None
+    mirror = getattr(A, "_host_coo", None)
+    if mirror is not None:
+        row, col, val, shape = mirror
+        S = sp.coo_matrix((val, (row, col)), shape=shape)
+        if isinstance(A, F.CSR):
+            S = S.tocsr()
+        elif isinstance(A, F.DIA):
+            S = S.todia()
+    if S is None:
+        S = _to_scipy_uncached(A)
+    try:
+        object.__setattr__(A, "_host_scipy", S)
+    except Exception:  # noqa: BLE001
+        pass
+    return S
+
+
+def _to_scipy_uncached(A):
     from cusp_autotuned_tpu import formats as F
 
     if isinstance(A, F.COO):

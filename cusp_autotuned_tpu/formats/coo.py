@@ -76,13 +76,21 @@ def coo_matrix(row, col, val, shape, *, sort: bool = True, dtype=None,
         order = np.argsort(key, kind="stable")
         row, col, val = row[order], col[order], val[order]
     npad = pad_to_len if pad_to_len is not None else max(LANE, round_up(nnz, LANE))
-    return COO(
+    M = COO(
         row=jnp.asarray(pad_to(row, npad, fill=m)),
         col=jnp.asarray(pad_to(col, npad, fill=0)),
         val=jnp.asarray(pad_to(val, npad, fill=0)),
         shape=(m, n),
         nnz=nnz,
     )
+    # host mirror: construction ran on host arrays, so stash the trimmed
+    # triplets — setup-time consumers (converters, kernel planners, the
+    # scipy oracle) read them back constantly, and each device->host pull
+    # costs a relay round trip (ops/convert._coo_arrays consults this)
+    object.__setattr__(M, "_host_coo",
+                       (np.asarray(row), np.asarray(col), np.asarray(val),
+                        (m, n)))
+    return M
 
 
 def coo_from_scipy(sp, dtype=None) -> COO:

@@ -36,7 +36,21 @@ FILL_THRESHOLD = 1e6
 
 def _coo_arrays(A):
     """(row, col, val, shape) as host arrays, trimmed of padding, sorted by
-    (row, col)."""
+    (row, col).  Containers carry a host mirror (`_host_coo`, stashed at
+    construction/conversion time) so repeated setup-time reads don't pay a
+    device->host relay round trip per call."""
+    cached = getattr(A, "_host_coo", None)
+    if cached is not None:
+        return cached
+    out = _coo_arrays_uncached(A)
+    try:
+        object.__setattr__(A, "_host_coo", out)
+    except Exception:  # noqa: BLE001 — plain ndarrays don't take attributes
+        pass
+    return out
+
+
+def _coo_arrays_uncached(A):
     from cusp_autotuned_tpu.formats.dense import Array2d
     if isinstance(A, (np.ndarray, jnp.ndarray, Array2d)):
         dense = np.asarray(A)
@@ -208,28 +222,35 @@ def convert(src, fmt, **kwargs):
     row, col, val, shape = _coo_arrays(src)
 
     if fmt == "coo":
-        return coo_matrix(row, col, val, shape, sort=False)
-    if fmt == "csr":
-        return _coo_to_csr(row, col, val, shape)
-    if fmt == "dia":
-        return _coo_to_dia(row, col, val, shape,
-                           dont_throw=kwargs.get("dont_throw", False))
-    if fmt == "ell":
+        out = coo_matrix(row, col, val, shape, sort=False)
+    elif fmt == "csr":
+        out = _coo_to_csr(row, col, val, shape)
+    elif fmt == "dia":
+        out = _coo_to_dia(row, col, val, shape,
+                          dont_throw=kwargs.get("dont_throw", False))
+    elif fmt == "ell":
         cols2, vals2 = _coo_to_ell(
             row, col, val, shape,
             num_entries_per_row=kwargs.get("num_entries_per_row", 0),
             dont_throw=kwargs.get("dont_throw", False))
-        return ell_matrix(cols2, vals2, shape)
-    if fmt == "ellr":
+        out = ell_matrix(cols2, vals2, shape)
+    elif fmt == "ellr":
         cols2, vals2 = _coo_to_ell(
             row, col, val, shape,
             num_entries_per_row=kwargs.get("num_entries_per_row", 0),
             dont_throw=kwargs.get("dont_throw", False))
-        return ellr_matrix(cols2, vals2, shape)
-    if fmt == "hyb":
-        return _coo_to_hyb(row, col, val, shape,
-                           num_entries_per_row=kwargs.get("num_entries_per_row", 0))
-    raise ValueError(f"unknown target format {fmt!r}")
+        out = ellr_matrix(cols2, vals2, shape)
+    elif fmt == "hyb":
+        out = _coo_to_hyb(row, col, val, shape,
+                          num_entries_per_row=kwargs.get(
+                              "num_entries_per_row", 0))
+    else:
+        raise ValueError(f"unknown target format {fmt!r}")
+    try:
+        object.__setattr__(out, "_host_coo", (row, col, val, shape))
+    except Exception:  # noqa: BLE001
+        pass
+    return out
 
 
 def to_dense(A) -> jnp.ndarray:

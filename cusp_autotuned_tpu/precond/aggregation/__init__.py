@@ -87,7 +87,12 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)
         sa.T = T
         P = smooth_prolongator(sa.A, T, omega=omega, rho_DinvA=rho)
-        R = transpose(P)
+        # setup-time transpose stays on the host mirror (a device transpose
+        # would compile a fresh sort program per level shape); the solve
+        # path keeps the device ops.transpose
+        from cusp_autotuned_tpu.backend.reference import from_scipy, to_scipy
+        Psp = to_scipy(P)
+        R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
         A_coarse = galerkin_product(R, sa.A, P)
         levels.append(Level(R=R, A=sa.A,
                             P=P, smoother=smoother_factory(sa.A, rho)))
