@@ -52,7 +52,8 @@ def MAX_PLAN_BYTES():
     from cusp_autotuned_tpu.utils.config import get_config
     return get_config().plan_budget_bytes
 MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
-NR = 16                    # distinct rows per hub block
+NR_DEFAULT = 16            # distinct rows per hub block (hub_rows axis)
+_HUB_SHIFT32 = 20          # plan-time packing: (rid << 20) | chunk
 
 
 def _plan_main(row, col, val, shape, B, RW, CW):
@@ -179,13 +180,20 @@ def _main_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         y_ref[rb + q, :] = y_ref[rb + q, :] + part
 
 
-def _plan_hub(row, col, val, shape, B, CW):
-    """Hub rows grouped NR at a time; group entries column-sorted so blocks
-    keep a narrow column window.  Slot lane = column lane."""
+def _plan_hub(row, col, val, shape, B, CW, NR):
+    """Hub rows grouped NR at a time, in DESCENDING-degree order (rows of
+    similar weight share a group, so blocks fill evenly on extreme power
+    laws); group entries column-sorted so blocks keep a narrow column
+    window.  Slot lane = column lane."""
     m, n = shape
     Bs = B // LANE
-    urows_all, inv = np.unique(row, return_inverse=True)
-    gid = inv // NR
+    urows_sorted, inv, counts = np.unique(row, return_inverse=True,
+                                          return_counts=True)
+    deg_order = np.argsort(-counts, kind="stable")
+    rank = np.empty_like(deg_order)
+    rank[deg_order] = np.arange(deg_order.size)
+    urows_all = urows_sorted[deg_order]
+    gid = rank[inv] // NR
     order = np.lexsort((col, gid))
     row, col, val, gid = row[order], col[order], val[order], gid[order]
     nnz = row.shape[0]
@@ -215,11 +223,12 @@ def _plan_hub(row, col, val, shape, B, CW):
             fill = fill[: over[0]]
         k = slice(i, j)
         urows = urows_all[gset * NR:(gset + 1) * NR]
-        rid = np.searchsorted(urows, row[k])
+        us = np.argsort(urows)               # urows is degree-ordered
+        rid = us[np.searchsorted(urows[us], row[k])]
         vals2d = np.zeros((Bs, LANE), np.float64)
         packed = np.zeros((Bs, LANE), np.int64)
         vals2d[fill, lanes] = val[k]
-        packed[fill, lanes] = (rid << 12) | ((col[k] >> 7) - (cb >> 7))
+        packed[fill, lanes] = (rid << _HUB_SHIFT32) | ((col[k] >> 7) - (cb >> 7))
         rows_blk = np.full(LANE, m, np.int64)     # pad ids dropped on add
         rows_blk[: urows.size] = urows
         blocks.append((vals2d, packed, cb // LANE, rows_blk))
@@ -239,7 +248,8 @@ def _plan_hub(row, col, val, shape, B, CW):
     return vals, packs, cbs, rows
 
 
-def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW, rid_shift):
+def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW, rid_shift,
+                NR):
     W = CW // LANE
     g = pl.program_id(0)
     vals = val_ref[0]
@@ -360,20 +370,23 @@ def build_colsort(A, config, interpret: bool = False):
         parts.append(main_part)
 
     if hub.any():
+        NR = int(config.get("hub_rows", NR_DEFAULT))
         hvals, hpacks, hcbs, hrows = _plan_hub(
-            row[hub], col[hub], val[hub], shape, B, CW)
-        rid_shift = 12
-        if pack16 and (hpacks & ((1 << 12) - 1)).max(initial=0) < (1 << 11):
-            rid = hpacks >> 12
-            hpacks = ((rid << 11) | (hpacks & ((1 << 11) - 1))).astype(
-                np.int16)
-            rid_shift = 11
+            row[hub], col[hub], val[hub], shape, B, CW, NR)
+        rid_shift = _HUB_SHIFT32
+        chunk_max = int((hpacks & ((1 << _HUB_SHIFT32) - 1)).max(initial=0))
+        s16 = max(1, chunk_max.bit_length())
+        if pack16 and (((NR - 1) << s16) | chunk_max) < (1 << 15):
+            rid = hpacks >> _HUB_SHIFT32
+            hpacks = ((rid << s16)
+                      | (hpacks & ((1 << s16) - 1))).astype(np.int16)
+            rid_shift = s16
         nb_pad = hvals.shape[0]
         if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES():
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
         kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW,
-                                 rid_shift=rid_shift)
+                                 rid_shift=rid_shift, NR=NR)
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -260,6 +260,11 @@ def tuning_space(A) -> TuningSpace:
                             fit((0, 2048, 131072), 2 * A.num_cols + 2048))
         space.add_parameter("row_window",
                             fit((0, 512, 4096), 2 * A.num_rows + 512))
+        # hub-pass rows-per-group (colsort only): 8 packs extreme power-law
+        # hubs densely, 32 amortizes block count on milder skews
+        space.add_parameter("hub_rows", (0, 8, 32))
+        space.add_constraint(("impl", "hub_rows"),
+                             lambda i, h: (h > 0) == (i == "colsort"))
         space.add_constraint(("impl", "dia_impl"),
                              lambda i, d: (d == "none") == (i not in ("via_dia", "rcm_dia")))
         space.add_constraint(("dia_impl", "block_rows"),

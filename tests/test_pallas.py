@@ -245,6 +245,14 @@ def test_binned_spmm_hub_spill():
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("hub_rows", [8, 32])
+def test_colsort_hub_rows_axis(hub_rows):
+    # hub-pass rows-per-group is a tuning axis; degree-ordered grouping
+    S = _powerlaw(900, 9000, seed=8)
+    _check_binned(S, "build_colsort", block_entries=2048, col_window=2048,
+                  row_window=512, hub_cap=10, hub_rows=hub_rows)
+
+
 def test_binned_single_dense_row():
     import scipy.sparse as sp
     # one row holding everything: all entries hub-spill
