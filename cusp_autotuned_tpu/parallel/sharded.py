@@ -100,6 +100,21 @@ def sharded_spmv(A, x):
     return multiply(A, x)
 
 
+def distribute_for_solve(A, mesh: Mesh, *vectors, aligned: bool = True):
+    """Shard the operator's rows over the mesh and replicate the given
+    vectors — the preparation step behind the solvers' public `mesh=`
+    argument.  COO/CSR take the row-aligned placement (shard-local segment
+    sums) unless aligned=False; returns (A_sharded, *vectors_replicated)."""
+    if getattr(A, "format", None) in ("coo", "csr") and aligned:
+        A = shard_rows_aligned(A, mesh)
+    elif F.is_sparse(A):
+        A = shard_rows(A, mesh)
+    out = [A]
+    for v in vectors:
+        out.append(None if v is None else replicate(jnp.asarray(v), mesh))
+    return tuple(out)
+
+
 def distributed_cg(A, b, mesh: Mesh, iterations: int = 25):
     """Fixed-iteration CG with the matrix row-sharded over the mesh; the
     per-iteration dot products become ICI all-reduces.  Returns (x, r_norm)."""

@@ -51,15 +51,28 @@ def _cg_loop(A, M, b, x0, state0):
     return x, state
 
 
-def cg(A, b, x0=None, monitor: Monitor | None = None, M=None):
+def cg(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
     """Solve A x = b.  Returns (x, monitor) — functional in/out instead of the
-    reference's in-place x."""
+    reference's in-place x.
+
+    mesh: a jax.sharding.Mesh distributes the solve — A is row-sharded over
+    the mesh (row-aligned placement for COO/CSR), b/x0 replicated, and the
+    same jitted loop runs under GSPMD with the dot products becoming ICI
+    all-reduces.  The reference has no distributed path (SURVEY §2.6); this
+    is the TPU-native extension."""
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
     Mop = as_operator(M)
-    x, state = _cg_loop(A, Mop, b, jnp.asarray(x0), monitor.to_state(b))
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b, x0 = distribute_for_solve(A, mesh, b, x0)
+        with mesh:
+            x, state = _cg_loop(A, Mop, b, jnp.asarray(x0),
+                                monitor.to_state(b))
+    else:
+        x, state = _cg_loop(A, Mop, b, jnp.asarray(x0), monitor.to_state(b))
     monitor.absorb_state(state)
     return x, monitor

@@ -51,13 +51,20 @@ def _cr_loop(A, M, b, x0, state0):
     return x, state
 
 
-def cr(A, b, x0=None, monitor: Monitor | None = None, M=None):
+def cr(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
-    x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
-                        monitor.to_state(b))
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b, x0 = distribute_for_solve(A, mesh, b, x0)
+        with mesh:
+            x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
+                                monitor.to_state(b))
+    else:
+        x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
+                            monitor.to_state(b))
     monitor.absorb_state(state)
     return x, monitor

@@ -114,18 +114,26 @@ def _gmres_cycle(A, M, b, x, state, R):
 
 
 def gmres(A, b, x0=None, restart: int = 50, monitor: Monitor | None = None,
-          M=None):
-    """Solve A x = b with restarted GMRES(restart).  Returns (x, monitor)."""
+          M=None, mesh=None):
+    """Solve A x = b with restarted GMRES(restart).  Returns (x, monitor).
+    mesh: distribute the solve over a jax.sharding.Mesh (row-sharded A,
+    GSPMD collectives inside the jitted cycle)."""
+    import contextlib
     b = jnp.asarray(b)
     x = jnp.asarray(x0) if x0 is not None else jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b, x = distribute_for_solve(A, mesh, b, x)
     Mop = as_operator(M)
     state = monitor.to_state(b)
     R = int(min(restart, max(1, monitor.iteration_limit())))
-    while True:
-        x, state = _gmres_cycle(A, Mop, b, x, state, R=R)
-        if bool(state.converged()) or int(state.k) >= monitor.iteration_limit():
-            break
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        while True:
+            x, state = _gmres_cycle(A, Mop, b, x, state, R=R)
+            if bool(state.converged()) \
+                    or int(state.k) >= monitor.iteration_limit():
+                break
     monitor.absorb_state(state)
     return x, monitor

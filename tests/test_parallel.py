@@ -134,3 +134,30 @@ def test_distributed_cg_halo_matches_allgather():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x3),
                                rtol=1e-4, atol=1e-5)
+
+
+# -- public solver mesh= argument -------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["dia", "csr"])
+def test_solver_mesh_arg_cg(fmt):
+    from cusp_autotuned_tpu import solvers
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 64, format=fmt, dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(A, b, mesh=mesh)
+    x1, mon1 = solvers.cg(A, b)
+    assert mon.converged()
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_solver_mesh_arg_bicgstab_gmres_cr():
+    from cusp_autotuned_tpu import solvers
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 48, format="csr", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    for solve in (solvers.bicgstab, solvers.cr, solvers.gmres):
+        x, mon = solve(A, b, mesh=mesh)
+        assert mon.converged(), solve.__name__
+        r = b - np.asarray(multiply(A, np.asarray(x)))
+        assert np.linalg.norm(r) <= 2e-3 * np.linalg.norm(b), solve.__name__
