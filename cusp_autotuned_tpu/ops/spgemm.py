@@ -65,9 +65,13 @@ def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
     else:
         from cusp_autotuned_tpu.ops.segment import segment_reduce
         vals, _ = segment_reduce(cval, seg_id, E_pad, reduce)
-    rows = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(crow)
-    cols = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(ccol)
     nseg = seg_id[-1] + 1
+    # slots beyond nseg follow the COO padding convention (row=num_rows,
+    # col=0, val=0) so the compressed output IS a valid padded sorted COO —
+    # the device-resident path wraps it without any array download
+    rows = jnp.full(E_pad, num_rows, jnp.int32).at[seg_id].set(crow)
+    cols = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(ccol)
+    vals = jnp.where(jnp.arange(E_pad, dtype=jnp.int32) < nseg, vals, 0)
     return rows, cols, vals, nseg
 
 
@@ -112,6 +116,24 @@ def spgemm(A, B, initialize=None, combine=None, reduce=None):
 
     # slice over A's entries so each slice's expansion fits the workspace cap
     cum = np.concatenate([[0], np.cumsum(exp_len)])
+
+    if total <= MAX_WORKSPACE:
+        # single slice: DEVICE-RESIDENT result.  The compressed kernel
+        # output is already a padded sorted COO; only the segment-count
+        # scalar crosses to the host (no O(nnz) download/re-upload), so
+        # SpGEMM chains (Galerkin RAP, semiring graph products) stay on
+        # device end to end.
+        E = total
+        E_pad = max(LANE, round_up(E, LANE))
+        rows_d, cols_d, vals_d, nseg = _esc_kernel(
+            jnp.asarray(a_row), jnp.asarray(a_col), jnp.asarray(a_val),
+            jnp.asarray(cum.astype(np.int32)), Bc.indptr, Bc.col, Bc.val,
+            E=E, E_pad=E_pad, num_rows=m, combine=combine, reduce=reduce)
+        nnz = int(nseg) - (1 if E_pad > E else 0)   # drop the pad segment
+        C = F.COO(row=rows_d, col=cols_d, val=vals_d, shape=(m, n),
+                  nnz=max(nnz, 0))
+        return C if out_fmt == "coo" else convert(C, out_fmt)
+
     pieces = []
     start = 0
     while start < a_row.size:

@@ -257,3 +257,26 @@ def test_generalized_spgemm_min_plus_10k_device():
         finite = np.isfinite(exp)
         np.testing.assert_allclose(got[finite], exp[finite], rtol=1e-10)
         assert not np.isfinite(got[~finite]).any()
+
+
+def test_spgemm_device_resident_single_slice():
+    # single-slice products return a device-resident padded COO (only the
+    # segment-count scalar syncs); result matches scipy exactly
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.ops.spgemm import spgemm
+    from cusp_autotuned_tpu.backend.reference import from_scipy, to_scipy
+    rng = np.random.RandomState(21)
+    S1 = sp.random(80, 60, density=0.08, random_state=rng).tocsr()
+    S2 = sp.random(60, 90, density=0.08, random_state=rng).tocsr()
+    A = from_scipy(S1.tocoo(), "coo")
+    B = from_scipy(S2.tocoo(), "coo")
+    C = spgemm(A, B)
+    assert C.format == "coo"
+    assert not hasattr(C, "_host_coo")      # built from device arrays
+    ref = (S1 @ S2).tocoo()
+    got = to_scipy(C).tocoo()
+    np.testing.assert_allclose(got.toarray(), ref.toarray(), rtol=1e-5,
+                               atol=1e-6)
+    # padding rows carry the out-of-range row id (COO convention)
+    r = np.asarray(C.row)
+    assert np.all(r[C.nnz:] == C.shape[0])
