@@ -232,6 +232,27 @@ def test_binned_spmm(k):
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_binned_spmm_k_chunking():
+    # force a tiny VMEM budget so k=12 splits across several kernel calls
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    from cusp_autotuned_tpu.utils.config import get_config, configure
+    S = gallery.poisson5pt(40, 40, format="csr").to_scipy()
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(12)
+    X = jnp.asarray(rng.randn(A.num_cols, 12).astype(np.float32))
+    old = get_config().vmem_budget_bytes
+    try:
+        # budget admits ~3 columns per chunk at this size
+        configure(vmem_budget_bytes=(2 * (A.num_cols // 128 + 20) * 128 * 4))
+        fn = build_binned(A, {"block_entries": 512, "col_window": 1024,
+                              "row_window": 256}, interpret=True)
+        Y = np.asarray(jax.jit(fn)(X))
+    finally:
+        configure(vmem_budget_bytes=old)
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_binned_spmm_hub_spill():
     from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
     S = _powerlaw(500, 5000, seed=4)
