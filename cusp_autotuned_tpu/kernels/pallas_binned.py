@@ -388,14 +388,14 @@ def _build(A, config, interpret):
             if KB > 8:
                 KB -= KB % 8
             KB = min(K, KB)
-            call = _spmm_call(KB)
+            spmm = _spmm_call(KB)
             xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T   # (K, n_pad)
             outs = []
             for s in range(0, K, KB):
                 xc = jax.lax.dynamic_slice_in_dim(
                     jnp.pad(xT, ((0, (-K) % KB), (0, 0))), s, KB, axis=0)
                 x3 = xc.reshape(KB, x_rows, LANE)
-                y3 = call(rbs_d, cbs_d, spans_d, x3, vals_d, packs_d)
+                y3 = spmm(rbs_d, cbs_d, spans_d, x3, vals_d, packs_d)
                 outs.append(y3.reshape(KB, m_pad)[:, :m])
             y = jnp.concatenate(outs, axis=0)[:K].T
         else:
