@@ -36,6 +36,9 @@ def candidate_configs(rect: bool):
                      "col_window": 16384, "row_window": 2048}),
         ("colsort-wide", {"impl": "colsort", "block_entries": 16384,
                           "col_window": 131072, "row_window": 4096}),
+        ("colsort-wide-h32", {"impl": "colsort", "block_entries": 16384,
+                              "col_window": 131072, "row_window": 4096,
+                              "hub_rows": 32}),
         ("onehot", {"impl": "pallas", "block_entries": 2048,
                     "col_window": 4096}),
     ]

@@ -23,6 +23,19 @@ def main():
     print(f"{n_dev}-device CG: ||r|| = {float(r1):.3e} (gspmd), "
           f"{float(r2):.3e} (shard_map)")
 
+    # the public solver API distributes with a mesh argument: the monitored
+    # while_loop runs under GSPMD, dot products become ICI all-reduces
+    from cusp_autotuned_tpu import solvers
+    x3, mon = solvers.cg(A, b, mesh=mesh)
+    print(f"public cg(mesh=): converged={mon.converged()} in "
+          f"{mon.iteration_count()} iterations")
+
+    x4, mon4 = solvers.bicgstab(
+        gallery.poisson5pt(64, 16 * n_dev, format="csr", dtype=np.float32),
+        b, mesh=mesh)
+    print(f"public bicgstab(mesh=) on row-aligned CSR: "
+          f"converged={mon4.converged()}")
+
 
 if __name__ == "__main__":
     main()
