@@ -49,7 +49,8 @@ from cusp_autotuned_tpu import autotune
 from cusp_autotuned_tpu import formats, ops, solvers, gallery, io, utils
 from cusp_autotuned_tpu import eigen, graph, precond, relaxation
 from cusp_autotuned_tpu.operators import (
-    IdentityOperator, FunctionOperator, identity_operator, make_linear_operator,
+    IdentityOperator, FunctionOperator, PlannedOperator,
+    identity_operator, make_linear_operator, planned_operator,
 )
 
 # central runtime config (SURVEY §5 config/flag system): honor the

@@ -18,7 +18,7 @@ format selection); validation compares against the SciPy reference oracle.
 
 from cusp_autotuned_tpu.autotune.tuner import (
     Tuner, get_tuner, enable, disable, is_enabled,
-    multiply, tune, reset_tuning, choose_format,
+    multiply, tune, reset_tuning, choose_format, tuned_operator,
     TUNABLE_FORMATS,
 )
 from cusp_autotuned_tpu.autotune.space import (

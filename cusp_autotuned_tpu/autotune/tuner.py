@@ -390,6 +390,19 @@ def reset_tuning(A=None):
     get_tuner().reset_tuning(A)
 
 
+def tuned_operator(A, x=None, tune_first: bool = False):
+    """The tuner's best known configuration for A, packaged as a solver
+    operator whose planned arrays travel as jit parameters
+    (operators.PlannedOperator) — use as the `A` of any Krylov solve.
+    tune_first=True runs the offline search when no results exist yet."""
+    from cusp_autotuned_tpu.operators import planned_operator
+    tuner = get_tuner()
+    if tune_first and not tuner.results.get(matrix_signature(A, x), {}):
+        tuner.tune(A, x if x is not None else
+                   np.ones(A.num_cols, np.dtype(A.dtype)))
+    return planned_operator(A, tuner.best_configuration(A, x))
+
+
 def choose_format(A, x=None, formats=TUNABLE_FORMATS,
                   reference_computation=None, tuner: Optional[Tuner] = None):
     """Per-matrix format selection: convert A to each candidate format, tune

@@ -53,6 +53,13 @@ def MAX_PLAN_BYTES():
     # request rejects programs past ~64 MB, so guard well below it (skippable)
     from cusp_autotuned_tpu.utils.config import get_config
     return get_config().plan_budget_bytes
+
+
+def _plan_budget(config):
+    # the guard protects EMBEDDED-constant jits only: callers that pass the
+    # planned arrays as pytree arguments (operators.planned_operator) lift
+    # it via the plan_budget_bytes config key
+    return int(config.get("plan_budget_bytes", 0)) or MAX_PLAN_BYTES()
 # pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
 MAX_BLOCKS_FACTOR = 6
 
@@ -285,15 +292,22 @@ def _build(A, config, interpret):
         scol_d = jnp.asarray(scol[order].astype(np.int32))
         sval_d = jnp.asarray(sval[order].astype(dtype))
 
-        def spill_only(x):
-            sv = sval_d if x.ndim == 1 else sval_d[:, None]
-            return jax.ops.segment_sum(sv * x[scol_d], srow_d,
+        arrays0 = {"srow": srow_d, "scol": scol_d, "sval": sval_d}
+
+        def spill_apply(arrs, x):
+            sv = arrs["sval"] if x.ndim == 1 else arrs["sval"][:, None]
+            return jax.ops.segment_sum(sv * x[arrs["scol"]], arrs["srow"],
                                        num_segments=m,
                                        indices_are_sorted=True)
+
+        def spill_only(x):
+            return spill_apply(arrays0, x)
+        spill_only.planned_arrays = arrays0
+        spill_only.apply = spill_apply
         return spill_only
 
     nb = vals.shape[0]
-    if vals.nbytes + packs.nbytes > MAX_PLAN_BYTES():
+    if vals.nbytes + packs.nbytes > _plan_budget(config):
         raise NotImplementedException(
             "planned arrays exceed the compile-request budget")
     m_pad = round_up(m, LANE) + RS * LANE
@@ -370,10 +384,16 @@ def _build(A, config, interpret):
             interpret=interpret,
         )
 
-    def fn(x):
+    arrays = {"vals": vals_d, "packs": packs_d, "rbs": rbs_d, "cbs": cbs_d,
+              "spans": spans_d}
+    if has_spill:
+        arrays.update(srow=srow_d, scol=scol_d, sval=sval_d)
+
+    def apply(arrs, x):
+        scal = (arrs["rbs"], arrs["cbs"], arrs["spans"])
         if x.ndim == 1:
             x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
-            y2 = call(rbs_d, cbs_d, spans_d, x2, vals_d, packs_d)
+            y2 = call(*scal, x2, arrs["vals"], arrs["packs"])
             y = y2.reshape(m_pad)[:m]
         elif x.ndim == 2:
             K = x.shape[1]
@@ -395,18 +415,24 @@ def _build(A, config, interpret):
                 xc = jax.lax.dynamic_slice_in_dim(
                     jnp.pad(xT, ((0, (-K) % KB), (0, 0))), s, KB, axis=0)
                 x3 = xc.reshape(KB, x_rows, LANE)
-                y3 = spmm(rbs_d, cbs_d, spans_d, x3, vals_d, packs_d)
+                y3 = spmm(*scal, x3, arrs["vals"], arrs["packs"])
                 outs.append(y3.reshape(KB, m_pad)[:, :m])
             y = jnp.concatenate(outs, axis=0)[:K].T
         else:
             raise NotImplementedException("binned kernels take 1-D/2-D x")
         if has_spill:
-            sv = sval_d if x.ndim == 1 else sval_d[:, None]
-            y = y + jax.ops.segment_sum(sv * x[scol_d], srow_d,
+            sv = arrs["sval"] if x.ndim == 1 else arrs["sval"][:, None]
+            y = y + jax.ops.segment_sum(sv * x[arrs["scol"]], arrs["srow"],
                                         num_segments=m,
                                         indices_are_sorted=True)
         return y
 
+    def fn(x):
+        return apply(arrays, x)
+    # expose the planned arrays so operators.planned_operator can pass them
+    # through jitted solver loops as pytree leaves (arguments, not consts)
+    fn.planned_arrays = arrays
+    fn.apply = apply
     return fn
 
 

@@ -51,6 +51,13 @@ def MAX_PLAN_BYTES():
     # request rejects programs past ~64 MB, so guard well below it (skippable)
     from cusp_autotuned_tpu.utils.config import get_config
     return get_config().plan_budget_bytes
+
+
+def _plan_budget(config):
+    # the guard protects EMBEDDED-constant jits only: callers that pass the
+    # planned arrays as pytree arguments (operators.planned_operator) lift
+    # it via the plan_budget_bytes config key
+    return int(config.get("plan_budget_bytes", 0)) or MAX_PLAN_BYTES()
 MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
 NR_DEFAULT = 16            # distinct rows per hub block (hub_rows axis)
 _HUB_SHIFT32 = 20          # plan-time packing: (rid << 20) | chunk
@@ -338,7 +345,7 @@ def build_colsort(A, config, interpret: bool = False):
             chunks_ = chunks_.astype(np.int16)
             pqs_ = pqs_.astype(np.int16)
         nb = vals_.shape[0]
-        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > MAX_PLAN_BYTES():
+        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > _plan_budget(config):
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
         m_pad = round_up(m, LANE) + RS * LANE
@@ -382,7 +389,7 @@ def build_colsort(A, config, interpret: bool = False):
                       | (hpacks & ((1 << s16) - 1))).astype(np.int16)
             rid_shift = s16
         nb_pad = hvals.shape[0]
-        if hvals.nbytes + hpacks.nbytes > MAX_PLAN_BYTES():
+        if hvals.nbytes + hpacks.nbytes > _plan_budget(config):
             raise NotImplementedException(
                 "planned arrays exceed the compile-request budget")
         kern = functools.partial(_hub_kernel, Bs=Bs, CW=CW,

@@ -40,6 +40,42 @@ class FunctionOperator:
         return self.fn(x)
 
 
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class PlannedOperator:
+    """A built kernel whose planned device arrays are pytree LEAVES.
+
+    Solvers take the operator as a jit ARGUMENT, so the planned arrays ride
+    the executable as parameters — not as embedded constants, which the
+    relay's compile service size-caps and which re-upload on every
+    recompile.  `build` is static apply logic: (arrays, x) -> y."""
+    arrays: dict
+    build: Callable = static_field()
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    format = "planned_operator"
+
+    def __call__(self, x):
+        return self.build(self.arrays, x)
+
+
+def planned_operator(A, config=None):
+    """Build the configured SpMV kernel for A as a PlannedOperator when the
+    builder exposes its planned arrays (binned/colsort), else a
+    FunctionOperator.  config defaults to the format's default; pass a tuned
+    configuration (autotune.best_configuration) for the fast kernels."""
+    from cusp_autotuned_tpu.kernels.variants import build_spmv, default_config
+    cfg = dict(config) if config is not None else default_config(A)
+    # arrays travel as jit parameters here, so the embedded-constant
+    # compile-request budget doesn't apply — lift it (HBM is the only cap)
+    cfg.setdefault("plan_budget_bytes", 1 << 33)
+    fn = build_spmv(A, cfg)
+    if hasattr(fn, "planned_arrays"):
+        return PlannedOperator(arrays=fn.planned_arrays, build=fn.apply,
+                               shape=A.shape)
+    return FunctionOperator(fn=fn, shape=tuple(A.shape))
+
+
 def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:
     return IdentityOperator(shape=(n, n))
 

@@ -121,8 +121,10 @@ def multiply(A, B, *, use_autotuning: bool | None = None):
     gather.  When autotuning is enabled (autotune.enable(), parity with
     cusp::ktt::enable) and inputs are concrete, sparse×vector routes through
     one tuning iteration exactly like the reference's multiply hook."""
-    from cusp_autotuned_tpu.operators import IdentityOperator, FunctionOperator
-    if isinstance(A, (IdentityOperator, FunctionOperator)):
+    from cusp_autotuned_tpu.operators import (
+        IdentityOperator, FunctionOperator, PlannedOperator,
+    )
+    if isinstance(A, (IdentityOperator, FunctionOperator, PlannedOperator)):
         # matrix-free linear operators apply directly (parity:
         # cusp/linear_operator.h — solvers accept any linear_operator as A)
         return A(B)

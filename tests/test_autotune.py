@@ -234,3 +234,24 @@ def test_permutation_spgemm_and_symmetric_permute():
     expect = np.asarray(S.todense())[perm][:, perm]
     from tests.util import dense_of
     np.testing.assert_allclose(dense_of(PAPt), expect, rtol=1e-6)
+
+
+def test_tuned_operator_packaging():
+    # the tuner's best config packaged as a solver operator; binned/colsort
+    # winners expose planned arrays as pytree leaves
+    import jax
+    from cusp_autotuned_tpu import autotune, solvers, gallery
+    from cusp_autotuned_tpu.operators import PlannedOperator, FunctionOperator
+    A = gallery.poisson9pt(20, 20, format="csr", dtype=np.float32)
+    op = autotune.tuned_operator(A, tune_first=True)
+    assert isinstance(op, (PlannedOperator, FunctionOperator))
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(op, b)
+    assert mon.converged()
+    # force a planned winner
+    op2 = autotune.get_tuner()
+    from cusp_autotuned_tpu.operators import planned_operator
+    p = planned_operator(A, {"impl": "binned", "block_entries": 512,
+                             "col_window": 1024, "row_window": 256})
+    assert isinstance(p, PlannedOperator)
+    assert len(jax.tree_util.tree_leaves(p)) >= 5

@@ -72,3 +72,32 @@ def test_cg_with_matrix_free_operator():
     assert mon.converged()
     r = b - np.asarray(ct.multiply(A, np.asarray(x)))
     assert np.linalg.norm(r) < 1e-6
+
+
+def test_planned_operator_in_cg():
+    # planned kernel arrays flow through the jitted solve as pytree leaves
+    import jax
+    from cusp_autotuned_tpu.operators import planned_operator, PlannedOperator
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson9pt(24, 24, format="csr", dtype=np.float32)
+    op = planned_operator(A, {"impl": "binned", "block_entries": 512,
+                              "col_window": 1024, "row_window": 256})
+    assert isinstance(op, PlannedOperator)
+    leaves = jax.tree_util.tree_leaves(op)
+    assert len(leaves) >= 5          # vals/packs/rbs/cbs/spans are leaves
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(op, b)
+    assert mon.converged()
+    r = b - np.asarray(ct.multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_planned_operator_falls_back_to_function():
+    from cusp_autotuned_tpu.operators import planned_operator, FunctionOperator
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(20, 20, format="dia", dtype=np.float32)
+    op = planned_operator(A)          # DIA slices builder: no planned arrays
+    assert isinstance(op, FunctionOperator)
+    x = np.ones(A.num_cols, np.float32)
+    np.testing.assert_allclose(np.asarray(op(x)),
+                               np.asarray(ct.multiply(A, x)), rtol=1e-5)
