@@ -90,6 +90,43 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
+    y0 = f(*args) if args else None
+    if (args and isinstance(x0, jnp.ndarray) and isinstance(y0, jnp.ndarray)
+            and y0.dtype == x0.dtype and y0.ndim == x0.ndim):
+        # rectangular operator: chain through a cheap slice/pad projection
+        # back to the input space so iterations stay DEPENDENT — the
+        # repeated-dispatch fallback below is only a lower bound on relayed
+        # devices (request caching).  Same scheme as autotune.Tuner._time.
+        rest = args[1:]
+
+        def proj(u):
+            for ax in range(x0.ndim):
+                if u.shape[ax] > x0.shape[ax]:
+                    u = jax.lax.slice_in_dim(u, 0, x0.shape[ax], axis=ax)
+                elif u.shape[ax] < x0.shape[ax]:
+                    pad = [(0, 0)] * x0.ndim
+                    pad[ax] = (0, x0.shape[ax] - u.shape[ax])
+                    u = jnp.pad(u, pad)
+            return u
+
+        @jax.jit
+        def chain(x, *rest):
+            def body(i, v):
+                return jax.lax.optimization_barrier(
+                    proj(f(v, *rest)) * 0.125 + x * 0.875)
+            return jax.lax.fori_loop(0, reps, body, x)
+
+        jax.block_until_ready(chain(x0, *rest))
+        best = float("inf")
+        for i in range(outer):
+            xi = x0
+            if jnp.issubdtype(x0.dtype, jnp.inexact):
+                xi = jax.block_until_ready(x0 * (1.0 + (i + 1) * 0.37))
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(xi, *rest))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
     jax.block_until_ready(f(*args))
     best = float("inf")
     for _ in range(outer):
