@@ -100,21 +100,34 @@ def _lane_fill(lanes):
 
 # -- row-lane-binned plan + kernel --------------------------------------------
 
-def plan_binned(row, col, val, shape, B, C, RW, hub_cap):
+def plan_binned(row, col, val, shape, B, C, RW, hub_cap, aligned=False):
+    """aligned=True pins windows to the RW/C grid (rb % RW == 0,
+    cb % C == 0) so the kernel can stream x/y blocks via index maps."""
     m, n = shape
     Bs = B // LANE
-    RS = RW // LANE + 1          # +1 sublane for the 128-alignment remainder
+    # aligned windows need no remainder sublane (rb is RW-aligned)
+    RS = RW // LANE + (0 if aligned else 1)
     CW = C // LANE
     (row, col, val), spill = _spill_hubs(row, col, val, row, m, hub_cap)
     nnz = row.shape[0]
     if nnz == 0:
         return None, None, None, None, None, spill, RS, CW
     max_blocks = MAX_BLOCKS_FACTOR * (nnz // B + 1) + 16
+    if aligned:
+        # CELL-major entry order: one (row-window, col-window) grid cell per
+        # block run, so the per-row column zigzag never closes blocks.  All
+        # blocks of a row window stay contiguous (the kernel's first-visit
+        # test relies on that).
+        cell = (row // RW) * (n // C + 2) + col // C
+        order = np.lexsort((col, row, cell))
+        row, col, val = row[order], col[order], val[order]
+        max_blocks = 2 * max_blocks + (nnz // B + 2) + (m // RW + 1) + 16
 
     # native planner fast path (same block contract, incremental greedy)
     from cusp_autotuned_tpu import native
     try:
-        nat = native.plan_binned(row, col, val, B, C, RW, max_blocks)
+        nat = native.plan_binned(row, col, val, B, C, RW, max_blocks,
+                                 aligned=aligned)
     except ValueError:
         raise FormatConversionException(
             "pattern cannot be planned for the row-binned kernel")
@@ -125,14 +138,22 @@ def plan_binned(row, col, val, shape, B, C, RW, hub_cap):
     blocks = []
     i = 0
     while i < nnz:
-        rb = int(row[i]) & ~(LANE - 1)
-        j = min(i + B, int(np.searchsorted(row, rb + RW)))
-        while j > i + 1:                       # column-span shrink
-            c0 = int(col[i:j].min()) >> 7
-            c1 = int(col[i:j].max()) >> 7
-            if c1 - c0 + 1 <= CW:
-                break
-            j = i + max(1, (j - i) * 3 // 4)
+        if aligned:
+            rb = int(row[i]) - int(row[i]) % RW
+            cw0 = int(col[i]) // C
+            jcap = min(i + B, nnz)
+            viol = np.nonzero((row[i:jcap] - rb >= RW)
+                              | (col[i:jcap] // C != cw0))[0]
+            j = i + int(viol[0]) if viol.size else jcap
+        else:
+            rb = int(row[i]) & ~(LANE - 1)
+            j = min(i + B, int(np.searchsorted(row, rb + RW)))
+            while j > i + 1:                   # column-span shrink
+                c0 = int(col[i:j].min()) >> 7
+                c1 = int(col[i:j].max()) >> 7
+                if c1 - c0 + 1 <= CW:
+                    break
+                j = i + max(1, (j - i) * 3 // 4)
         lanes = (row[i:j] & (LANE - 1)).astype(np.int64)
         fill = _lane_fill(lanes)
         over = np.nonzero(fill >= Bs)[0]
@@ -141,7 +162,7 @@ def plan_binned(row, col, val, shape, B, C, RW, hub_cap):
             lanes = lanes[: over[0]]
             fill = fill[: over[0]]
         k = slice(i, j)
-        cb = (int(col[k].min()) >> 7 << 7)
+        cb = (cw0 * C) if aligned else (int(col[k].min()) >> 7 << 7)
         vals2d = np.zeros((Bs, LANE), np.float64)
         packed = np.zeros((Bs, LANE), np.int64)
         q = (row[k] - rb) >> 7
@@ -236,6 +257,195 @@ def _binned_spmm_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
         return carry
 
     jax.lax.fori_loop(0, K, body, 0)
+
+
+# -- streamed-window kernels (aligned plans; x/y blocks ride index maps) -------
+
+def _streamed_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
+                     *, Bs, RS, CW, qshift, K=0):
+    """Streamed rail: x_ref IS the (CW, 128) column window and y_ref the
+    (RS, 128) row window, both pipelined by BlockSpec index maps over the
+    ALIGNED plan — nothing stays VMEM-resident, so n and m are unbounded
+    (HBM is the only cap).  K > 0 adds the SpMM k-major leading dim.  The
+    y window is revisited by consecutive blocks of the same row window and
+    zeroed on first visit."""
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, rbs[g] != rbs[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    packed = pack_ref[0].astype(jnp.int32)
+    vals = val_ref[0]
+    lane = jnp.bitwise_and(packed, jnp.int32(LANE - 1))
+    chunk = jnp.bitwise_and(jax.lax.shift_right_logical(packed, jnp.int32(7)),
+                            jnp.int32((1 << (qshift - 7)) - 1))
+    qv = jax.lax.shift_right_logical(packed, jnp.int32(qshift))
+    dtype = y_ref.dtype
+
+    def one_rhs(xw, y_at, y_set):
+        xg = jnp.zeros((Bs, LANE), dtype)
+        for c in range(CW):
+            xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
+            t = jnp.take_along_axis(xrep, lane, axis=1)
+            xg = jnp.where(chunk == c, t, xg)
+        prod = vals * xg
+        for q in range(RS):
+            part = jnp.sum(jnp.where(qv == q, prod, 0), axis=0)
+            y_set(q, y_at(q) + part)
+
+    if K == 0:
+        one_rhs(x_ref[...],
+                lambda q: y_ref[q, :],
+                lambda q, v: y_ref.__setitem__((q, slice(None)), v))
+    else:
+        def body(kk, carry):
+            one_rhs(x_ref[kk],
+                    lambda q: y_ref[kk, q, :],
+                    lambda q, v: y_ref.__setitem__((kk, q, slice(None)), v))
+            return carry
+        jax.lax.fori_loop(0, K, body, 0)
+
+
+def _build_streamed(A, config, interpret):
+    """Aligned-window builder: x and y stream per block (see
+    _streamed_kernel).  Used when the resident builder's x/y would exceed
+    the VMEM budget, or forced with stream_x=1."""
+    B = int(config.get("block_entries", 4096))
+    Bs = B // LANE
+    # Mosaic requires streamed block sublane counts divisible by 8: the
+    # row/column windows round up to 1024-element (8-sublane) multiples
+    RW = max(1024, round_up(int(config.get("row_window", 512)), 1024))
+    C = max(1024, round_up(int(config.get("col_window", 2048)), 1024))
+    if B % LANE:
+        raise NotImplementedException(
+            "block_entries must be a multiple of 128")
+    hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
+    row, col, val, shape = _host_coo(A)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    vals, packs, rbs, cbs, spans, spill, RS, CW = plan_binned(
+        row, col, val, shape, B, C, RW, hub_cap, aligned=True)
+
+    pack16 = config.get("pack16", "auto")
+    can16 = Bs % 16 == 0 and C <= 4096 and RS <= 8
+    if pack16 == "auto":
+        pack16 = can16
+    elif pack16 and not can16:
+        raise NotImplementedException(
+            "pack16 requires block_entries % 2048 == 0, col_window <= 4096 "
+            "and row_window <= 1024")
+    qshift = 12 if pack16 else 24
+    if pack16 and packs is not None:
+        qq = packs >> 24
+        packs = ((qq << 12) | (packs & ((1 << 24) - 1))).astype(np.int16)
+
+    srow, scol, sval = spill
+    has_spill = srow.size > 0
+    if has_spill:
+        srow_d = jnp.asarray(srow.astype(np.int32))
+        scol_d = jnp.asarray(scol.astype(np.int32))
+        sval_d = jnp.asarray(sval.astype(dtype))
+
+    if vals is None:
+        def spill_only(x):
+            sv = sval_d if x.ndim == 1 else sval_d[:, None]
+            return jax.ops.segment_sum(sv * x[scol_d], srow_d,
+                                       num_segments=m,
+                                       indices_are_sorted=True)
+        return spill_only
+
+    nb = vals.shape[0]
+    if vals.nbytes + packs.nbytes > _plan_budget(config):
+        raise NotImplementedException(
+            "planned arrays exceed the compile-request budget")
+    n_pad = max(C, round_up(n, C))
+    x_rows = n_pad // LANE
+    m_pad = max(RW, round_up(m, RW))
+    rows_sub = m_pad // LANE
+    n_win = m_pad // RW
+    # windows that own no block are never written by the kernel: mask them
+    touched = np.zeros(n_win, bool)
+    touched[np.asarray(rbs) // RS] = True
+    row_mask = jnp.asarray(np.repeat(touched, RW)[:m])
+
+    cbs_win = jnp.asarray(np.asarray(cbs) // CW)
+    rbs_win = jnp.asarray(np.asarray(rbs) // RS)
+    spans_d = jnp.asarray(spans)
+    vals_d = jnp.asarray(vals.astype(dtype))
+    packs_d = jnp.asarray(packs)
+
+    def make_call(K):
+        kern = functools.partial(_streamed_kernel, Bs=Bs, RS=RS, CW=CW,
+                                 qshift=qshift, K=K)
+        kdim = () if K == 0 else (K,)
+        kblk = () if K == 0 else (K,)
+
+        def xmap(g, rbs, cbs, spans):
+            return (0,) * len(kdim) + (cbs[g], 0)
+
+        def ymap(g, rbs, cbs, spans):
+            return (0,) * len(kdim) + (rbs[g], 0)
+
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec(kblk + (CW, LANE), xmap,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(kblk + (RS, LANE), ymap,
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(kdim + (rows_sub, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb * Bs * LANE * max(K, 1),
+                bytes_accessed=(nb * Bs * LANE * dtype.itemsize + packs.nbytes
+                                + nb * (CW + RS) * LANE * max(K, 1)
+                                * dtype.itemsize),
+                transcendentals=0),
+            interpret=interpret)
+
+    arrays = {"vals": vals_d, "packs": packs_d, "rbs": rbs_win,
+              "cbs": cbs_win, "spans": spans_d, "row_mask": row_mask}
+    if has_spill:
+        arrays.update(srow=srow_d, scol=scol_d, sval=sval_d)
+
+    def apply(arrs, x):
+        scal = (arrs["rbs"], arrs["cbs"], arrs["spans"])
+        if x.ndim == 1:
+            x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+            y2 = make_call(0)(*scal, x2, arrs["vals"], arrs["packs"])
+            y = jnp.where(arrs["row_mask"], y2.reshape(m_pad)[:m], 0)
+        elif x.ndim == 2:
+            K = x.shape[1]
+            x3 = jnp.pad(x, ((0, n_pad - n), (0, 0))).T.reshape(
+                K, x_rows, LANE)
+            y3 = make_call(K)(*scal, x3, arrs["vals"], arrs["packs"])
+            y = jnp.where(arrs["row_mask"][:, None],
+                          y3.reshape(K, m_pad)[:, :m].T, 0)
+        else:
+            raise NotImplementedException("binned kernels take 1-D/2-D x")
+        if has_spill:
+            sv = arrs["sval"] if x.ndim == 1 else arrs["sval"][:, None]
+            y = y + jax.ops.segment_sum(sv * x[arrs["scol"]], arrs["srow"],
+                                        num_segments=m,
+                                        indices_are_sorted=True)
+        return y
+
+    def fn(x):
+        return apply(arrays, x)
+    fn.planned_arrays = arrays
+    fn.apply = apply
+    return fn
 
 
 # -- shared builder -------------------------------------------------------------
@@ -437,5 +647,22 @@ def _build(A, config, interpret):
 
 
 def build_binned(A, config, interpret: bool = False):
-    """Row-lane-binned SpMV (scatter-free); see module docstring."""
+    """Row-lane-binned SpMV (scatter-free); see module docstring.
+
+    stream_x: 1 forces the streamed-window rail (aligned plans, x/y blocks
+    pipelined by index maps — unbounded n/m); 0 forces the VMEM-resident
+    rail; "auto" (default) streams when resident x or y would exceed the
+    VMEM budget."""
+    stream = config.get("stream_x", "auto")
+    if stream in (1, True, "1"):
+        return _build_streamed(A, config, interpret)
+    if stream == "auto":
+        m, n = A.shape
+        C = int(config.get("col_window", 2048))
+        RW = int(config.get("row_window", 512))
+        item = np.dtype(A.dtype).itemsize
+        x_bytes = (round_up(n, LANE) + C + LANE) * item
+        y_bytes = (round_up(m, LANE) + (RW // LANE + 1) * LANE) * item
+        if max(x_bytes, y_bytes) > MAX_X_VMEM_BYTES():
+            return _build_streamed(A, config, interpret)
     return _build(A, config, interpret)

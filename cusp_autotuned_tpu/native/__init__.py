@@ -70,7 +70,7 @@ def _compile() -> ctypes.CDLL | None:
                                 ctypes.c_int64, ctypes.c_int64,
                                 ctypes.c_int64,
                                 f32p, i32p, i32p, i32p, i32p,
-                                ctypes.c_int64]
+                                ctypes.c_int64, ctypes.c_int32]
     lib.plan_colsort_main.restype = ctypes.c_int64
     lib.plan_colsort_main.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                       ctypes.c_int64, ctypes.c_int64,
@@ -217,7 +217,7 @@ def _ptr_f32(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def plan_binned(row, col, val, B, C, RW, nb_max):
+def plan_binned(row, col, val, B, C, RW, nb_max, aligned=False):
     """Row-lane-binned block plan (kernels/pallas_binned).  Returns
     (vals, packed, rbs, cbs, spans) trimmed to the block count, None when
     the native library is unavailable, and raises ValueError past nb_max.
@@ -240,7 +240,8 @@ def plan_binned(row, col, val, B, C, RW, nb_max):
         nb = lib.plan_binned(row.size, _ptr_i64(row), _ptr_i64(col),
                              _ptr_f64(val), B, C, RW,
                              _ptr_f32(vals), _ptr_i32(packed), _ptr_i32(rbs),
-                             _ptr_i32(cbs), _ptr_i32(spans), cap)
+                             _ptr_i32(cbs), _ptr_i32(spans), cap,
+                             1 if aligned else 0)
         if nb >= 0:
             return (vals[:nb], packed[:nb], rbs[:nb], cbs[:nb], spans[:nb])
         if cap >= nb_max:

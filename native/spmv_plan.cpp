@@ -34,14 +34,20 @@ std::int64_t plan_binned(
     std::int64_t nnz, const std::int64_t* row, const std::int64_t* col,
     const double* val, std::int64_t B, std::int64_t C, std::int64_t RW,
     float* vals, std::int32_t* packed, std::int32_t* rbs, std::int32_t* cbs,
-    std::int32_t* spans, std::int64_t nb_max) {
+    std::int32_t* spans, std::int64_t nb_max, std::int32_t aligned) {
+  // aligned != 0: row/column windows sit on RW/C grid boundaries (rb and
+  // cb are multiples of RW and C) so the kernel can STREAM x and y blocks
+  // through BlockSpec index maps instead of keeping them VMEM-resident.
   const std::int64_t Bs = B / LANE;
   const std::int64_t CW = C / LANE;
   std::vector<std::int32_t> fill(LANE);
   std::int64_t i = 0, nb = 0;
   while (i < nnz) {
     if (nb >= nb_max) return -1;
-    const std::int64_t rb = row[i] & ~(std::int64_t)(LANE - 1);
+    const std::int64_t rb = aligned
+        ? row[i] - (row[i] % RW)
+        : row[i] & ~(std::int64_t)(LANE - 1);
+    const std::int64_t cw0 = aligned ? col[i] / C : 0;
     std::fill(fill.begin(), fill.end(), 0);
     std::int64_t cmin = col[i], cmax = col[i];
     std::int64_t j = i;
@@ -52,17 +58,21 @@ std::int64_t plan_binned(
       const std::int64_t r = row[j];
       if (r - rb >= RW) break;
       const std::int64_t c = col[j];
-      const std::int64_t ncmin = std::min(cmin, c);
-      const std::int64_t ncmax = std::max(cmax, c);
-      if ((ncmax >> 7) - (ncmin >> 7) + 1 > CW) break;
+      if (aligned) {
+        if (c / C != cw0) break;
+      } else {
+        const std::int64_t m1 = std::min(cmin, c);
+        const std::int64_t m2 = std::max(cmax, c);
+        if ((m2 >> 7) - (m1 >> 7) + 1 > CW) break;
+      }
       const int lane = (int)(r & (LANE - 1));
       if (fill[lane] >= Bs) break;
       slot_of[j - i] = fill[lane]++;
-      cmin = ncmin;
-      cmax = ncmax;
+      cmin = std::min(cmin, c);
+      cmax = std::max(cmax, c);
       ++j;
     }
-    const std::int64_t cb = (cmin >> 7) << 7;
+    const std::int64_t cb = aligned ? cw0 * C : (cmin >> 7) << 7;
     float* vblk = vals + nb * Bs * LANE;
     std::int32_t* pblk = packed + nb * Bs * LANE;
     std::memset(vblk, 0, sizeof(float) * Bs * LANE);

@@ -274,6 +274,64 @@ def test_colsort_hub_rows_axis(hub_rows):
                   row_window=512, hub_cap=10, hub_rows=hub_rows)
 
 
+def test_binned_streamed_spmv():
+    # forced streamed rail: aligned windows, x/y pipelined via index maps
+    S = gallery.poisson9pt(40, 40, format="csr").to_scipy()
+    _check_binned(S, "build_binned", block_entries=2048, col_window=1024,
+                  row_window=256, stream_x=1)
+
+
+def test_binned_streamed_irregular_and_spill():
+    S = _powerlaw(700, 7000, seed=9)
+    _check_binned(S, "build_binned", block_entries=512, col_window=2048,
+                  row_window=256, hub_cap=8, stream_x=1)
+
+
+def test_binned_streamed_empty_row_windows():
+    import scipy.sparse as sp
+    # rows 600..1199 empty: their windows are never visited by the kernel
+    # and must come back masked to zero, not garbage
+    S = sp.coo_matrix((np.ones(600), (np.arange(600), np.arange(600))),
+                      shape=(1800, 1800)).tocsr()
+    S = S + sp.coo_matrix((2 * np.ones(100),
+                           (1700 + np.arange(100) % 100,
+                            np.arange(100))), shape=(1800, 1800))
+    _check_binned(S, "build_binned", block_entries=512, col_window=1024,
+                  row_window=256, stream_x=1)
+
+
+def test_binned_streamed_spmm():
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    S = gallery.poisson9pt(30, 30, format="csr").to_scipy()
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(17)
+    X = jnp.asarray(rng.randn(A.num_cols, 7).astype(np.float32))
+    fn = build_binned(A, {"block_entries": 2048, "col_window": 1024,
+                          "row_window": 256, "stream_x": 1}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_binned_auto_streams_past_vmem_budget():
+    from cusp_autotuned_tpu.kernels.pallas_binned import build_binned
+    from cusp_autotuned_tpu.utils.config import get_config, configure
+    S = gallery.poisson5pt(50, 50, format="csr").to_scipy()
+    A = from_scipy(S.tocoo(), "csr")
+    x = jnp.asarray(np.random.RandomState(1).randn(A.num_cols)
+                    .astype(np.float32))
+    old = get_config().vmem_budget_bytes
+    try:
+        configure(vmem_budget_bytes=4096)   # force the auto-stream branch
+        fn = build_binned(A, {"block_entries": 512, "col_window": 512,
+                              "row_window": 128}, interpret=True)
+        y = np.asarray(jax.jit(fn)(x))
+    finally:
+        configure(vmem_budget_bytes=old)
+    np.testing.assert_allclose(y, reference_spmv(A, np.asarray(x)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_binned_single_dense_row():
     import scipy.sparse as sp
     # one row holding everything: all entries hub-spill
