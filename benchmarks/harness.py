@@ -35,9 +35,14 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
     When f maps its first argument to a same-shape/dtype output (the square
     SpMV / elementwise case), iterations are CHAINED — each output feeds the
     next input inside one jitted fori_loop — so the measurement cannot be
-    served from any request cache and RPC latency amortizes.  Otherwise falls
-    back to async-enqueue timing (repeated identical dispatches), which on
-    relayed devices is only a lower bound."""
+    served from any request cache and RPC latency amortizes.  Rectangular
+    operators chain through a slice/pad projection back to the input space.
+    Only shapeless results fall back to async-enqueue timing (repeated
+    identical dispatches), which on relayed devices is only a lower bound.
+
+    Callables that are pytrees (PlannedOperator etc.) ride the jitted chain
+    as ARGUMENTS — closing over them would embed their planned arrays as
+    constants in the compile request, which the relay size-caps."""
     import jax
     import jax.numpy as jnp
     if reps is None:
@@ -46,38 +51,56 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
         outer = 4 if _on_tpu() else 2
 
     x0 = args[0] if args else None
-    chainable = False
-    if args and isinstance(x0, jnp.ndarray):
-        try:
-            y0 = f(*args)
-            chainable = (isinstance(y0, jnp.ndarray) and y0.shape == x0.shape
-                         and y0.dtype == x0.dtype)
-        except Exception:  # noqa: BLE001
-            chainable = False
+    rest = args[1:]
+    try:
+        y0 = f(*args) if args else None
+    except Exception:  # noqa: BLE001
+        y0 = None
 
+    f_leaves = jax.tree_util.tree_leaves(f)
+    f_is_pytree = bool(f_leaves) and not (len(f_leaves) == 1
+                                          and f_leaves[0] is f)
+
+    def proj(u):
+        for ax in range(x0.ndim):
+            if u.shape[ax] > x0.shape[ax]:
+                u = jax.lax.slice_in_dim(u, 0, x0.shape[ax], axis=ax)
+            elif u.shape[ax] < x0.shape[ax]:
+                pad = [(0, 0)] * x0.ndim
+                pad[ax] = (0, x0.shape[ax] - u.shape[ax])
+                u = jnp.pad(u, pad)
+        return u
+
+    chainable = (isinstance(x0, jnp.ndarray) and isinstance(y0, jnp.ndarray)
+                 and y0.dtype == x0.dtype and y0.ndim == x0.ndim)
     if chainable:
-        rest = args[1:]
-
-        @jax.jit
-        def chain(x, *rest):
-            # damping + mixing the ORIGINAL input back in each iteration:
-            # damping keeps magnitudes bounded, the x-mix keeps the output
-            # genuinely input-dependent (a pure contraction converges to an
-            # input-independent fixed point, which the relay detects and
-            # serves from its memo cache — reporting terabytes/s), and the
-            # optimization barrier forces each iteration to materialize
+        # damping + mixing the ORIGINAL input back in each iteration:
+        # damping keeps magnitudes bounded, the x-mix keeps the output
+        # genuinely input-dependent (a pure contraction converges to an
+        # input-independent fixed point, which the relay detects and serves
+        # from its memo cache — reporting terabytes/s); the optimization
+        # barrier forces each iteration to materialize
+        def chain_body(fop, x, *rest):
             def body(i, v):
                 return jax.lax.optimization_barrier(
-                    f(v, *rest) * 0.125 + x * 0.875)
+                    proj(fop(v, *rest)) * 0.125 + x * 0.875)
             return jax.lax.fori_loop(0, reps, body, x)
+
+        if f_is_pytree:
+            chain_op = jax.jit(chain_body)
+
+            def chain(x, *rest):
+                return chain_op(f, x, *rest)
+        else:
+            @jax.jit
+            def chain(x, *rest):
+                return chain_body(f, x, *rest)
 
         # materially distinct input per outer repetition: the relay serves
         # repeated requests from a cache keyed on a LOW-PRECISION value
         # fingerprint (measured: a 2^-16 perturbation — invisible in bf16 —
-        # still hits the cache and reports terabytes/s), so scale by O(1)
-        # factors that survive any downcast
-        if jnp.issubdtype(x0.dtype, jnp.floating) or jnp.issubdtype(
-                x0.dtype, jnp.complexfloating):
+        # still hits the cache), so scale by O(1) factors
+        if jnp.issubdtype(x0.dtype, jnp.inexact):
             xs = [jax.block_until_ready(x0 * (1.0 + (i + 1) * 0.37))
                   for i in range(outer)]
         else:
@@ -87,43 +110,6 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
         for i in range(outer):
             t0 = time.perf_counter()
             jax.block_until_ready(chain(xs[i], *rest))
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
-
-    y0 = f(*args) if args else None
-    if (args and isinstance(x0, jnp.ndarray) and isinstance(y0, jnp.ndarray)
-            and y0.dtype == x0.dtype and y0.ndim == x0.ndim):
-        # rectangular operator: chain through a cheap slice/pad projection
-        # back to the input space so iterations stay DEPENDENT — the
-        # repeated-dispatch fallback below is only a lower bound on relayed
-        # devices (request caching).  Same scheme as autotune.Tuner._time.
-        rest = args[1:]
-
-        def proj(u):
-            for ax in range(x0.ndim):
-                if u.shape[ax] > x0.shape[ax]:
-                    u = jax.lax.slice_in_dim(u, 0, x0.shape[ax], axis=ax)
-                elif u.shape[ax] < x0.shape[ax]:
-                    pad = [(0, 0)] * x0.ndim
-                    pad[ax] = (0, x0.shape[ax] - u.shape[ax])
-                    u = jnp.pad(u, pad)
-            return u
-
-        @jax.jit
-        def chain(x, *rest):
-            def body(i, v):
-                return jax.lax.optimization_barrier(
-                    proj(f(v, *rest)) * 0.125 + x * 0.875)
-            return jax.lax.fori_loop(0, reps, body, x)
-
-        jax.block_until_ready(chain(x0, *rest))
-        best = float("inf")
-        for i in range(outer):
-            xi = x0
-            if jnp.issubdtype(x0.dtype, jnp.inexact):
-                xi = jax.block_until_ready(x0 * (1.0 + (i + 1) * 0.37))
-            t0 = time.perf_counter()
-            jax.block_until_ready(chain(xi, *rest))
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
