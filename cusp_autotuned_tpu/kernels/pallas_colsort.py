@@ -63,10 +63,12 @@ NR_DEFAULT = 16            # distinct rows per hub block (hub_rows axis)
 _HUB_SHIFT32 = 20          # plan-time packing: (rid << 20) | chunk
 
 
-def _plan_main(row, col, val, shape, B, RW, CW):
+def _plan_main(row, col, val, shape, B, RW, CW, aligned=False):
     """Blocks of (Bs, 128) slots; slot lane = column lane; per sublane at
     most one entry per target row lane.  Unplaceable entries roll to the
-    next block through a pool."""
+    next block through a pool.  aligned=True pins column windows to the
+    CW*128 grid (row buckets are grid-aligned already) so the streamed
+    builder can pipeline x blocks via index maps."""
     m, n = shape
     Bs = B // LANE
     RS = RW // LANE + 1
@@ -82,7 +84,8 @@ def _plan_main(row, col, val, shape, B, RW, CW):
     # native planner fast path (same slot contract, per-entry greedy)
     from cusp_autotuned_tpu import native
     try:
-        nat = native.plan_colsort_main(row, col, val, B, RW, CW, max_blocks)
+        nat = native.plan_colsort_main(row, col, val, B, RW, CW, max_blocks,
+                                       aligned=aligned)
     except ValueError:
         raise FormatConversionException(
             "pattern cannot be planned for the colsort kernel")
@@ -96,7 +99,8 @@ def _plan_main(row, col, val, shape, B, RW, CW):
             raise FormatConversionException(
                 "pattern cannot be planned for the colsort kernel")
         b = bucket[pool[0]]
-        cb = int(col[pool[0]]) >> 7 << 7
+        cb = ((int(col[pool[0]]) // (CW * LANE)) * (CW * LANE)
+              if aligned else int(col[pool[0]]) >> 7 << 7)
         lim = np.searchsorted(bucket[pool], b + 1)
         lim = min(lim, int(np.searchsorted(col[pool[:lim]], cb + CW * LANE)))
         lim = min(lim, 4 * B)
@@ -187,7 +191,7 @@ def _main_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         y_ref[rb + q, :] = y_ref[rb + q, :] + part
 
 
-def _plan_hub(row, col, val, shape, B, CW, NR):
+def _plan_hub(row, col, val, shape, B, CW, NR, aligned=False):
     """Hub rows grouped NR at a time, in DESCENDING-degree order (rows of
     similar weight share a group, so blocks fill evenly on extreme power
     laws); group entries column-sorted so blocks keep a narrow column
@@ -215,7 +219,8 @@ def _plan_hub(row, col, val, shape, B, CW, NR):
                 "pattern cannot be planned for the colsort hub pass")
         gset = int(gid[i])
         j = min(i + B, int(np.searchsorted(gid, gset + 1)))
-        cb = int(col[i]) >> 7 << 7
+        cb = ((int(col[i]) // (CW * LANE)) * (CW * LANE)
+              if aligned else int(col[i]) >> 7 << 7)
         j = i + int(np.searchsorted(col[i:j], cb + CW * LANE))
         lanes = cl[i:j]
         o2 = np.argsort(lanes, kind="stable")
@@ -287,7 +292,24 @@ def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW, rid_shift,
 
 
 def build_colsort(A, config, interpret: bool = False):
-    """Column-sorted lane-binned SpMV; see module docstring."""
+    """Column-sorted lane-binned SpMV; see module docstring.
+
+    stream_x: 1 forces the streamed-window rail (aligned plans — n/m
+    bounded only by HBM); 0 forces VMEM-resident; "auto" streams when
+    resident x or y would exceed the VMEM budget."""
+    stream = config.get("stream_x", "auto")
+    if stream in (1, True, "1"):
+        return _build_colsort_streamed(A, config, interpret)
+    if stream == "auto":
+        m_, n_ = A.shape
+        W_ = max(1, -(-int(config.get("col_window", 16384))
+                      // (LANE * LANE)))
+        RW_ = int(config.get("row_window", 2048))
+        item = np.dtype(A.dtype).itemsize
+        x_bytes = (round_up(n_, LANE) + (W_ * LANE + 1) * LANE) * item
+        y_bytes = (round_up(m_, LANE) + (RW_ // LANE + 1) * LANE) * item
+        if max(x_bytes, y_bytes) > MAX_X_VMEM_BYTES():
+            return _build_colsort_streamed(A, config, interpret)
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
@@ -432,4 +454,240 @@ def build_colsort(A, config, interpret: bool = False):
             y = y + p(x2)
         return y
 
+    return fn
+
+
+# -- streamed-window rail (aligned plans; x/y blocks ride index maps) -----------
+
+def _main_streamed_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
+                          *, Bs, RS, CW):
+    """Streamed main pass: x_ref IS the (CW, 128) column window and y_ref
+    the (RS, 128) row-bucket window, pipelined by index maps over the
+    aligned plan — n/m bounded only by HBM.  y zeroes on first visit of a
+    row bucket (blocks of one bucket are contiguous by plan order)."""
+    W = CW // LANE
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, rbs[g] != rbs[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    vals = val_ref[0]
+    chunk = chunk_ref[0].astype(jnp.int32)
+    pq = pq_ref[0].astype(jnp.int32)
+    perm = jnp.bitwise_and(pq, jnp.int32(LANE - 1))
+    qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
+    dtype = y_ref.dtype
+
+    xt = jnp.swapaxes(x_ref[...], 0, 1)               # (128, CW)
+    cht = jnp.swapaxes(chunk, 0, 1)                   # (128, Bs)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    gt = jnp.zeros((LANE, LANE), dtype)
+    for w in range(W):
+        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+    xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
+    prod = vals * xg
+
+    pr = jnp.take_along_axis(prod, perm, axis=1)
+    for q in range(RS):
+        part = jnp.sum(jnp.where(qv == q, pr, 0), axis=0)
+        y_ref[q, :] = y_ref[q, :] + part
+
+
+def _hub_streamed_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
+                         *, Bs, CW, rid_shift, NR):
+    """Streamed hub pass: x window per block via index map; per-block
+    (NR, 128) lane partials out (XLA reduces + scatter-adds, as resident)."""
+    W = CW // LANE
+    vals = val_ref[0]
+    packed = pack_ref[0].astype(jnp.int32)
+    chunk = jnp.bitwise_and(packed, jnp.int32((1 << rid_shift) - 1))
+    rid = jax.lax.shift_right_logical(packed, jnp.int32(rid_shift))
+    dtype = out_ref.dtype
+
+    xt = jnp.swapaxes(x_ref[...], 0, 1)
+    cht = jnp.swapaxes(chunk, 0, 1)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    gt = jnp.zeros((LANE, LANE), dtype)
+    for w in range(W):
+        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+    prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+
+    rows = []
+    for k in range(NR):
+        rows.append(jnp.sum(jnp.where(rid == k, prod, 0), axis=0)[None, :])
+    out_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+def _build_colsort_streamed(A, config, interpret):
+    """Aligned-window colsort: scattered patterns past the VMEM budget."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "colsort kernel supports real dtypes only")
+    row, col, val, shape = _coo_arrays(A)
+    if row.size == 0:
+        raise FormatConversionException("empty matrix — use the default path")
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float64)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    B = int(config.get("block_entries", 4096))
+    # Mosaic's 8-sublane block rule: row buckets round up to 1024 elements
+    RW = max(1024, round_up(int(config.get("row_window", 2048)), 1024))
+    W = max(1, -(-int(config.get("col_window", 16384)) // (LANE * LANE)))
+    CW = W * LANE
+    if B % LANE != 0:
+        raise NotImplementedException("block_entries must be a multiple of 128")
+    Bs = B // LANE
+    if Bs > LANE:
+        raise NotImplementedException(
+            "block_entries above 16384 exceed the transposed-gather tile")
+    hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
+    RS = RW // LANE                      # buckets are RW-aligned: exact
+
+    pack16 = config.get("pack16", "auto")
+    if pack16 == "auto":
+        pack16 = Bs % 16 == 0
+    elif pack16 and Bs % 16 != 0:
+        raise NotImplementedException(
+            "pack16 requires block_entries % 2048 == 0")
+
+    n_pad = max(CW * LANE, round_up(n, CW * LANE))
+    x_rows = n_pad // LANE
+    m_pad = max(RW, round_up(m, RW))
+    rows_sub = m_pad // LANE
+    n_win = m_pad // RW
+
+    counts = np.bincount(row, minlength=m)
+    hub = counts[row] > hub_cap
+
+    parts = []
+    arrays = {}
+
+    if (~hub).any():
+        vals_, chunks_, pqs_, rbs_, cbs_, _ = _plan_main(
+            row[~hub], col[~hub], val[~hub], shape, B, RW, CW,
+            aligned=True)
+        if pack16 and chunks_.max(initial=0) < (1 << 15) \
+                and pqs_.max(initial=0) < (1 << 15):
+            chunks_ = chunks_.astype(np.int16)
+            pqs_ = pqs_.astype(np.int16)
+        nb = vals_.shape[0]
+        if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > _plan_budget(config):
+            raise NotImplementedException(
+                "planned arrays exceed the compile-request budget")
+        touched = np.zeros(n_win, bool)
+        touched[np.asarray(rbs_) // RS] = True
+        arrays["main_mask"] = jnp.asarray(np.repeat(touched, RW)[:m])
+        kern = functools.partial(_main_streamed_kernel, Bs=Bs, RS=RS, CW=CW)
+        call = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((CW, LANE),
+                                 lambda g, rbs, cbs: (cbs[g], 0),
+                                 memory_space=pltpu.VMEM)] + [
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 3,
+                out_specs=pl.BlockSpec((RS, LANE),
+                                       lambda g, rbs, cbs: (rbs[g], 0),
+                                       memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb * Bs * LANE,
+                bytes_accessed=(nb * Bs * LANE * dtype.itemsize
+                                + chunks_.nbytes + pqs_.nbytes
+                                + nb * (CW + RS) * LANE * dtype.itemsize),
+                transcendentals=0),
+            interpret=interpret)
+        arrays.update(
+            mv=jnp.asarray(vals_.astype(dtype)), mc=jnp.asarray(chunks_),
+            mp=jnp.asarray(pqs_),
+            mr=jnp.asarray(np.asarray(rbs_) // RS),
+            mcb=jnp.asarray(np.asarray(cbs_) // CW))
+
+        def main_part(arrs, x2):
+            y2 = call(arrs["mr"], arrs["mcb"], x2, arrs["mv"], arrs["mc"],
+                      arrs["mp"])
+            return jnp.where(arrs["main_mask"], y2.reshape(m_pad)[:m], 0)
+        parts.append(main_part)
+
+    if hub.any():
+        NR = int(config.get("hub_rows", NR_DEFAULT))
+        hvals, hpacks, hcbs, hrows = _plan_hub(
+            row[hub], col[hub], val[hub], shape, B, CW, NR,
+            aligned=True)
+        rid_shift = _HUB_SHIFT32
+        chunk_max = int((hpacks & ((1 << _HUB_SHIFT32) - 1)).max(initial=0))
+        s16 = max(1, chunk_max.bit_length())
+        if pack16 and (((NR - 1) << s16) | chunk_max) < (1 << 15):
+            rid = hpacks >> _HUB_SHIFT32
+            hpacks = ((rid << s16)
+                      | (hpacks & ((1 << s16) - 1))).astype(np.int16)
+            rid_shift = s16
+        nb_pad = hvals.shape[0]
+        if hvals.nbytes + hpacks.nbytes > _plan_budget(config):
+            raise NotImplementedException(
+                "planned arrays exceed the compile-request budget")
+        kern = functools.partial(_hub_streamed_kernel, Bs=Bs, CW=CW,
+                                 rid_shift=rid_shift, NR=NR)
+        hcall = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nb_pad,),
+                in_specs=[
+                    pl.BlockSpec((CW, LANE), lambda g, cbs: (cbs[g], 0),
+                                 memory_space=pltpu.VMEM)] + [
+                    pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((1, NR, LANE), lambda g, *_: (g, 0, 0),
+                                       memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, NR, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * nb_pad * Bs * LANE,
+                bytes_accessed=(nb_pad * Bs * LANE * dtype.itemsize
+                                + hpacks.nbytes
+                                + nb_pad * CW * LANE * dtype.itemsize),
+                transcendentals=0),
+            interpret=interpret)
+        arrays.update(
+            hv=jnp.asarray(hvals.astype(dtype)), hp=jnp.asarray(hpacks),
+            hcb=jnp.asarray(np.asarray(hcbs) // CW),
+            hrw=jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
+
+        def hub_part(arrs, x2):
+            partials = hcall(arrs["hcb"], x2, arrs["hv"], arrs["hp"])
+            totals = jnp.sum(partials, axis=2).reshape(-1)
+            return jnp.zeros(m, arrs["hv"].dtype).at[arrs["hrw"]].add(
+                totals, mode="drop")
+        parts.append(hub_part)
+
+    def apply(arrs, x):
+        if x.ndim != 1:
+            raise NotImplementedException("colsort kernel is SpMV-only")
+        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        y = parts[0](arrs, x2)
+        for p in parts[1:]:
+            y = y + p(arrs, x2)
+        return y
+
+    def fn(x):
+        return apply(arrays, x)
+    fn.planned_arrays = arrays
+    fn.apply = apply
     return fn

@@ -76,7 +76,7 @@ def _compile() -> ctypes.CDLL | None:
                                       ctypes.c_int64, ctypes.c_int64,
                                       ctypes.c_int64,
                                       f32p, i32p, i32p, i32p, i32p,
-                                      ctypes.c_int64]
+                                      ctypes.c_int64, ctypes.c_int32]
     return lib
 
 
@@ -249,7 +249,7 @@ def plan_binned(row, col, val, B, C, RW, nb_max, aligned=False):
         cap = min(nb_max, cap * 4)
 
 
-def plan_colsort_main(row, col, val, B, RW, CW, nb_max):
+def plan_colsort_main(row, col, val, B, RW, CW, nb_max, aligned=False):
     """Column-lane-binned main-pass plan (kernels/pallas_colsort).  Entries
     must be sorted by (row // RW, col).  Returns (vals, chunk, pq, rbs, cbs)
     or None."""
@@ -271,7 +271,8 @@ def plan_colsort_main(row, col, val, B, RW, CW, nb_max):
                                    _ptr_f64(val), B, RW, CW,
                                    _ptr_f32(vals), _ptr_i32(chunk),
                                    _ptr_i32(pq),
-                                   _ptr_i32(rbs), _ptr_i32(cbs), cap)
+                                   _ptr_i32(rbs), _ptr_i32(cbs), cap,
+                                   1 if aligned else 0)
         if nb >= 0:
             return (vals[:nb], chunk[:nb], pq[:nb], rbs[:nb], cbs[:nb])
         if cap >= nb_max:

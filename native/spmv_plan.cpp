@@ -106,7 +106,10 @@ std::int64_t plan_colsort_main(
     std::int64_t nnz, const std::int64_t* row, const std::int64_t* col,
     const double* val, std::int64_t B, std::int64_t RW, std::int64_t CW,
     float* vals, std::int32_t* chunk, std::int32_t* pq,
-    std::int32_t* rbs, std::int32_t* cbs, std::int64_t nb_max) {
+    std::int32_t* rbs, std::int32_t* cbs, std::int64_t nb_max,
+    std::int32_t aligned) {
+  // aligned != 0: column windows sit on the CW*128 grid so the kernel can
+  // stream x blocks via index maps (row buckets are grid-aligned already)
   const std::int64_t Bs = B / LANE;
   std::vector<std::int64_t> pool(nnz);
   for (std::int64_t e = 0; e < nnz; ++e) pool[e] = e;
@@ -120,7 +123,9 @@ std::int64_t plan_colsort_main(
     const std::int64_t first = pool[p0];
     const std::int64_t bkt = row[first] / RW;
     const std::int64_t rb = (bkt * RW) & ~(std::int64_t)(LANE - 1);
-    const std::int64_t cb = (col[first] >> 7) << 7;
+    const std::int64_t cb = aligned
+        ? (col[first] / (CW * LANE)) * (CW * LANE)
+        : (col[first] >> 7) << 7;
     std::fill(lane_used.begin(), lane_used.end(), 0);
     std::fill(rl_used.begin(), rl_used.end(), 0);
     float* vblk = vals + nb * Bs * LANE;

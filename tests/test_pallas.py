@@ -394,3 +394,42 @@ def test_tuner_spmm_signature_and_iteration():
     y = t.tune_iteration(A, x2)
     ref = reference_spmv(A, x2)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_colsort_streamed(seed):
+    S = _powerlaw(900, 9000, seed=seed)
+    _check_binned(S, "build_colsort", block_entries=2048, col_window=2048,
+                  row_window=1024, hub_cap=12, stream_x=1)
+
+
+def test_colsort_streamed_empty_buckets():
+    import scipy.sparse as sp
+    # rows 1100..2199 empty: untouched row buckets must come back zero
+    S = (sp.coo_matrix((np.ones(1100), (np.arange(1100), np.arange(1100))),
+                       shape=(3000, 3000))
+         + sp.coo_matrix((np.ones(700), (2300 + np.arange(700),
+                                         np.arange(700))),
+                         shape=(3000, 3000))).tocsr()
+    _check_binned(S, "build_colsort", block_entries=512, col_window=1024,
+                  row_window=1024, stream_x=1)
+
+
+def test_colsort_auto_streams_past_budget():
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
+    from cusp_autotuned_tpu.utils.config import get_config, configure
+    S = _powerlaw(600, 6000, seed=23)
+    A = from_scipy(S.tocoo(), "csr")
+    x = jnp.asarray(np.random.RandomState(2).randn(A.num_cols)
+                    .astype(np.float32))
+    old = get_config().vmem_budget_bytes
+    try:
+        configure(vmem_budget_bytes=2048)
+        fn = build_colsort(A, {"block_entries": 512, "col_window": 1024,
+                               "row_window": 1024, "hub_cap": 10},
+                           interpret=True)
+        y = np.asarray(jax.jit(fn)(x))
+    finally:
+        configure(vmem_budget_bytes=old)
+    np.testing.assert_allclose(y, reference_spmv(A, np.asarray(x)),
+                               rtol=1e-4, atol=1e-4)
