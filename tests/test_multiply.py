@@ -119,3 +119,14 @@ def test_dia_many_diagonals_gather_fallback():
     y = np.asarray(ct.multiply(A, x))
     from cusp_autotuned_tpu.backend.reference import reference_spmv
     np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
+
+
+def test_multiply_sparse_times_array2d():
+    from cusp_autotuned_tpu.formats.dense import Array2d
+    from cusp_autotuned_tpu.ops.multiply import multiply
+    A = ct.gallery.poisson5pt(12, 12, format="csr", dtype=np.float32)
+    Bd = np.random.RandomState(0).randn(A.num_cols, 5).astype(np.float32)
+    B = Array2d.from_dense(Bd)
+    Y = np.asarray(multiply(A, B))
+    ref = A.to_scipy() @ Bd
+    np.testing.assert_allclose(Y, ref, rtol=1e-5, atol=1e-5)
