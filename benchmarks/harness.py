@@ -52,10 +52,12 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
 
     x0 = args[0] if args else None
     rest = args[1:]
-    try:
-        y0 = f(*args) if args else None
-    except Exception:  # noqa: BLE001
-        y0 = None
+    y0 = None
+    if isinstance(x0, jnp.ndarray):          # probe only when chainable
+        try:
+            y0 = f(*args)
+        except Exception:  # noqa: BLE001
+            y0 = None
 
     f_leaves = jax.tree_util.tree_leaves(f)
     f_is_pytree = bool(f_leaves) and not (len(f_leaves) == 1

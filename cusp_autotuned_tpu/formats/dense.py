@@ -31,7 +31,7 @@ from cusp_autotuned_tpu.utils.padding import LANE, round_up
 
 
 @register_matrix
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Array2d:
     """Pitch-padded dense matrix.
 

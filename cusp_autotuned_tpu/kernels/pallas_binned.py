@@ -48,18 +48,9 @@ def MAX_X_VMEM_BYTES():
     return get_config().vmem_budget_bytes
 
 
-def MAX_PLAN_BYTES():
-    # planned arrays ride the jit as embedded constants; the relay's compile
-    # request rejects programs past ~64 MB, so guard well below it (skippable)
-    from cusp_autotuned_tpu.utils.config import get_config
-    return get_config().plan_budget_bytes
-
-
 def _plan_budget(config):
-    # the guard protects EMBEDDED-constant jits only: callers that pass the
-    # planned arrays as pytree arguments (operators.planned_operator) lift
-    # it via the plan_budget_bytes config key
-    return int(config.get("plan_budget_bytes", 0)) or MAX_PLAN_BYTES()
+    from cusp_autotuned_tpu.utils.config import plan_budget
+    return plan_budget(config)
 # pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
 MAX_BLOCKS_FACTOR = 6
 
@@ -345,16 +336,24 @@ def _build_streamed(A, config, interpret):
     srow, scol, sval = spill
     has_spill = srow.size > 0
     if has_spill:
-        srow_d = jnp.asarray(srow.astype(np.int32))
-        scol_d = jnp.asarray(scol.astype(np.int32))
-        sval_d = jnp.asarray(sval.astype(dtype))
+        order = np.lexsort((scol, srow))
+        srow_d = jnp.asarray(srow[order].astype(np.int32))
+        scol_d = jnp.asarray(scol[order].astype(np.int32))
+        sval_d = jnp.asarray(sval[order].astype(dtype))
 
     if vals is None:
-        def spill_only(x):
-            sv = sval_d if x.ndim == 1 else sval_d[:, None]
-            return jax.ops.segment_sum(sv * x[scol_d], srow_d,
+        arrays0 = {"srow": srow_d, "scol": scol_d, "sval": sval_d}
+
+        def spill_apply(arrs, x):
+            sv = arrs["sval"] if x.ndim == 1 else arrs["sval"][:, None]
+            return jax.ops.segment_sum(sv * x[arrs["scol"]], arrs["srow"],
                                        num_segments=m,
                                        indices_are_sorted=True)
+
+        def spill_only(x):
+            return spill_apply(arrays0, x)
+        spill_only.planned_arrays = arrays0
+        spill_only.apply = spill_apply
         return spill_only
 
     nb = vals.shape[0]
@@ -620,10 +619,10 @@ def _build(A, config, interpret):
             KB = min(K, KB)
             spmm = _spmm_call(KB)
             xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T   # (K, n_pad)
+            xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
             outs = []
             for s in range(0, K, KB):
-                xc = jax.lax.dynamic_slice_in_dim(
-                    jnp.pad(xT, ((0, (-K) % KB), (0, 0))), s, KB, axis=0)
+                xc = jax.lax.dynamic_slice_in_dim(xTp, s, KB, axis=0)
                 x3 = xc.reshape(KB, x_rows, LANE)
                 y3 = spmm(*scal, x3, arrs["vals"], arrs["packs"])
                 outs.append(y3.reshape(KB, m_pad)[:, :m])

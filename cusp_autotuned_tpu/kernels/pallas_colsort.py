@@ -46,18 +46,9 @@ def MAX_X_VMEM_BYTES():
     return get_config().vmem_budget_bytes
 
 
-def MAX_PLAN_BYTES():
-    # planned arrays ride the jit as embedded constants; the relay's compile
-    # request rejects programs past ~64 MB, so guard well below it (skippable)
-    from cusp_autotuned_tpu.utils.config import get_config
-    return get_config().plan_budget_bytes
-
-
 def _plan_budget(config):
-    # the guard protects EMBEDDED-constant jits only: callers that pass the
-    # planned arrays as pytree arguments (operators.planned_operator) lift
-    # it via the plan_budget_bytes config key
-    return int(config.get("plan_budget_bytes", 0)) or MAX_PLAN_BYTES()
+    from cusp_autotuned_tpu.utils.config import plan_budget
+    return plan_budget(config)
 MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
 NR_DEFAULT = 16            # distinct rows per hub block (hub_rows axis)
 _HUB_SHIFT32 = 20          # plan-time packing: (rid << 20) | chunk
@@ -347,6 +338,7 @@ def build_colsort(A, config, interpret: bool = False):
     hub = counts[row] > hub_cap
 
     parts = []       # callables composed into one traced fn
+    arrays = {}      # planned device arrays (PlannedOperator leaves)
 
     # int16 metadata packing: main-pass chunk (< W*128 <= 2^14) and pq
     # (< RS*128) always fit 15 bits across the tuning space; the hub pack
@@ -390,12 +382,14 @@ def build_colsort(A, config, interpret: bool = False):
                                 * dtype.itemsize),
                 transcendentals=0),
             interpret=interpret)
-        md = (jnp.asarray(vals_.astype(dtype)), jnp.asarray(chunks_),
-              jnp.asarray(pqs_), jnp.asarray(rbs_), jnp.asarray(cbs_))
+        arrays.update(
+            mv=jnp.asarray(vals_.astype(dtype)), mc=jnp.asarray(chunks_),
+            mp=jnp.asarray(pqs_), mr=jnp.asarray(rbs_),
+            mcb=jnp.asarray(cbs_))
 
-        def main_part(x2, md=md, call=call, m_pad=m_pad):
-            v, c, p, rbs_d, cbs_d = md
-            return call(rbs_d, cbs_d, x2, v, c, p).reshape(m_pad)[:m]
+        def main_part(arrs, x2, call=call, m_pad=m_pad):
+            return call(arrs["mr"], arrs["mcb"], x2, arrs["mv"], arrs["mc"],
+                        arrs["mp"]).reshape(m_pad)[:m]
         parts.append(main_part)
 
     if hub.any():
@@ -433,27 +427,32 @@ def build_colsort(A, config, interpret: bool = False):
                                 + x_rows * LANE * dtype.itemsize),
                 transcendentals=0),
             interpret=interpret)
-        hd = (jnp.asarray(hvals.astype(dtype)), jnp.asarray(hpacks),
-              jnp.asarray(hcbs),
-              jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
+        arrays.update(
+            hv=jnp.asarray(hvals.astype(dtype)), hp=jnp.asarray(hpacks),
+            hcb=jnp.asarray(hcbs),
+            hrw=jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
 
-        def hub_part(x2, hd=hd, call=call):
-            v, p, cbs_d, rows_flat = hd
-            partials = call(cbs_d, x2, v, p)          # (nb, NR, 128)
+        def hub_part(arrs, x2, call=call):
+            partials = call(arrs["hcb"], x2, arrs["hv"],
+                            arrs["hp"])          # (nb, NR, 128)
             totals = jnp.sum(partials, axis=2).reshape(-1)
-            return jnp.zeros(m, v.dtype).at[rows_flat].add(
+            return jnp.zeros(m, arrs["hv"].dtype).at[arrs["hrw"]].add(
                 totals, mode="drop")
         parts.append(hub_part)
 
-    def fn(x):
+    def apply(arrs, x):
         if x.ndim != 1:
             raise NotImplementedException("colsort kernel is SpMV-only")
         x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
-        y = parts[0](x2)
+        y = parts[0](arrs, x2)
         for p in parts[1:]:
-            y = y + p(x2)
+            y = y + p(arrs, x2)
         return y
 
+    def fn(x):
+        return apply(arrays, x)
+    fn.planned_arrays = arrays
+    fn.apply = apply
     return fn
 
 

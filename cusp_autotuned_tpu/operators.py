@@ -67,8 +67,11 @@ def planned_operator(A, config=None):
     from cusp_autotuned_tpu.kernels.variants import build_spmv, default_config
     cfg = dict(config) if config is not None else default_config(A)
     # arrays travel as jit parameters here, so the embedded-constant
-    # compile-request budget doesn't apply — lift it (HBM is the only cap)
-    cfg.setdefault("plan_budget_bytes", 1 << 33)
+    # compile-request budget doesn't apply — lift it, but only for the
+    # builders that expose planned arrays (a closure-only variant would
+    # otherwise embed an unbounded plan as jit constants)
+    if cfg.get("impl") in ("binned", "colsort"):
+        cfg.setdefault("plan_budget_bytes", 1 << 33)
     fn = build_spmv(A, cfg)
     if hasattr(fn, "planned_arrays"):
         return PlannedOperator(arrays=fn.planned_arrays, build=fn.apply,

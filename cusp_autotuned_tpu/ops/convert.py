@@ -247,7 +247,14 @@ def convert(src, fmt, **kwargs):
     else:
         raise ValueError(f"unknown target format {fmt!r}")
     try:
-        object.__setattr__(out, "_host_coo", (row, col, val, shape))
+        # the mirror must hold the OUTPUT container's value dtype (the
+        # construction may downcast); skip if the container already stashed
+        # a mirror of its own (coo_matrix does)
+        if not hasattr(out, "_host_coo"):
+            out_dt = np.dtype(out.dtype)
+            if val.dtype != out_dt:
+                val = val.astype(out_dt)
+            object.__setattr__(out, "_host_coo", (row, col, val, shape))
     except Exception:  # noqa: BLE001
         pass
     return out

@@ -124,6 +124,9 @@ def multiply(A, B, *, use_autotuning: bool | None = None):
     from cusp_autotuned_tpu.operators import (
         IdentityOperator, FunctionOperator, PlannedOperator,
     )
+    from cusp_autotuned_tpu.formats.dense import Array2d
+    if isinstance(B, Array2d):
+        B = B.to_dense()              # sparse/operator x array2d block
     if isinstance(A, (IdentityOperator, FunctionOperator, PlannedOperator)):
         # matrix-free linear operators apply directly (parity:
         # cusp/linear_operator.h — solvers accept any linear_operator as A)
@@ -132,9 +135,6 @@ def multiply(A, B, *, use_autotuning: bool | None = None):
         if F.is_sparse(B) or isinstance(B, F.PermutationMatrix):
             from cusp_autotuned_tpu.ops.spgemm import spgemm
             return spgemm(A, B)
-        from cusp_autotuned_tpu.formats.dense import Array2d
-        if isinstance(B, Array2d):
-            B = B.to_dense()          # sparse x array2d block multiply
         B = jnp.asarray(B)
         if B.shape[0] != A.num_cols:
             raise InvalidInputException(

@@ -67,6 +67,15 @@ def get_config() -> Config:
     return _config
 
 
+def plan_budget(config: dict) -> int:
+    """Per-build planned-array budget: the global guard protects
+    EMBEDDED-constant jits (the relay size-caps compile requests); callers
+    that pass planned arrays as pytree arguments (operators.planned_operator)
+    lift it via the plan_budget_bytes config key."""
+    return int(config.get("plan_budget_bytes", 0)) or \
+        get_config().plan_budget_bytes
+
+
 def configure(**kwargs) -> Config:
     """Override configuration fields programmatically (tests, embedders)."""
     cfg = get_config()
