@@ -120,4 +120,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — ALWAYS emit the JSON line: the
+        # relay's compile service has shown 100x latency variance and hard
+        # failures mid-session; a crash here would record no benchmark at all
+        print(json.dumps({
+            "metric": "SpMV DIA poisson5pt(1000x1000) bandwidth",
+            "value": 0.0,
+            "unit": "GB/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
