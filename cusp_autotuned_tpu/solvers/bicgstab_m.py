@@ -89,12 +89,18 @@ def _bicgstab_m_loop(A, b, sigma, state0):
     return out[0], out[-1]
 
 
-def bicgstab_m(A, b, sigma, monitor: Monitor | None = None):
-    """Returns (X, monitor) with X[s] solving (A + sigma[s] I) X[s] = b."""
+def bicgstab_m(A, b, sigma, monitor: Monitor | None = None, mesh=None):
+    """Returns (X, monitor) with X[s] solving (A + sigma[s] I) X[s] = b.
+    mesh: distribute the solve over a jax.sharding.Mesh."""
+    import contextlib
     b = jnp.asarray(b)
     sigma = jnp.asarray(sigma, b.dtype)
     if monitor is None:
         monitor = default_monitor(b)
-    X, state = _bicgstab_m_loop(A, b, sigma, monitor.to_state(b))
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b = distribute_for_solve(A, mesh, b)
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        X, state = _bicgstab_m_loop(A, b, sigma, monitor.to_state(b))
     monitor.absorb_state(state)
     return X, monitor

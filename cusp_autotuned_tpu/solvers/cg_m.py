@@ -72,14 +72,19 @@ def _cg_m_loop(A, b, sigma, state0):
     return out[0], out[-1]
 
 
-def cg_m(A, b, sigma, monitor: Monitor | None = None):
+def cg_m(A, b, sigma, monitor: Monitor | None = None, mesh=None):
     """Returns (X, monitor) with X[s] solving (A + sigma[s] I) X[s] = b.
     Convergence is monitored on the undeformed (sigma = 0) system, like the
-    reference."""
+    reference.  mesh: distribute the solve over a jax.sharding.Mesh."""
+    import contextlib
     b = jnp.asarray(b)
     sigma = jnp.asarray(sigma, b.dtype)
     if monitor is None:
         monitor = default_monitor(b)
-    X, state = _cg_m_loop(A, b, sigma, monitor.to_state(b))
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b = distribute_for_solve(A, mesh, b)
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        X, state = _cg_m_loop(A, b, sigma, monitor.to_state(b))
     monitor.absorb_state(state)
     return X, monitor

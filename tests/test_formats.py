@@ -150,3 +150,23 @@ def test_array1d_view():
     assert v.shape == (10,)
     w = F.array1d_view(np.arange(10.0), start=2, stop=9, stride=3)
     np.testing.assert_array_equal(np.asarray(w), [2.0, 5.0, 8.0])
+
+
+# -- value-dtype breadth (parity: DECLARE_VARIABLE_UNITTEST's 7 dtypes,
+#    testframework.h:187-206 — int and float value types) ---------------------
+
+@pytest.mark.parametrize("dtype", [np.int32, np.int64, np.float32,
+                                   np.float64])
+@pytest.mark.parametrize("fmt", ["coo", "csr", "ell", "hyb"])
+def test_value_dtype_roundtrip_and_spmv(dtype, fmt):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(31)
+    S = sp.random(60, 60, density=0.08, random_state=rng)
+    S = sp.coo_matrix((np.round(S.data * 10).astype(dtype) + 1,
+                       (S.row, S.col)), shape=S.shape)
+    A = build(S, fmt)
+    assert np.dtype(A.dtype) == np.dtype(dtype)
+    np.testing.assert_array_equal(dense_of(A), S.todense())
+    x = np.arange(60).astype(dtype)
+    y = np.asarray(ct.multiply(A, x))
+    np.testing.assert_allclose(y, S @ x, rtol=1e-6, atol=1e-6)

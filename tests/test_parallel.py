@@ -205,3 +205,17 @@ def test_distributed_cg_binned():
                      "row_window": 128}, iterations=60)
     r = b - np.asarray(multiply(A, np.asarray(x)))
     assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_solver_mesh_arg_multishift():
+    from cusp_autotuned_tpu import solvers
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 48, format="dia", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    sigma = np.array([0.0, 0.5, 2.0], np.float32)
+    X, mon = solvers.cg_m(A, b, sigma, mesh=mesh)
+    assert mon.converged()
+    for s, sig in enumerate(sigma):
+        r = b - (np.asarray(multiply(A, np.asarray(X[s])))
+                 + sig * np.asarray(X[s]))
+        assert np.linalg.norm(r) <= 5e-3 * np.linalg.norm(b), s
