@@ -233,6 +233,10 @@ def _binned_spmm_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
     dtype = y_ref.dtype
     rb = rbs[g]
     cb = cbs[g]
+    # loop-invariant across the k right-hand sides: hoist the per-chunk
+    # and per-row-group select masks out of the fori body
+    cmask = [chunk == c for c in range(CW)]
+    qmask = [qv == q for q in range(RS)]
 
     def body(kk, carry):
         xw = x_ref[kk, pl.ds(cb, CW), :]
@@ -240,10 +244,10 @@ def _binned_spmm_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
         for c in range(CW):
             xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
             t = jnp.take_along_axis(xrep, lane, axis=1)
-            xg = jnp.where(chunk == c, t, xg)
+            xg = jnp.where(cmask[c], t, xg)
         prod = vals * xg
         for q in range(RS):
-            part = jnp.sum(jnp.where(qv == q, prod, 0), axis=0)
+            part = jnp.sum(jnp.where(qmask[q], prod, 0), axis=0)
             y_ref[kk, rb + q, :] = y_ref[kk, rb + q, :] + part
         return carry
 
@@ -274,16 +278,19 @@ def _streamed_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
                             jnp.int32((1 << (qshift - 7)) - 1))
     qv = jax.lax.shift_right_logical(packed, jnp.int32(qshift))
     dtype = y_ref.dtype
+    # loop-invariant across the k right-hand sides
+    cmask = [chunk == c for c in range(CW)]
+    qmask = [qv == q for q in range(RS)]
 
     def one_rhs(xw, y_at, y_set):
         xg = jnp.zeros((Bs, LANE), dtype)
         for c in range(CW):
             xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
             t = jnp.take_along_axis(xrep, lane, axis=1)
-            xg = jnp.where(chunk == c, t, xg)
+            xg = jnp.where(cmask[c], t, xg)
         prod = vals * xg
         for q in range(RS):
-            part = jnp.sum(jnp.where(qv == q, prod, 0), axis=0)
+            part = jnp.sum(jnp.where(qmask[q], prod, 0), axis=0)
             y_set(q, y_at(q) + part)
 
     if K == 0:
