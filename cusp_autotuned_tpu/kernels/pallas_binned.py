@@ -57,6 +57,12 @@ MAX_BLOCKS_FACTOR = 6
 
 def _host_coo(A):
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    import jax
+    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
+            and jax.default_backend() == "tpu":
+        raise NotImplementedException(
+            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
+            "serve x64 (skippable)")
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "binned kernels support real dtypes only")

@@ -302,6 +302,12 @@ def build_colsort(A, config, interpret: bool = False):
         if max(x_bytes, y_bytes) > MAX_X_VMEM_BYTES():
             return _build_colsort_streamed(A, config, interpret)
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    import jax
+    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
+            and jax.default_backend() == "tpu":
+        raise NotImplementedException(
+            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
+            "serve x64 (skippable)")
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "colsort kernel supports real dtypes only")
@@ -532,6 +538,12 @@ def _hub_streamed_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
 def _build_colsort_streamed(A, config, interpret):
     """Aligned-window colsort: scattered patterns past the VMEM budget."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    import jax
+    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
+            and jax.default_backend() == "tpu":
+        raise NotImplementedException(
+            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
+            "serve x64 (skippable)")
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "colsort kernel supports real dtypes only")
