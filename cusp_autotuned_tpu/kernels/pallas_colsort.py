@@ -344,7 +344,15 @@ def build_colsort(A, config, interpret: bool = False):
     hub = counts[row] > hub_cap
 
     parts = []       # callables composed into one traced fn
+    parts_mm = []    # SpMM (2-D x) counterparts of the main pass
     arrays = {}      # planned device arrays (PlannedOperator leaves)
+    if hub.any():
+        # hub rows for the SpMM rail go through a broadcast segment-sum
+        # (few rows; the kernel hub pass stays SpMV-shaped)
+        arrays.update(
+            hsr=jnp.asarray(row[hub].astype(np.int32)),
+            hsc=jnp.asarray(col[hub].astype(np.int32)),
+            hsv=jnp.asarray(val[hub].astype(dtype)))
 
     # int16 metadata packing: main-pass chunk (< W*128 <= 2^14) and pq
     # (< RS*128) always fit 15 bits across the tuning space; the hub pack
@@ -398,6 +406,25 @@ def build_colsort(A, config, interpret: bool = False):
                         arrs["mp"]).reshape(m_pad)[:m]
         parts.append(main_part)
 
+        def main_part_mm(arrs, x3, K, nb=nb, rows_sub=rows_sub,
+                         m_pad=m_pad):
+            kern = functools.partial(_main_spmm_kernel, Bs=Bs, RS=RS, CW=CW,
+                                     K=K)
+            callK = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2, grid=(nb,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)] * 3,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                out_shape=jax.ShapeDtypeStruct((K, rows_sub, LANE), dtype),
+                interpret=interpret)
+            y3 = callK(arrs["mr"], arrs["mcb"], x3, arrs["mv"], arrs["mc"],
+                       arrs["mp"])
+            return y3.reshape(K, m_pad)[:, :m]
+        parts_mm.append(main_part_mm)
+
     if hub.any():
         NR = int(config.get("hub_rows", NR_DEFAULT))
         hvals, hpacks, hcbs, hrows = _plan_hub(
@@ -447,12 +474,35 @@ def build_colsort(A, config, interpret: bool = False):
         parts.append(hub_part)
 
     def apply(arrs, x):
-        if x.ndim != 1:
-            raise NotImplementedException("colsort kernel is SpMV-only")
-        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
-        y = parts[0](arrs, x2)
-        for p in parts[1:]:
-            y = y + p(arrs, x2)
+        if x.ndim == 1:
+            x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+            y = parts[0](arrs, x2)
+            for p in parts[1:]:
+                y = y + p(arrs, x2)
+            return y
+        if x.ndim != 2 or not parts_mm:
+            raise NotImplementedException(
+                "colsort SpMM needs the main pass (all-hub patterns use the "
+                "default path)")
+        K = x.shape[1]
+        rs_max = (round_up(m, LANE) + (RS + 1) * LANE) // LANE
+        row_bytes = (x_rows + rs_max) * LANE * dtype.itemsize
+        KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // row_bytes))
+        if KB > 8:
+            KB -= KB % 8
+        KB = min(K, KB)
+        xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
+        xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
+        outs = []
+        for s0 in range(0, K, KB):
+            xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
+            x3 = xc.reshape(KB, x_rows, LANE)
+            outs.append(parts_mm[0](arrs, x3, KB))
+        y = jnp.concatenate(outs, axis=0)[:K].T
+        if "hsv" in arrs:
+            y = y + jax.ops.segment_sum(
+                arrs["hsv"][:, None] * x[arrs["hsc"]], arrs["hsr"],
+                num_segments=m)
         return y
 
     def fn(x):
@@ -702,3 +752,51 @@ def _build_colsort_streamed(A, config, interpret):
     fn.planned_arrays = arrays
     fn.apply = apply
     return fn
+
+
+# -- resident SpMM rail (main pass k-loop; hubs via segment-sum) ---------------
+
+def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
+                      *, Bs, RS, CW, K):
+    """SpMM main pass: entry blocks read once, fori over the K resident
+    right-hand-side columns (k-major x/y).  Same gather/scatter as the
+    SpMV main kernel with the selection masks hoisted."""
+    W = CW // LANE
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    vals = val_ref[0]
+    chunk = chunk_ref[0].astype(jnp.int32)
+    pq = pq_ref[0].astype(jnp.int32)
+    perm = jnp.bitwise_and(pq, jnp.int32(LANE - 1))
+    qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
+    dtype = y_ref.dtype
+    cht = jnp.swapaxes(chunk, 0, 1)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    qmask = [qv == q for q in range(RS)]
+    rb = rbs[g]
+    cb = cbs[g]
+
+    def body(kk, carry):
+        xw = x_ref[kk, pl.ds(cb, CW), :]
+        xt = jnp.swapaxes(xw, 0, 1)
+        gt = jnp.zeros((LANE, LANE), dtype)
+        for w in range(W):
+            g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
+                                      axis=1)
+            gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        pr = jnp.take_along_axis(prod, perm, axis=1)
+        for q in range(RS):
+            part = jnp.sum(jnp.where(qmask[q], pr, 0), axis=0)
+            y_ref[kk, rb + q, :] = y_ref[kk, rb + q, :] + part
+        return carry
+
+    jax.lax.fori_loop(0, K, body, 0)

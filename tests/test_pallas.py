@@ -433,3 +433,32 @@ def test_colsort_auto_streams_past_budget():
         configure(vmem_budget_bytes=old)
     np.testing.assert_allclose(y, reference_spmv(A, np.asarray(x)),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 9])
+def test_colsort_spmm(k):
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
+    S = _powerlaw(700, 7000, seed=14)
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(15)
+    X = jnp.asarray(rng.randn(A.num_cols, k).astype(np.float32))
+    fn = build_colsort(A, {"block_entries": 2048, "col_window": 2048,
+                           "row_window": 512, "hub_cap": 10}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_colsort_spmm_all_hub_raises():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
+    from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
+    S = sp.coo_matrix((np.ones(400), (np.zeros(400, int), np.arange(400))),
+                      shape=(400, 400)).tocsr()
+    fn = build_colsort(S if not hasattr(S, "tocoo") else
+                       from_scipy(S.tocoo(), "csr"),
+                       {"block_entries": 512, "col_window": 1024,
+                        "row_window": 256, "hub_cap": 2}, interpret=True)
+    X = jnp.ones((400, 3), jnp.float32)
+    with pytest.raises(NotImplementedException):
+        fn(X)
