@@ -77,6 +77,21 @@ def _sweep(on_tpu):
                      .astype(np.float32))
     t = _timeit(fn, Xk)
     out["csr_binned_spmm_k16_gflops"] = round(2 * A.nnz * 16 / t / 1e9, 1)
+
+    # scattered SpMM: colsort k-loop rail (Economics-like pattern — the
+    # hub-heavy power law above keeps its SpMM in the segsum fallback)
+    from cusp_autotuned_tpu.gallery.suite import _scattered
+    Ss = _scattered(120_000, 6, seed=8)
+    Ps = from_scipy(Ss.tocoo().astype(np.float32), "csr")
+    cfg = ({"impl": "colsort", "block_entries": 16384,
+            "col_window": 131072, "row_window": 4096, "hub_rows": 32}
+           if on_tpu else {"impl": "segsum"})
+    fn = jax.jit(build_spmv(Ps, cfg))
+    Xp = jnp.asarray(np.random.RandomState(4).randn(Ps.num_cols, 16)
+                     .astype(np.float32) * 0.1)
+    t = _timeit(fn, Xp)
+    out["colsort_spmm_scattered_k16_gflops"] = round(
+        2 * Ss.nnz * 16 / t / 1e9, 1)
     return out
 
 
