@@ -346,14 +346,6 @@ def build_colsort(A, config, interpret: bool = False):
     parts = []       # callables composed into one traced fn
     parts_mm = []    # SpMM (2-D x) counterparts of the main pass
     arrays = {}      # planned device arrays (PlannedOperator leaves)
-    if hub.any():
-        # hub rows for the SpMM rail go through a broadcast segment-sum
-        # (few rows; the kernel hub pass stays SpMV-shaped)
-        arrays.update(
-            hsr=jnp.asarray(row[hub].astype(np.int32)),
-            hsc=jnp.asarray(col[hub].astype(np.int32)),
-            hsv=jnp.asarray(val[hub].astype(dtype)))
-
     # int16 metadata packing: main-pass chunk (< W*128 <= 2^14) and pq
     # (< RS*128) always fit 15 bits across the tuning space; the hub pack
     # re-layouts (rid<<12|chunk) -> (rid<<11|chunk) when chunk < 2^11.
@@ -473,6 +465,29 @@ def build_colsort(A, config, interpret: bool = False):
                 totals, mode="drop")
         parts.append(hub_part)
 
+        def hub_part_mm(arrs, x3, K, nb_pad=nb_pad, rid_shift=rid_shift,
+                        NR=NR):
+            kern = functools.partial(_hub_spmm_kernel, Bs=Bs, CW=CW,
+                                     rid_shift=rid_shift, NR=NR, K=K)
+            callK = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1, grid=(nb_pad,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)] * 2,
+                    out_specs=pl.BlockSpec((1, K, NR, LANE),
+                                           lambda g, *_: (g, 0, 0, 0),
+                                           memory_space=pltpu.VMEM)),
+                out_shape=jax.ShapeDtypeStruct((nb_pad, K, NR, LANE), dtype),
+                interpret=interpret)
+            partials = callK(arrs["hcb"], x3, arrs["hv"], arrs["hp"])
+            totals = jnp.swapaxes(jnp.sum(partials, axis=3), 0, 1)
+            totals = totals.reshape(K, -1)           # (K, nb*NR)
+            return jnp.zeros((K, m), arrs["hv"].dtype).at[
+                :, arrs["hrw"]].add(totals, mode="drop")
+        parts_mm.append(hub_part_mm)
+
     def apply(arrs, x):
         if x.ndim == 1:
             x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
@@ -481,9 +496,7 @@ def build_colsort(A, config, interpret: bool = False):
                 y = y + p(arrs, x2)
             return y
         if x.ndim != 2 or not parts_mm:
-            raise NotImplementedException(
-                "colsort SpMM needs the main pass (all-hub patterns use the "
-                "default path)")
+            raise NotImplementedException("colsort kernel takes 1-D/2-D x")
         K = x.shape[1]
         rs_max = (round_up(m, LANE) + (RS + 1) * LANE) // LANE
         row_bytes = (x_rows + rs_max) * LANE * dtype.itemsize
@@ -497,13 +510,11 @@ def build_colsort(A, config, interpret: bool = False):
         for s0 in range(0, K, KB):
             xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
             x3 = xc.reshape(KB, x_rows, LANE)
-            outs.append(parts_mm[0](arrs, x3, KB))
-        y = jnp.concatenate(outs, axis=0)[:K].T
-        if "hsv" in arrs:
-            y = y + jax.ops.segment_sum(
-                arrs["hsv"][:, None] * x[arrs["hsc"]], arrs["hsr"],
-                num_segments=m)
-        return y
+            yc = parts_mm[0](arrs, x3, KB)
+            for pmm in parts_mm[1:]:
+                yc = yc + pmm(arrs, x3, KB)
+            outs.append(yc)
+        return jnp.concatenate(outs, axis=0)[:K].T
 
     def fn(x):
         return apply(arrays, x)
@@ -797,6 +808,45 @@ def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         for q in range(RS):
             part = jnp.sum(jnp.where(qmask[q], pr, 0), axis=0)
             y_ref[kk, rb + q, :] = y_ref[kk, rb + q, :] + part
+        return carry
+
+    jax.lax.fori_loop(0, K, body, 0)
+
+
+def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
+                     *, Bs, CW, rid_shift, NR, K):
+    """Hub SpMM: per-block (K, NR, 128) lane partials, entries read once
+    across the K resident right-hand-side columns."""
+    W = CW // LANE
+    g = pl.program_id(0)
+    vals = val_ref[0]
+    packed = pack_ref[0].astype(jnp.int32)
+    chunk = jnp.bitwise_and(packed, jnp.int32((1 << rid_shift) - 1))
+    rid = jax.lax.shift_right_logical(packed, jnp.int32(rid_shift))
+    dtype = out_ref.dtype
+    cht = jnp.swapaxes(chunk, 0, 1)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    rmask = [rid == k2 for k2 in range(NR)]
+    cb = cbs[g]
+
+    def body(kk, carry):
+        xw = x_ref[kk, pl.ds(cb, CW), :]
+        xt = jnp.swapaxes(xw, 0, 1)
+        gt = jnp.zeros((LANE, LANE), dtype)
+        for w in range(W):
+            g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
+                                      axis=1)
+            gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        rows = []
+        for k2 in range(NR):
+            rows.append(jnp.sum(jnp.where(rmask[k2], prod, 0),
+                                axis=0)[None, :])
+        out_ref[0, kk] = jnp.concatenate(rows, axis=0)
         return carry
 
     jax.lax.fori_loop(0, K, body, 0)

@@ -449,16 +449,17 @@ def test_colsort_spmm(k):
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_colsort_spmm_all_hub_raises():
+def test_colsort_spmm_all_hub():
+    # every row is a hub: the SpMM routes entirely through the hub k-loop
     import scipy.sparse as sp
     from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
-    from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
-    S = sp.coo_matrix((np.ones(400), (np.zeros(400, int), np.arange(400))),
-                      shape=(400, 400)).tocsr()
-    fn = build_colsort(S if not hasattr(S, "tocoo") else
-                       from_scipy(S.tocoo(), "csr"),
-                       {"block_entries": 512, "col_window": 1024,
-                        "row_window": 256, "hub_cap": 2}, interpret=True)
-    X = jnp.ones((400, 3), jnp.float32)
-    with pytest.raises(NotImplementedException):
-        fn(X)
+    S = (sp.coo_matrix((np.ones(400), (np.zeros(400, int), np.arange(400))),
+                       shape=(400, 400)) + sp.eye(400)).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_colsort(A, {"block_entries": 512, "col_window": 1024,
+                           "row_window": 256, "hub_cap": 1}, interpret=True)
+    rng = np.random.RandomState(16)
+    X = jnp.asarray(rng.randn(400, 3).astype(np.float32))
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = S.astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
