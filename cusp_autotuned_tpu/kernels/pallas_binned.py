@@ -51,21 +51,28 @@ def MAX_X_VMEM_BYTES():
 def _plan_budget(config):
     from cusp_autotuned_tpu.utils.config import plan_budget
     return plan_budget(config)
-# pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
-MAX_BLOCKS_FACTOR = 6
 
 
-def _host_coo(A):
-    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+def _reject_x64(A, interpret):
+    """Mosaic has no 64-bit lowering; interpret mode (XLA) handles it."""
     import jax
-    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
+    dt = np.dtype(A.dtype)
+    if np.issubdtype(dt, np.floating) and dt.itemsize == 8 \
+            and jax.config.jax_enable_x64 and not interpret \
             and jax.default_backend() == "tpu":
         raise NotImplementedException(
             "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
             "serve x64 (skippable)")
+# pathological-plan guard, same role as the old kernel's MAX_BLOCKS_FACTOR
+MAX_BLOCKS_FACTOR = 6
+
+
+def _host_coo(A, interpret=False):
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "binned kernels support real dtypes only")
+    _reject_x64(A, interpret)
     row, col, val, shape = _coo_arrays(A)
     if row.size == 0:
         raise FormatConversionException("empty matrix — use the default path")
@@ -326,7 +333,7 @@ def _build_streamed(A, config, interpret):
         raise NotImplementedException(
             "block_entries must be a multiple of 128")
     hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
-    row, col, val, shape = _host_coo(A)
+    row, col, val, shape = _host_coo(A, interpret)
     m, n = shape
     dtype = np.dtype(A.dtype)
 
@@ -474,7 +481,7 @@ def _build(A, config, interpret):
     # one lane column holds (Bs slots) would close blocks pathologically —
     # spill it; a configured hub_cap is clamped to that capacity
     hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
-    row, col, val, shape = _host_coo(A)
+    row, col, val, shape = _host_coo(A, interpret)
     m, n = shape
     dtype = np.dtype(A.dtype)
 

@@ -302,12 +302,8 @@ def build_colsort(A, config, interpret: bool = False):
         if max(x_bytes, y_bytes) > MAX_X_VMEM_BYTES():
             return _build_colsort_streamed(A, config, interpret)
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
-    import jax
-    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
-            and jax.default_backend() == "tpu":
-        raise NotImplementedException(
-            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
-            "serve x64 (skippable)")
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "colsort kernel supports real dtypes only")
@@ -399,19 +395,23 @@ def build_colsort(A, config, interpret: bool = False):
         parts.append(main_part)
 
         def main_part_mm(arrs, x3, K, nb=nb, rows_sub=rows_sub,
-                         m_pad=m_pad):
-            kern = functools.partial(_main_spmm_kernel, Bs=Bs, RS=RS, CW=CW,
-                                     K=K)
-            callK = pl.pallas_call(
-                kern,
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2, grid=(nb,),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
-                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
-                                     memory_space=pltpu.VMEM)] * 3,
-                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
-                out_shape=jax.ShapeDtypeStruct((K, rows_sub, LANE), dtype),
-                interpret=interpret)
+                         m_pad=m_pad, _cache={}):
+            callK = _cache.get(K)
+            if callK is None:
+                kern = functools.partial(_main_spmm_kernel, Bs=Bs, RS=RS,
+                                         CW=CW, K=K)
+                callK = _cache[K] = pl.pallas_call(
+                    kern,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=2, grid=(nb,),
+                        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                            pl.BlockSpec((1, Bs, LANE),
+                                         lambda g, *_: (g, 0, 0),
+                                         memory_space=pltpu.VMEM)] * 3,
+                        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                    out_shape=jax.ShapeDtypeStruct((K, rows_sub, LANE),
+                                                   dtype),
+                    interpret=interpret)
             y3 = callK(arrs["mr"], arrs["mcb"], x3, arrs["mv"], arrs["mc"],
                        arrs["mp"])
             return y3.reshape(K, m_pad)[:, :m]
@@ -466,21 +466,25 @@ def build_colsort(A, config, interpret: bool = False):
         parts.append(hub_part)
 
         def hub_part_mm(arrs, x3, K, nb_pad=nb_pad, rid_shift=rid_shift,
-                        NR=NR):
-            kern = functools.partial(_hub_spmm_kernel, Bs=Bs, CW=CW,
-                                     rid_shift=rid_shift, NR=NR, K=K)
-            callK = pl.pallas_call(
-                kern,
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=1, grid=(nb_pad,),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
-                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
-                                     memory_space=pltpu.VMEM)] * 2,
-                    out_specs=pl.BlockSpec((1, K, NR, LANE),
-                                           lambda g, *_: (g, 0, 0, 0),
-                                           memory_space=pltpu.VMEM)),
-                out_shape=jax.ShapeDtypeStruct((nb_pad, K, NR, LANE), dtype),
-                interpret=interpret)
+                        NR=NR, _cache={}):
+            callK = _cache.get(K)
+            if callK is None:
+                kern = functools.partial(_hub_spmm_kernel, Bs=Bs, CW=CW,
+                                         rid_shift=rid_shift, NR=NR, K=K)
+                callK = _cache[K] = pl.pallas_call(
+                    kern,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=1, grid=(nb_pad,),
+                        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                            pl.BlockSpec((1, Bs, LANE),
+                                         lambda g, *_: (g, 0, 0),
+                                         memory_space=pltpu.VMEM)] * 2,
+                        out_specs=pl.BlockSpec((1, K, NR, LANE),
+                                               lambda g, *_: (g, 0, 0, 0),
+                                               memory_space=pltpu.VMEM)),
+                    out_shape=jax.ShapeDtypeStruct((nb_pad, K, NR, LANE),
+                                                   dtype),
+                    interpret=interpret)
             partials = callK(arrs["hcb"], x3, arrs["hv"], arrs["hp"])
             totals = jnp.swapaxes(jnp.sum(partials, axis=3), 0, 1)
             totals = totals.reshape(K, -1)           # (K, nb*NR)
@@ -498,7 +502,9 @@ def build_colsort(A, config, interpret: bool = False):
         if x.ndim != 2 or not parts_mm:
             raise NotImplementedException("colsort kernel takes 1-D/2-D x")
         K = x.shape[1]
-        rs_max = (round_up(m, LANE) + (RS + 1) * LANE) // LANE
+        if K == 0:
+            return jnp.zeros((m, 0), dtype)
+        rs_max = (round_up(m, LANE) + (RW // LANE + 2) * LANE) // LANE
         row_bytes = (x_rows + rs_max) * LANE * dtype.itemsize
         KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // row_bytes))
         if KB > 8:
@@ -599,12 +605,8 @@ def _hub_streamed_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
 def _build_colsort_streamed(A, config, interpret):
     """Aligned-window colsort: scattered patterns past the VMEM budget."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
-    import jax
-    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
-            and jax.default_backend() == "tpu":
-        raise NotImplementedException(
-            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
-            "serve x64 (skippable)")
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "colsort kernel supports real dtypes only")
@@ -792,6 +794,7 @@ def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     qmask = [qv == q for q in range(RS)]
+    wmask = [hiw == w for w in range(W)]
     rb = rbs[g]
     cb = cbs[g]
 
@@ -802,7 +805,7 @@ def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         for w in range(W):
             g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
                                       axis=1)
-            gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+            gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
         prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)
         for q in range(RS):
@@ -831,6 +834,7 @@ def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     rmask = [rid == k2 for k2 in range(NR)]
+    wmask = [hiw == w for w in range(W)]
     cb = cbs[g]
 
     def body(kk, carry):
@@ -840,7 +844,7 @@ def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
         for w in range(W):
             g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
                                       axis=1)
-            gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+            gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
         prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
         rows = []
         for k2 in range(NR):

@@ -83,12 +83,8 @@ def build_csr_onehot(A, config, interpret: bool = False):
         raise NotImplementedException(
             "block_entries/col_window must be multiples of 128")
     m, n = A.shape
-    import jax
-    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
-            and jax.default_backend() == "tpu":
-        raise NotImplementedException(
-            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
-            "serve x64 (skippable)")
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
             "one-hot kernel supports real dtypes only")

@@ -43,12 +43,8 @@ MIN_BLOCK_ROWS = 8 * LANE   # (8, 128) min tile
 
 
 def build_dia(A, config, interpret: bool = False):
-    import jax
-    if np.dtype(A.dtype).itemsize == 8 and jax.config.jax_enable_x64 \
-            and not interpret and jax.default_backend() == "tpu":
-        raise NotImplementedException(
-            "64-bit values: Mosaic TPU kernels are 32-bit — the XLA paths "
-            "serve x64 (skippable)")
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
     block_rows = int(config.get("block_rows", 2048))
     if block_rows % MIN_BLOCK_ROWS != 0:
         raise NotImplementedException("block_rows must be a multiple of 1024")

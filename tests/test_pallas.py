@@ -450,16 +450,23 @@ def test_colsort_spmm(k):
 
 
 def test_colsort_spmm_all_hub():
-    # every row is a hub: the SpMM routes entirely through the hub k-loop
+    # every row exceeds hub_cap: SpMM routes entirely through the hub
+    # k-loop kernel (no main pass exists)
     import scipy.sparse as sp
     from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
-    S = (sp.coo_matrix((np.ones(400), (np.zeros(400, int), np.arange(400))),
-                       shape=(400, 400)) + sp.eye(400)).tocsr()
+    n = 400
+    S = (sp.eye(n) + sp.diags(np.full(n - 1, 2.0), 1)
+         + sp.diags(np.full(n - 1, 3.0), -1)).tocsr()   # 2-3 entries/row
     A = from_scipy(S.tocoo(), "csr")
     fn = build_colsort(A, {"block_entries": 512, "col_window": 1024,
                            "row_window": 256, "hub_cap": 1}, interpret=True)
     rng = np.random.RandomState(16)
-    X = jnp.asarray(rng.randn(400, 3).astype(np.float32))
+    X = jnp.asarray(rng.randn(n, 3).astype(np.float32))
     Y = np.asarray(jax.jit(fn)(X))
     ref = S.astype(np.float64) @ np.asarray(X, np.float64)
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+    # and the SpMV path agrees on the same all-hub build
+    xv = jnp.asarray(rng.randn(n).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(jax.jit(fn)(xv)),
+                               S @ np.asarray(xv, np.float64),
+                               rtol=1e-4, atol=1e-4)
