@@ -54,7 +54,8 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                          aggregator: str = "standard",
                          smoother: str = "jacobi",
                          strength: str = "symmetric",
-                         epsilon: float = 4.0) -> Multilevel:
+                         epsilon: float = 4.0,
+                         spmv_config=None) -> Multilevel:
     """Build the SA-AMG hierarchy.  B: near-nullspace candidate (default
     ones).  aggregator: 'standard' | 'mis'.  smoother: 'jacobi' |
     'gauss_seidel' | 'sor' | 'polynomial'.  strength: 'symmetric' (theta
@@ -94,8 +95,19 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         Psp = to_scipy(P)
         R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
         A_coarse = galerkin_product(R, sa.A, P)
-        levels.append(Level(R=R, A=sa.A,
-                            P=P, smoother=smoother_factory(sa.A, rho)))
+        Aop = None
+        if spmv_config is not None:
+            # tuned apply operator per level (planned arrays as jit args);
+            # unplannable levels keep the container path (skippable)
+            from cusp_autotuned_tpu.operators import planned_operator
+            from cusp_autotuned_tpu.utils.exceptions import (
+                FormatConversionException, NotImplementedException)
+            try:
+                Aop = planned_operator(sa.A, spmv_config)
+            except (FormatConversionException, NotImplementedException):
+                Aop = None
+        levels.append(Level(R=R, A=sa.A, P=P,
+                            smoother=smoother_factory(sa.A, rho), Aop=Aop))
         sa = SALevel(A=A_coarse, B=B_coarse)
 
     import jax.scipy.linalg as jsl

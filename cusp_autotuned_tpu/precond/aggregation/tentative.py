@@ -31,6 +31,9 @@ def fit_candidates(aggregates, B):
     rows = np.nonzero(valid)[0]
     cols = agg[valid]
     vals = b[valid] / safe[cols]
+    out_dt = np.asarray(B).dtype
+    if not np.issubdtype(out_dt, np.floating):
+        out_dt = np.float64
     T = coo_matrix(rows.astype(np.int32), cols.astype(np.int32),
-                   vals, (n, n_agg), sort=True)
-    return convert(T, "csr"), jnp.asarray(norms)
+                   vals.astype(out_dt), (n, n_agg), sort=True)
+    return convert(T, "csr"), jnp.asarray(norms.astype(out_dt))

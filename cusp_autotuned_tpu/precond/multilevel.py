@@ -34,9 +34,15 @@ MAX_LEVELS = 10
 @dataclasses.dataclass(frozen=True)
 class Level:
     R: Any            # restriction operator (container)
-    A: Any            # level operator
+    A: Any            # level operator (container: setup/reporting)
     P: Any            # prolongation operator
     smoother: Any     # presmooth/postsmooth adapter
+    Aop: Any = None   # optional tuned apply operator (PlannedOperator);
+                      # the V-cycle and smoothers multiply through it
+
+    @property
+    def apply_op(self):
+        return self.Aop if self.Aop is not None else self.A
 
 
 @register_matrix
@@ -64,12 +70,13 @@ class Multilevel(MatrixBase):
         if i == len(self.levels):
             return self.coarse(b)
         lvl = self.levels[i]
-        x = lvl.smoother.presmooth(lvl.A, b)
-        r = b - multiply(lvl.A, x, use_autotuning=False)
+        op = lvl.apply_op
+        x = lvl.smoother.presmooth(op, b)
+        r = b - multiply(op, x, use_autotuning=False)
         rc = multiply(lvl.R, r, use_autotuning=False)
         ec = self._cycle(i + 1, rc)
         x = x + multiply(lvl.P, ec, use_autotuning=False)
-        return lvl.smoother.postsmooth(lvl.A, b, x)
+        return lvl.smoother.postsmooth(op, b, x)
 
     def __call__(self, b):
         """One V-cycle from a zero initial guess — usable as M in any
@@ -83,7 +90,7 @@ class Multilevel(MatrixBase):
         x = jnp.asarray(x0) if x0 is not None else jnp.zeros_like(b)
         if monitor is None:
             monitor = default_monitor(b)
-        r = b - multiply(self.levels[0].A, x)
+        r = b - multiply(self.levels[0].apply_op, x)
         while not monitor.finished(np.asarray(r)):
             x, r = _vcycle_step(self, x, b, r)
         return x, monitor
@@ -117,6 +124,6 @@ class Multilevel(MatrixBase):
 def _vcycle_step(M: Multilevel, x, b, r):
     """x <- x + V(r); returns (x, new residual) — the caller feeds the
     residual back in, so each iteration costs exactly one top-level SpMV."""
-    A = M.levels[0].A
+    A = M.levels[0].apply_op
     x = x + M(r)
     return x, b - multiply(A, x, use_autotuning=False)

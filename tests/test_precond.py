@@ -149,3 +149,22 @@ def test_sa_amg_evolution_strength_anisotropic():
     # evolution strength must not be (much) worse; on anisotropy it usually
     # reduces the iteration count
     assert iters["evolution"] <= iters["symmetric"] + 2, iters
+
+
+def test_smoothed_aggregation_with_level_operators():
+    # per-level tuned apply operators (planned arrays as jit arguments)
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson5pt(40, 40, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(
+        A, spmv_config={"impl": "binned", "block_entries": 512,
+                        "col_window": 1024, "row_window": 256})
+    assert any(isinstance(l.Aop, PlannedOperator) for l in M.levels)
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(A, b, M=M)
+    x0, mon0 = solvers.cg(A, b, M=smoothed_aggregation(A))
+    assert mon.converged() and mon0.converged()
+    assert abs(mon.iteration_count() - mon0.iteration_count()) <= 2
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0),
+                               rtol=1e-3, atol=1e-4)
