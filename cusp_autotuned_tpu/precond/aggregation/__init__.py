@@ -95,19 +95,24 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         Psp = to_scipy(P)
         R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
         A_coarse = galerkin_product(R, sa.A, P)
-        Aop = None
+        Aop = Rop = Pop = None
         if spmv_config is not None:
-            # tuned apply operator per level (planned arrays as jit args);
-            # unplannable levels keep the container path (skippable)
+            # tuned apply operators per level (planned arrays as jit args);
+            # unplannable operators keep the container path (skippable)
             from cusp_autotuned_tpu.operators import planned_operator
             from cusp_autotuned_tpu.utils.exceptions import (
                 FormatConversionException, NotImplementedException)
-            try:
-                Aop = planned_operator(sa.A, spmv_config)
-            except (FormatConversionException, NotImplementedException):
-                Aop = None
+
+            def _wrap(Mx):
+                try:
+                    return planned_operator(Mx, spmv_config)
+                except (FormatConversionException,
+                        NotImplementedException):
+                    return None
+            Aop, Rop, Pop = _wrap(sa.A), _wrap(R), _wrap(P)
         levels.append(Level(R=R, A=sa.A, P=P,
-                            smoother=smoother_factory(sa.A, rho), Aop=Aop))
+                            smoother=smoother_factory(sa.A, rho),
+                            Aop=Aop, Rop=Rop, Pop=Pop))
         sa = SALevel(A=A_coarse, B=B_coarse)
 
     import jax.scipy.linalg as jsl

@@ -39,6 +39,8 @@ class Level:
     smoother: Any     # presmooth/postsmooth adapter
     Aop: Any = None   # optional tuned apply operator (PlannedOperator);
                       # the V-cycle and smoothers multiply through it
+    Rop: Any = None   # optional tuned restriction apply
+    Pop: Any = None   # optional tuned prolongation apply
 
     @property
     def apply_op(self):
@@ -73,9 +75,11 @@ class Multilevel(MatrixBase):
         op = lvl.apply_op
         x = lvl.smoother.presmooth(op, b)
         r = b - multiply(op, x, use_autotuning=False)
-        rc = multiply(lvl.R, r, use_autotuning=False)
+        rc = multiply(lvl.Rop if lvl.Rop is not None else lvl.R, r,
+                      use_autotuning=False)
         ec = self._cycle(i + 1, rc)
-        x = x + multiply(lvl.P, ec, use_autotuning=False)
+        x = x + multiply(lvl.Pop if lvl.Pop is not None else lvl.P, ec,
+                         use_autotuning=False)
         return lvl.smoother.postsmooth(op, b, x)
 
     def __call__(self, b):
