@@ -87,6 +87,9 @@ def _normalize_op(fn):
             min: jnp.minimum, max: jnp.maximum,
             operator.add: jnp.add, operator.mul: jnp.multiply,
             operator.sub: jnp.subtract,
+            np.add: jnp.add, np.multiply: jnp.multiply,
+            np.subtract: jnp.subtract,
+            np.minimum: jnp.minimum, np.maximum: jnp.maximum,
         })
     return _BUILTIN_OPS.get(fn, fn)
 
