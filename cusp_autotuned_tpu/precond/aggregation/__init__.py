@@ -32,7 +32,6 @@ from cusp_autotuned_tpu.precond.aggregation.smooth import (
 from cusp_autotuned_tpu.precond.multilevel import (
     Multilevel, Level, CoarseLU, MIN_LEVEL_SIZE, MAX_LEVELS,
 )
-from cusp_autotuned_tpu.ops.transpose import transpose
 from cusp_autotuned_tpu.ops.convert import to_dense
 
 
