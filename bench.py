@@ -24,9 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from benchmarks.harness import time_fn as _timeit, stream_bandwidth_gbps
 
 
-def _sweep(on_tpu):
+def _sweep(on_tpu, budget_s: float = 300.0):
     """Compact multi-format sweep folded into the headline JSON so a
-    driver-recorded run notices CSR/colsort/SpMM regressions, not just DIA."""
+    driver-recorded run notices CSR/colsort/SpMM regressions, not just DIA.
+
+    Self-truncating: on a slow-relay day each entry is skipped once the
+    time budget is spent, so the headline JSON always prints within the
+    driver's window."""
+    import time as _time
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -35,6 +40,11 @@ def _sweep(on_tpu):
     from cusp_autotuned_tpu.backend.reference import from_scipy
     from cusp_autotuned_tpu.kernels.variants import build_spmv
     from cusp_autotuned_tpu.kernels.pallas_dia import build_dia
+
+    t_start = _time.perf_counter()
+
+    def over_budget():
+        return _time.perf_counter() - t_start > budget_s
 
     out = {}
     # CSR binned on poisson9pt 1M nnz
@@ -48,6 +58,9 @@ def _sweep(on_tpu):
     useful = A.nnz * 8 + A.num_rows * 8
     out["csr_binned_p9_1m_gbps"] = round(useful / t / 1e9, 2)
 
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # colsort on a power-law matrix (hub pass exercised)
     S = _powerlaw(100_000, 1_000_000, a=1.7, seed=0)
     P = from_scipy(S.tocoo().astype(np.float32), "csr")
@@ -60,6 +73,9 @@ def _sweep(on_tpu):
     out["csr_colsort_powerlaw_1m_gbps"] = round(
         (S.nnz * 8 + S.shape[0] * 8) / t / 1e9, 2)
 
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # DIA SpMM k=128
     D = poisson5pt(300, 300, format="dia", dtype=np.float32)
     fn = jax.jit(build_dia(D, {"block_rows": 4096}) if on_tpu
@@ -69,6 +85,9 @@ def _sweep(on_tpu):
     t = _timeit(fn, X)
     out["dia_spmm_k128_gflops"] = round(2 * D.nnz * 128 / t / 1e9, 1)
 
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # unstructured SpMM: binned k-loop kernel on poisson9pt (k=16)
     cfg = ({"impl": "binned", "block_entries": 4096, "col_window": 2048,
             "row_window": 512} if on_tpu else {"impl": "segsum"})
@@ -78,6 +97,9 @@ def _sweep(on_tpu):
     t = _timeit(fn, Xk)
     out["csr_binned_spmm_k16_gflops"] = round(2 * A.nnz * 16 / t / 1e9, 1)
 
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # scattered SpMM: colsort k-loop rail (Economics-like pattern — the
     # hub-heavy power law above keeps its SpMM in the segsum fallback)
     from cusp_autotuned_tpu.gallery.suite import _scattered
