@@ -101,3 +101,18 @@ def test_planned_operator_falls_back_to_function():
     x = np.ones(A.num_cols, np.float32)
     np.testing.assert_allclose(np.asarray(op(x)),
                                np.asarray(ct.multiply(A, x)), rtol=1e-5)
+
+
+def test_planned_operator_across_solvers():
+    # the planned operator drives every Krylov family, not just CG
+    from cusp_autotuned_tpu.operators import planned_operator
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson9pt(22, 22, format="csr", dtype=np.float32)
+    op = planned_operator(A, {"impl": "binned", "block_entries": 512,
+                              "col_window": 1024, "row_window": 256})
+    b = np.ones(A.num_rows, np.float32)
+    for solve in (solvers.bicgstab, solvers.cr, solvers.gmres):
+        x, mon = solve(op, b)
+        assert mon.converged(), solve.__name__
+        r = b - np.asarray(ct.multiply(A, np.asarray(x)))
+        assert np.linalg.norm(r) <= 2e-3 * np.linalg.norm(b), solve.__name__
