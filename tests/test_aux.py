@@ -75,3 +75,9 @@ def test_config_module():
     import pytest as _pytest
     with _pytest.raises(AttributeError):
         configure(not_a_field=1)
+
+
+def test_plan_budget_override():
+    from cusp_autotuned_tpu.utils.config import plan_budget, get_config
+    assert plan_budget({}) == get_config().plan_budget_bytes
+    assert plan_budget({"plan_budget_bytes": 123}) == 123
