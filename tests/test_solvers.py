@@ -116,3 +116,19 @@ def test_planned_operator_across_solvers():
         assert mon.converged(), solve.__name__
         r = b - np.asarray(ct.multiply(A, np.asarray(x)))
         assert np.linalg.norm(r) <= 2e-3 * np.linalg.norm(b), solve.__name__
+
+
+def test_streamed_colsort_planned_operator_in_cg():
+    # streamed rail + planned operator + monitored solve, end to end
+    from cusp_autotuned_tpu.operators import planned_operator, PlannedOperator
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson9pt(24, 24, format="csr", dtype=np.float32)
+    op = planned_operator(A, {"impl": "colsort", "block_entries": 512,
+                              "col_window": 1024, "row_window": 1024,
+                              "stream_x": 1})
+    assert isinstance(op, PlannedOperator)
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(op, b)
+    assert mon.converged()
+    r = b - np.asarray(ct.multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
