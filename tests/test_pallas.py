@@ -470,3 +470,32 @@ def test_colsort_spmm_all_hub():
     np.testing.assert_allclose(np.asarray(jax.jit(fn)(xv)),
                                S @ np.asarray(xv, np.float64),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_binned_streamed_rectangular():
+    import scipy.sparse as sp
+    rng = np.random.RandomState(41)
+    S = sp.random(700, 2200, density=0.004, random_state=rng).tocsr()
+    _check_binned(S, "build_binned", block_entries=512, col_window=1024,
+                  row_window=256, stream_x=1)
+
+
+def test_binned_streamed_pack16_off():
+    S = gallery.poisson9pt(30, 30, format="csr").to_scipy()
+    _check_binned(S, "build_binned", block_entries=512, col_window=1024,
+                  row_window=256, stream_x=1, pack16=False)
+
+
+def test_colsort_streamed_spmm_unsupported_falls_back():
+    # streamed colsort is SpMV-only for now: 2-D x raises the skippable
+    # exception (the tuner records it and keeps another strategy)
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
+    from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
+    S = _powerlaw(500, 5000, seed=31)
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_colsort(A, {"block_entries": 512, "col_window": 1024,
+                           "row_window": 1024, "stream_x": 1},
+                       interpret=True)
+    X = jnp.ones((A.num_cols, 4), jnp.float32)
+    with pytest.raises(NotImplementedException):
+        fn(X)
