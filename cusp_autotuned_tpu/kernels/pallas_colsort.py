@@ -532,11 +532,12 @@ def build_colsort(A, config, interpret: bool = False):
 # -- streamed-window rail (aligned plans; x/y blocks ride index maps) -----------
 
 def _main_streamed_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
-                          *, Bs, RS, CW):
+                          *, Bs, RS, CW, K=0):
     """Streamed main pass: x_ref IS the (CW, 128) column window and y_ref
     the (RS, 128) row-bucket window, pipelined by index maps over the
     aligned plan — n/m bounded only by HBM.  y zeroes on first visit of a
-    row bucket (blocks of one bucket are contiguous by plan order)."""
+    row bucket (blocks of one bucket are contiguous by plan order).
+    K > 0 adds the SpMM k-major leading dim (entries read once per K)."""
     W = CW // LANE
     g = pl.program_id(0)
     first = jnp.logical_or(g == 0, rbs[g] != rbs[jnp.maximum(g - 1, 0)])
@@ -552,24 +553,39 @@ def _main_streamed_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
     qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
     dtype = y_ref.dtype
 
-    xt = jnp.swapaxes(x_ref[...], 0, 1)               # (128, CW)
     cht = jnp.swapaxes(chunk, 0, 1)                   # (128, Bs)
     if Bs < LANE:
         cht = jnp.concatenate(
             [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
-    gt = jnp.zeros((LANE, LANE), dtype)
-    for w in range(W):
-        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
-        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
-    xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
-    prod = vals * xg
+    wmask = [hiw == w for w in range(W)]
+    qmask = [qv == q for q in range(RS)]
 
-    pr = jnp.take_along_axis(prod, perm, axis=1)
-    for q in range(RS):
-        part = jnp.sum(jnp.where(qv == q, pr, 0), axis=0)
-        y_ref[q, :] = y_ref[q, :] + part
+    def one_rhs(xw, y_at, y_set):
+        xt = jnp.swapaxes(xw, 0, 1)                   # (128, CW)
+        gt = jnp.zeros((LANE, LANE), dtype)
+        for w in range(W):
+            g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
+                                      axis=1)
+            gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
+        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        pr = jnp.take_along_axis(prod, perm, axis=1)
+        for q in range(RS):
+            part = jnp.sum(jnp.where(qmask[q], pr, 0), axis=0)
+            y_set(q, y_at(q) + part)
+
+    if K == 0:
+        one_rhs(x_ref[...],
+                lambda q: y_ref[q, :],
+                lambda q, v: y_ref.__setitem__((q, slice(None)), v))
+    else:
+        def body(kk, carry):
+            one_rhs(x_ref[kk],
+                    lambda q: y_ref[kk, q, :],
+                    lambda q, v: y_ref.__setitem__((kk, q, slice(None)), v))
+            return carry
+        jax.lax.fori_loop(0, K, body, 0)
 
 
 def _hub_streamed_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
@@ -650,6 +666,7 @@ def _build_colsort_streamed(A, config, interpret):
     hub = counts[row] > hub_cap
 
     parts = []
+    parts_mm = []
     arrays = {}
 
     if (~hub).any():
@@ -701,6 +718,34 @@ def _build_colsort_streamed(A, config, interpret):
             return jnp.where(arrs["main_mask"], y2.reshape(m_pad)[:m], 0)
         parts.append(main_part)
 
+        def main_part_mm(arrs, x3, K, nb=nb, _cache={}):
+            callK = _cache.get(K)
+            if callK is None:
+                kern = functools.partial(_main_streamed_kernel, Bs=Bs, RS=RS,
+                                         CW=CW, K=K)
+                callK = _cache[K] = pl.pallas_call(
+                    kern,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=2, grid=(nb,),
+                        in_specs=[
+                            pl.BlockSpec((K, CW, LANE),
+                                         lambda g, rbs, cbs: (0, cbs[g], 0),
+                                         memory_space=pltpu.VMEM)] + [
+                            pl.BlockSpec((1, Bs, LANE),
+                                         lambda g, *_: (g, 0, 0),
+                                         memory_space=pltpu.VMEM)] * 3,
+                        out_specs=pl.BlockSpec(
+                            (K, RS, LANE), lambda g, rbs, cbs: (0, rbs[g], 0),
+                            memory_space=pltpu.VMEM)),
+                    out_shape=jax.ShapeDtypeStruct((K, rows_sub, LANE),
+                                                   dtype),
+                    interpret=interpret)
+            y3 = callK(arrs["mr"], arrs["mcb"], x3, arrs["mv"], arrs["mc"],
+                       arrs["mp"])
+            return jnp.where(arrs["main_mask"][None, :],
+                             y3.reshape(K, m_pad)[:, :m], 0)
+        parts_mm.append(main_part_mm)
+
     if hub.any():
         NR = int(config.get("hub_rows", NR_DEFAULT))
         hvals, hpacks, hcbs, hrows = _plan_hub(
@@ -751,9 +796,62 @@ def _build_colsort_streamed(A, config, interpret):
                 totals, mode="drop")
         parts.append(hub_part)
 
+        def hub_part_mm(arrs, x3, K, nb_pad=nb_pad, rid_shift=rid_shift,
+                        NR=NR, _cache={}):
+            callK = _cache.get(K)
+            if callK is None:
+                kern = functools.partial(_hub_spmm_kernel, Bs=Bs, CW=CW,
+                                         rid_shift=rid_shift, NR=NR, K=K,
+                                         streamed=True)
+                callK = _cache[K] = pl.pallas_call(
+                    kern,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=1, grid=(nb_pad,),
+                        in_specs=[
+                            pl.BlockSpec((K, CW, LANE),
+                                         lambda g, cbs: (0, cbs[g], 0),
+                                         memory_space=pltpu.VMEM)] + [
+                            pl.BlockSpec((1, Bs, LANE),
+                                         lambda g, *_: (g, 0, 0),
+                                         memory_space=pltpu.VMEM)] * 2,
+                        out_specs=pl.BlockSpec(
+                            (1, K, NR, LANE), lambda g, *_: (g, 0, 0, 0),
+                            memory_space=pltpu.VMEM)),
+                    out_shape=jax.ShapeDtypeStruct((nb_pad, K, NR, LANE),
+                                                   dtype),
+                    interpret=interpret)
+            partials = callK(arrs["hcb"], x3, arrs["hv"], arrs["hp"])
+            totals = jnp.swapaxes(jnp.sum(partials, axis=3), 0, 1)
+            totals = totals.reshape(K, -1)
+            return jnp.zeros((K, m), arrs["hv"].dtype).at[
+                :, arrs["hrw"]].add(totals, mode="drop")
+        parts_mm.append(hub_part_mm)
+
     def apply(arrs, x):
+        if x.ndim == 2:
+            K = x.shape[1]
+            if K == 0:
+                return jnp.zeros((m, 0), dtype)
+            # x/y windows stream per block: K chunks bound only by the
+            # windows' VMEM footprint
+            win_bytes = (CW + RW // LANE) * LANE * dtype.itemsize
+            KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // (2 * win_bytes)))
+            if KB > 8:
+                KB -= KB % 8
+            KB = min(K, KB)
+            xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
+            xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
+            outs = []
+            for s0 in range(0, K, KB):
+                xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
+                x3 = xc.reshape(KB, x_rows, LANE)
+                yc = parts_mm[0](arrs, x3, KB)
+                for pmm in parts_mm[1:]:
+                    yc = yc + pmm(arrs, x3, KB)
+                outs.append(yc)
+            return jnp.concatenate(outs, axis=0)[:K].T
         if x.ndim != 1:
-            raise NotImplementedException("colsort kernel is SpMV-only")
+            raise NotImplementedException("colsort kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
         y = parts[0](arrs, x2)
         for p in parts[1:]:
@@ -817,9 +915,10 @@ def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
 
 
 def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
-                     *, Bs, CW, rid_shift, NR, K):
+                     *, Bs, CW, rid_shift, NR, K, streamed=False):
     """Hub SpMM: per-block (K, NR, 128) lane partials, entries read once
-    across the K resident right-hand-side columns."""
+    across the K right-hand-side columns.  streamed=True means x_ref IS
+    the (K, CW, 128) column window (pipelined by the index map)."""
     W = CW // LANE
     g = pl.program_id(0)
     vals = val_ref[0]
@@ -838,7 +937,7 @@ def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
     cb = cbs[g]
 
     def body(kk, carry):
-        xw = x_ref[kk, pl.ds(cb, CW), :]
+        xw = x_ref[kk] if streamed else x_ref[kk, pl.ds(cb, CW), :]
         xt = jnp.swapaxes(xw, 0, 1)
         gt = jnp.zeros((LANE, LANE), dtype)
         for w in range(W):

@@ -486,16 +486,16 @@ def test_binned_streamed_pack16_off():
                   row_window=256, stream_x=1, pack16=False)
 
 
-def test_colsort_streamed_spmm_unsupported_falls_back():
-    # streamed colsort is SpMV-only for now: 2-D x raises the skippable
-    # exception (the tuner records it and keeps another strategy)
+@pytest.mark.parametrize("k", [3, 9])
+def test_colsort_streamed_spmm(k):
     from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
-    from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
-    S = _powerlaw(500, 5000, seed=31)
+    S = _powerlaw(700, 7000, seed=31)
     A = from_scipy(S.tocoo(), "csr")
     fn = build_colsort(A, {"block_entries": 512, "col_window": 1024,
-                           "row_window": 1024, "stream_x": 1},
-                       interpret=True)
-    X = jnp.ones((A.num_cols, 4), jnp.float32)
-    with pytest.raises(NotImplementedException):
-        fn(X)
+                           "row_window": 1024, "hub_cap": 10,
+                           "stream_x": 1}, interpret=True)
+    rng = np.random.RandomState(32)
+    X = jnp.asarray(rng.randn(A.num_cols, k).astype(np.float32))
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
