@@ -49,6 +49,24 @@ def MAX_X_VMEM_BYTES():
 def _plan_budget(config):
     from cusp_autotuned_tpu.utils.config import plan_budget
     return plan_budget(config)
+def _spmm_chunked(parts_mm, arrs, x, K, KB, n, n_pad, x_rows):
+    """Shared right-hand-side chunk loop for the resident and streamed
+    SpMM rails: pad/transpose x once, run every SpMM part per KB-column
+    chunk, concatenate back to (m, K)."""
+    KB = min(K, KB)
+    xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
+    xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
+    outs = []
+    for s0 in range(0, K, KB):
+        xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
+        x3 = xc.reshape(KB, x_rows, LANE)
+        yc = parts_mm[0](arrs, x3, KB)
+        for pmm in parts_mm[1:]:
+            yc = yc + pmm(arrs, x3, KB)
+        outs.append(yc)
+    return jnp.concatenate(outs, axis=0)[:K].T
+
+
 MAX_BLOCKS_FACTOR = 40     # low-fill blocks are expected on skewed patterns
 NR_DEFAULT = 16            # distinct rows per hub block (hub_rows axis)
 _HUB_SHIFT32 = 20          # plan-time packing: (rid << 20) | chunk
@@ -509,18 +527,7 @@ def build_colsort(A, config, interpret: bool = False):
         KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // row_bytes))
         if KB > 8:
             KB -= KB % 8
-        KB = min(K, KB)
-        xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
-        xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
-        outs = []
-        for s0 in range(0, K, KB):
-            xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
-            x3 = xc.reshape(KB, x_rows, LANE)
-            yc = parts_mm[0](arrs, x3, KB)
-            for pmm in parts_mm[1:]:
-                yc = yc + pmm(arrs, x3, KB)
-            outs.append(yc)
-        return jnp.concatenate(outs, axis=0)[:K].T
+        return _spmm_chunked(parts_mm, arrs, x, K, KB, n, n_pad, x_rows)
 
     def fn(x):
         return apply(arrays, x)
@@ -838,18 +845,7 @@ def _build_colsort_streamed(A, config, interpret):
             KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // (2 * win_bytes)))
             if KB > 8:
                 KB -= KB % 8
-            KB = min(K, KB)
-            xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
-            xTp = jnp.pad(xT, ((0, (-K) % KB), (0, 0)))
-            outs = []
-            for s0 in range(0, K, KB):
-                xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
-                x3 = xc.reshape(KB, x_rows, LANE)
-                yc = parts_mm[0](arrs, x3, KB)
-                for pmm in parts_mm[1:]:
-                    yc = yc + pmm(arrs, x3, KB)
-                outs.append(yc)
-            return jnp.concatenate(outs, axis=0)[:K].T
+            return _spmm_chunked(parts_mm, arrs, x, K, KB, n, n_pad, x_rows)
         if x.ndim != 1:
             raise NotImplementedException("colsort kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
@@ -934,7 +930,7 @@ def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     rmask = [rid == k2 for k2 in range(NR)]
     wmask = [hiw == w for w in range(W)]
-    cb = cbs[g]
+    cb = None if streamed else cbs[g]
 
     def body(kk, carry):
         xw = x_ref[kk] if streamed else x_ref[kk, pl.ds(cb, CW), :]

@@ -114,6 +114,16 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                             Aop=Aop, Rop=Rop, Pop=Pop))
         sa = SALevel(A=A_coarse, B=B_coarse)
 
+    if spmv_config is not None and levels and all(
+            l.Aop is None and l.Rop is None and l.Pop is None
+            for l in levels):
+        import warnings
+        warnings.warn(
+            "spmv_config planned no operator on any level — check the "
+            "configuration (every build raised a skippable exception); "
+            "the hierarchy falls back to the container multiplies",
+            RuntimeWarning, stacklevel=2)
+
     import jax.scipy.linalg as jsl
     dense = to_dense(sa.A)
     dtype = jnp.float64 if "64" in str(dense.dtype) else jnp.float32

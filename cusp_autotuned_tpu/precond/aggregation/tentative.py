@@ -18,7 +18,8 @@ def fit_candidates(aggregates, B):
     """aggregates: (n,) int32 aggregate id per row (-1 = unaggregated);
     B: (n,) single near-nullspace candidate.  Returns (T csr, B_c)."""
     agg = np.asarray(aggregates).astype(np.int64)
-    b = np.asarray(B, dtype=np.float64)
+    B_np = np.asarray(B)
+    b = B_np.astype(np.float64)
     n = agg.shape[0]
     n_agg = int(agg.max()) + 1 if agg.size else 0
 
@@ -31,7 +32,7 @@ def fit_candidates(aggregates, B):
     rows = np.nonzero(valid)[0]
     cols = agg[valid]
     vals = b[valid] / safe[cols]
-    out_dt = np.asarray(B).dtype
+    out_dt = B_np.dtype
     if not np.issubdtype(out_dt, np.floating):
         out_dt = np.float64
     T = coo_matrix(rows.astype(np.int32), cols.astype(np.int32),

@@ -46,6 +46,14 @@ class Level:
     def apply_op(self):
         return self.Aop if self.Aop is not None else self.A
 
+    @property
+    def restrict_op(self):
+        return self.Rop if self.Rop is not None else self.R
+
+    @property
+    def prolong_op(self):
+        return self.Pop if self.Pop is not None else self.P
+
 
 @register_matrix
 @dataclasses.dataclass(frozen=True)
@@ -75,11 +83,9 @@ class Multilevel(MatrixBase):
         op = lvl.apply_op
         x = lvl.smoother.presmooth(op, b)
         r = b - multiply(op, x, use_autotuning=False)
-        rc = multiply(lvl.Rop if lvl.Rop is not None else lvl.R, r,
-                      use_autotuning=False)
+        rc = multiply(lvl.restrict_op, r, use_autotuning=False)
         ec = self._cycle(i + 1, rc)
-        x = x + multiply(lvl.Pop if lvl.Pop is not None else lvl.P, ec,
-                         use_autotuning=False)
+        x = x + multiply(lvl.prolong_op, ec, use_autotuning=False)
         return lvl.smoother.postsmooth(op, b, x)
 
     def __call__(self, b):
