@@ -14,4 +14,5 @@ from cusp_autotuned_tpu.parallel.sharded import (
 from cusp_autotuned_tpu.parallel.shard_map_spmv import (
     sharded_spmv_dia_shardmap, distributed_cg_shardmap, distributed_cg_halo,
     sharded_spmv_binned_shardmap, distributed_cg_binned,
+    sharded_spmv_colsort_shardmap,
 )

@@ -361,3 +361,123 @@ def distributed_cg_binned(A, b, mesh: Mesh, config=None, iterations: int = 25,
 
     with mesh:
         return solve(b)
+
+
+# -- distributed colsort (scattered-pattern) SpMV ------------------------------
+
+def _colsort_device_plans(A, n_dev: int, config):
+    """Colsort main-pass plans PER DEVICE row range (buckets are row
+    windows, so a device-aligned range keeps every block device-local);
+    hub rows are corrected with a replicated segment-sum."""
+    from cusp_autotuned_tpu.kernels import pallas_colsort as PC
+    from cusp_autotuned_tpu.kernels import pallas_binned as PB
+    from cusp_autotuned_tpu.utils.padding import LANE
+
+    row, col, val, (m, n) = PB._host_coo(A)
+    B = int(config.get("block_entries", 4096))
+    Bs = B // LANE
+    RW = int(config.get("row_window", 2048))
+    W = max(1, -(-int(config.get("col_window", 16384)) // (LANE * LANE)))
+    CW = W * LANE
+    hub_cap = min(int(config.get("hub_cap", Bs)), Bs)
+    m_dev = round_up(max(m, 1), max(RW, 128) * n_dev) // n_dev
+
+    counts = np.bincount(row, minlength=m)
+    hub = counts[row] > hub_cap
+    hr, hc, hv = row[hub], col[hub], val[hub]
+    row, col, val = row[~hub], col[~hub], val[~hub]
+
+    plans = []
+    RS = RW // LANE + 1
+    for d in range(n_dev):
+        lo, hi = d * m_dev, (d + 1) * m_dev
+        sel = (row >= lo) & (row < hi)
+        if not sel.any():
+            plans.append(None)
+            continue
+        vals, chunks, pqs, rbs, cbs, RS = PC._plan_main(
+            row[sel] - lo, col[sel], val[sel], (m_dev, n), B, RW, CW)
+        plans.append((vals, chunks, pqs, rbs, cbs))
+
+    nbmax = max((p[0].shape[0] for p in plans if p is not None), default=1)
+    dt = np.dtype(A.dtype)
+    mv = np.zeros((n_dev, nbmax, Bs, LANE), np.float32)
+    mc = np.zeros((n_dev, nbmax, Bs, LANE), np.int32)
+    mp = np.zeros((n_dev, nbmax, Bs, LANE), np.int32)
+    mr = np.zeros((n_dev, nbmax), np.int32)
+    mcb = np.zeros((n_dev, nbmax), np.int32)
+    for d, p in enumerate(plans):
+        if p is None:
+            continue
+        vals, chunks, pqs, rbs, cbs = p
+        nb = vals.shape[0]
+        mv[d, :nb] = vals
+        mc[d, :nb] = chunks
+        mp[d, :nb] = pqs
+        mr[d, :nb] = rbs
+        mcb[d, :nb] = cbs
+    hubs = (hr, hc, hv) if hr.size else None
+    statics = dict(Bs=Bs, RS=RS, CW=CW, m=m, n=n, m_dev=m_dev, nbmax=nbmax,
+                   dtype=dt)
+    return (mv.astype(dt), mc, mp, mr, mcb), statics, hubs
+
+
+def sharded_spmv_colsort_shardmap(A, mesh: Mesh, config=None,
+                                  axis: str = "rows"):
+    """fn(x) = A @ x with the colsort main pass sharded via shard_map —
+    the scattered-pattern companion to sharded_spmv_binned_shardmap."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from cusp_autotuned_tpu.kernels.pallas_colsort import _main_kernel
+    from cusp_autotuned_tpu.utils.padding import LANE
+    import functools as ft
+
+    n_dev = mesh.devices.size
+    cfg = dict(config or {})
+    (mv, mc, mp, mr, mcb), st, hubs = _colsort_device_plans(A, n_dev, cfg)
+    Bs, RS, CW = st["Bs"], st["RS"], st["CW"]
+    m, n, m_dev, nbmax = st["m"], st["n"], st["m_dev"], st["nbmax"]
+    dtype = st["dtype"]
+
+    n_pad = round_up(n, LANE) + (CW + 1) * LANE
+    x_rows = n_pad // LANE
+    md_pad = round_up(m_dev, LANE) + RS * LANE
+    rows_sub = md_pad // LANE
+
+    kern = ft.partial(_main_kernel, Bs=Bs, RS=RS, CW=CW)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(nbmax,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), dtype),
+        interpret=_pl_interpret())
+
+    sh = NamedSharding(mesh, P(axis))
+    dv, dc, dp = (jax.device_put(jnp.asarray(a), sh) for a in (mv, mc, mp))
+    dr, dcb = (jax.device_put(jnp.asarray(a), sh) for a in (mr, mcb))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis), check_vma=False)
+    def local_spmv(v, c, p, rb, cb, x2):
+        y2 = call(rb[0], cb[0], x2, v[0], c[0], p[0])
+        return y2.reshape(md_pad)[:m_dev]
+
+    if hubs is not None:
+        hr = jnp.asarray(hubs[0].astype(np.int32))
+        hc = jnp.asarray(hubs[1].astype(np.int32))
+        hv = jnp.asarray(hubs[2].astype(dtype))
+
+    def fn(x):
+        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        y = local_spmv(dv, dc, dp, dr, dcb, x2)[:m]
+        if hubs is not None:
+            y = y + jax.ops.segment_sum(hv * x[hc], hr, num_segments=m)
+        return y
+
+    return fn

@@ -219,3 +219,20 @@ def test_solver_mesh_arg_multishift():
         r = b - (np.asarray(multiply(A, np.asarray(X[s])))
                  + sig * np.asarray(X[s]))
         assert np.linalg.norm(r) <= 5e-3 * np.linalg.norm(b), s
+
+
+def test_sharded_colsort_spmv_matches():
+    from cusp_autotuned_tpu.parallel import sharded_spmv_colsort_shardmap
+    import scipy.sparse as sp
+    mesh = make_row_mesh(jax.devices())
+    rng = np.random.RandomState(6)
+    S = sp.random(2048, 2048, density=0.008, random_state=rng).tocsr() \
+        + sp.eye(2048)
+    S[7, :300] = 1.5                       # a hub row crossing devices
+    A = from_scipy(S.tocoo(), "csr")
+    x = rng.randn(2048).astype(np.float32)
+    fn = sharded_spmv_colsort_shardmap(
+        A, mesh, {"block_entries": 512, "col_window": 2048,
+                  "row_window": 256, "hub_cap": 16})
+    y = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+    np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
