@@ -323,3 +323,18 @@ def test_spgemm_multi_slice_semiring(monkeypatch):
     assert set(gotd) == set(acc)
     for k in acc:
         np.testing.assert_allclose(gotd[k], acc[k], rtol=1e-5)
+
+
+def test_functional_parity():
+    from cusp_autotuned_tpu.ops import functional as fn
+    x = np.array([1.0, 4.0, 9.0])
+    np.testing.assert_allclose(np.asarray(fn.divide_value(2.0)(x)), x / 2)
+    np.testing.assert_allclose(
+        np.asarray(fn.modulus_value(3)(np.array([4, 5, 6]))), [1, 2, 0])
+    a, b = (x, x * 2), (x * 3, x * 4)
+    s = fn.sum_pair(a, b)
+    np.testing.assert_allclose(np.asarray(s[0]), x * 4)
+    np.testing.assert_allclose(np.asarray(fn.constant_functor(7.0)(x)),
+                               np.full(3, 7.0))
+    v = fn.valid_index(5)(np.array([-1, 0, 4, 5]))
+    np.testing.assert_array_equal(np.asarray(v), [False, True, True, False])
