@@ -334,13 +334,16 @@ def sharded_spmv_binned_shardmap(A, mesh: Mesh, config=None,
 
 
 def distributed_cg_binned(A, b, mesh: Mesh, config=None, iterations: int = 25,
-                          axis: str = "rows"):
+                          axis: str = "rows", impl: str = "binned"):
     """Fixed-iteration CG on an unstructured operator through the sharded
-    binned kernel (square matrices; x kept replicated via the SpMV's
-    all-gathered output).  Returns (x, final residual norm)."""
+    binned (or colsort, impl="colsort") kernel — square matrices; x kept
+    replicated via the SpMV's all-gathered output.  Returns
+    (x, final residual norm)."""
     if A.shape[0] != A.shape[1]:
         raise NotImplementedException("distributed CG needs a square matrix")
-    spmv = sharded_spmv_binned_shardmap(A, mesh, config, axis=axis)
+    builder = (sharded_spmv_colsort_shardmap if impl == "colsort"
+               else sharded_spmv_binned_shardmap)
+    spmv = builder(A, mesh, config, axis=axis)
     b = jnp.asarray(b)
 
     @jax.jit

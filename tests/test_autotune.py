@@ -255,3 +255,20 @@ def test_tuned_operator_packaging():
                              "col_window": 1024, "row_window": 256})
     assert isinstance(p, PlannedOperator)
     assert len(jax.tree_util.tree_leaves(p)) >= 5
+
+
+def test_dynamic_hook_spmm():
+    # the TuneIteration-per-call hook serves 2-D right-hand sides with a
+    # per-k signature (parity: the multiply hook, generic/multiply.inl)
+    from cusp_autotuned_tpu import autotune
+    from cusp_autotuned_tpu.ops.multiply import multiply
+    A = gallery.poisson9pt(16, 16, format="csr", dtype=np.float32)
+    X = np.random.RandomState(3).randn(A.num_cols, 4).astype(np.float32)
+    autotune.enable()
+    try:
+        for _ in range(3):
+            Y = np.asarray(multiply(A, X))
+    finally:
+        autotune.disable()
+    ref = A.to_scipy() @ X
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)

@@ -236,3 +236,15 @@ def test_sharded_colsort_spmv_matches():
                   "row_window": 256, "hub_cap": 16})
     y = np.asarray(jax.jit(fn)(jnp.asarray(x)))
     np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_cg_colsort():
+    from cusp_autotuned_tpu.parallel import distributed_cg_binned
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 64, format="csr", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    x, r_norm = distributed_cg_binned(
+        A, b, mesh, {"block_entries": 512, "col_window": 2048,
+                     "row_window": 256}, iterations=60, impl="colsort")
+    r = b - np.asarray(multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
