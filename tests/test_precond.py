@@ -168,3 +168,18 @@ def test_smoothed_aggregation_with_level_operators():
     assert abs(mon.iteration_count() - mon0.iteration_count()) <= 2
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_smoothed_aggregation_auto_block_entries():
+    # block_entries="auto" fill-matches each level's plan to its density
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson5pt(40, 40, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(
+        A, spmv_config={"impl": "binned", "block_entries": "auto",
+                        "col_window": 1024, "row_window": 256})
+    assert any(isinstance(l.Aop, PlannedOperator) for l in M.levels)
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(A, b, M=M)
+    assert mon.converged()
