@@ -37,11 +37,24 @@ def to_scipy(A):
             S = S.todia()
     if S is None:
         S = _to_scipy_uncached(A)
+    _freeze_scipy(S)
     try:
         object.__setattr__(A, "_host_scipy", S)
     except Exception:  # noqa: BLE001
         pass
     return S
+
+
+def _freeze_scipy(S):
+    """Mark a cached scipy object's buffers read-only so an in-place
+    mutation by a caller raises instead of silently corrupting the oracle
+    cache for every later read (callers that need to mutate must .copy())."""
+    for name in ("data", "row", "col", "indices", "indptr", "offsets"):
+        arr = getattr(S, name, None)
+        if isinstance(arr, np.ndarray):
+            arr.flags.writeable = False
+    if isinstance(S, np.ndarray):
+        S.flags.writeable = False
 
 
 def _to_scipy_uncached(A):

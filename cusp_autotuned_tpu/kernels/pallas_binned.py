@@ -446,11 +446,25 @@ def _build_streamed(A, config, interpret):
             y = jnp.where(arrs["row_mask"], y2.reshape(m_pad)[:m], 0)
         elif x.ndim == 2:
             K = x.shape[1]
-            x3 = jnp.pad(x, ((0, n_pad - n), (0, 0))).T.reshape(
-                K, x_rows, LANE)
-            y3 = make_call(K)(*scal, x3, arrs["vals"], arrs["packs"])
-            y = jnp.where(arrs["row_mask"][:, None],
-                          y3.reshape(K, m_pad)[:, :m].T, 0)
+            if K == 0:
+                return jnp.zeros((m, 0), dtype)
+            # chunk the right-hand sides like the resident/colsort rails:
+            # the kernel holds (KB, CW, 128) x and (KB, RS, 128) y windows
+            # in VMEM per grid step, so KB is bounded by the VMEM budget
+            from cusp_autotuned_tpu.kernels.pallas_colsort import \
+                _spmm_chunked
+            win_bytes = (CW + RS) * LANE * dtype.itemsize
+            KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // (2 * win_bytes)))
+            if KB > 8:
+                KB -= KB % 8
+
+            def part_mm(arrs2, x3, KK):
+                y3 = make_call(KK)(arrs2["rbs"], arrs2["cbs"],
+                                   arrs2["spans"], x3, arrs2["vals"],
+                                   arrs2["packs"])
+                return jnp.where(arrs2["row_mask"][None, :],
+                                 y3.reshape(KK, m_pad)[:, :m], 0)
+            y = _spmm_chunked([part_mm], arrs, x, K, KB, n, n_pad, x_rows)
         else:
             raise NotImplementedException("binned kernels take 1-D/2-D x")
         if has_spill:

@@ -254,6 +254,13 @@ def convert(src, fmt, **kwargs):
             out_dt = np.dtype(out.dtype)
             if val.dtype != out_dt:
                 val = val.astype(out_dt)
+            if fmt == "dia":
+                # the DIA extraction drops explicit zeros (keep = v != 0);
+                # the mirror must match or later conversions from this
+                # container would see nnz drift
+                keep = val != 0
+                if not keep.all():
+                    row, col, val = row[keep], col[keep], val[keep]
             object.__setattr__(out, "_host_coo", (row, col, val, shape))
     except Exception:  # noqa: BLE001
         pass
