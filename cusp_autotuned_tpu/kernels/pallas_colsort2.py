@@ -1,0 +1,399 @@
+"""Pallas TPU SpMV v2 for scattered patterns: virtual-row colsort.
+
+Second-generation replacement for the pallas_colsort main/hub pair
+(rebuild target: the fork's COO strategy family,
+cusp/system/cuda/ktt/kernels/coo_kernel.h:64-369).  Two observations drive
+the redesign:
+
+1. The v1 scatter (RS masked per-q sublane sums) costs 2*RS*Bs*128 VPU ops
+   per block, so widening the row window to raise fill makes every block
+   proportionally slower — fill and scatter cost fight each other.
+2. Hub rows exist in v1 only because a row needs one row-lane slot per
+   sublane; rows heavier than the sublane count cannot be planned.
+
+v2 removes both constraints with PLAN-TIME VIRTUAL ROWS:
+
+* Every actual row is split into ceil(k/D) virtual rows of at most D
+  entries (D = `vrow_split`).  Virtual row ids are allocated in row-major
+  order, so the virtual->actual map is sorted and the final fold is ONE
+  sorted segment-sum in XLA, O(#virtual rows) ~ O(m + nnz/D).
+* A slot (sublane s, lane j) holds an entry whose COLUMN lane is j (the
+  v1 transposed-gather contract), and all entries of a sublane live in the
+  SAME virtual 128-row chunk.  The scatter is then a one-hot matmul on the
+  MXU — (RSp x Bs) @ (Bs x 128) — instead of RS masked sums: its cost is
+  independent of the row-window size, so fill no longer trades against
+  scatter work.
+* Packing a (virtual chunk x column window) cell into sublanes is a small
+  bipartite edge-coloring (unique column lane AND unique virtual lane per
+  sublane), bounded below by max(column-lane degree, D, ceil(E/128)).
+  Heavy ROWS no longer fragment the packing (they split), and the column
+  window can be the whole matrix (W gather passes), so fill on power-law
+  patterns rises several-fold over v1.
+
+Patterns that cannot be planned raise FormatConversionException
+(skippable autotuner results, KTT ResultStatus semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusp_autotuned_tpu.utils.exceptions import (
+    FormatConversionException, NotImplementedException,
+)
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+
+
+def MAX_VMEM_BYTES():
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().vmem_budget_bytes
+
+
+def _plan_budget(config):
+    from cusp_autotuned_tpu.utils.config import plan_budget
+    return plan_budget(config)
+
+
+D_DEFAULT = 8          # vrow_split: max entries per virtual row
+RSP_DEFAULT = 32       # virtual-chunk span of one block (multiple of 8)
+
+
+def _color_cells(cell, cl, vlane):
+    """Greedy round-based edge coloring, all cells at once: round s places,
+    per cell, a set of entries with unique column lane and unique virtual
+    lane (these become sublane s of that cell).  Returns the per-entry
+    sublane index.  Rounds needed ~ max degree, each round vectorized."""
+    nnz = cell.size
+    sub = np.full(nnz, -1, np.int64)
+    # the rotated pick order decorrelates each column lane's preferred
+    # virtual lane — without it every lane grabs its lowest vlane and the
+    # per-round matchings collide (LP fill 0.28 -> 0.35 measured)
+    key_v = (vlane - 37 * cl) % LANE
+    remaining = np.lexsort((key_v, cl, cell))
+    s = 0
+    while remaining.size:
+        e = remaining
+        # first occurrence per (cell, cl): e is sorted by (cell, cl)
+        key1 = cell[e] * 129 + cl[e]
+        first1 = np.ones(e.size, bool)
+        first1[1:] = key1[1:] != key1[:-1]
+        e1 = e[first1]
+        # then first occurrence per (cell, vlane)
+        key2 = cell[e1] * 129 + vlane[e1]
+        o2 = np.argsort(key2, kind="stable")
+        first2 = np.ones(e1.size, bool)
+        k2s = key2[o2]
+        first2[1:] = k2s[1:] != k2s[:-1]
+        chosen = e1[o2[first2]]
+        sub[chosen] = s
+        s += 1
+        mask = np.ones(nnz, bool)
+        mask[chosen] = False
+        remaining = remaining[mask[remaining]]
+        if s > 4096:
+            raise FormatConversionException(
+                "colsort2 edge coloring did not converge")
+    return sub
+
+
+def _plan_v2(row, col, val, shape, D, CW, Bs, RSp, lane_cap=0):
+    """Returns (vals, chunks, pqs, vbs, cbs, vmap, VR, spill) — see module
+    doc.
+
+    vals/chunks are slot (column-lane) layout, pqs is virtual-lane layout
+    with (qrel << 7) | source_lane, vbs/cbs are per-block virtual-chunk and
+    x-sublane bases, vmap maps flat virtual rows to actual rows.  spill is
+    a (row, col, val) COO remainder: entries stacked deeper than lane_cap
+    on one (cell, column-lane) would force near-empty tail sublanes, so
+    they go to the XLA segment-sum side path instead (same move as the
+    binned kernel's hub spill)."""
+    m, n = shape
+    nnz = row.size
+
+    # -- virtual rows: row-major allocation, heavy rows split every D ------
+    order = np.lexsort((col, row))
+    r, c, v = row[order], col[order], val[order]
+    counts = np.bincount(r, minlength=m)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    idx_in_row = np.arange(nnz) - starts[r]
+    nv_per_row = -(-counts // D)                       # 0 for empty rows
+    vbase = np.concatenate([[0], np.cumsum(nv_per_row)])
+    vid = vbase[r] + idx_in_row // D
+    VR = int(vbase[-1])
+    vmap = np.repeat(np.arange(m), nv_per_row).astype(np.int32)
+
+    chunk_id = vid >> 7
+    vlane = vid & (LANE - 1)
+    wid = c // (CW * LANE)
+    cl = c & (LANE - 1)
+    n_wins = int(wid.max()) + 1 if nnz else 1
+    cell = chunk_id * n_wins + wid
+
+    # -- hot-lane spill: cap the per-(cell, lane) stack depth --------------
+    okey = np.argsort(cell * LANE + cl, kind="stable")
+    ks = (cell * LANE + cl)[okey]
+    grp_start = np.ones(nnz, bool)
+    grp_start[1:] = ks[1:] != ks[:-1]
+    depth = np.arange(nnz) - np.maximum.accumulate(
+        np.where(grp_start, np.arange(nnz), 0))
+    if lane_cap <= 0:
+        # smallest cap spilling at most ~8% of the entries
+        sizes = np.bincount(np.cumsum(grp_start) - 1)
+        lane_cap = 2
+        while lane_cap < 128 and \
+                np.maximum(sizes - lane_cap, 0).sum() > 0.08 * nnz:
+            lane_cap += 1
+    smask = np.zeros(nnz, bool)
+    smask[okey[depth >= lane_cap]] = True
+    spill = (r[smask], c[smask], v[smask])
+    if smask.any():
+        keep = ~smask
+        r, c, v = r[keep], c[keep], v[keep]
+        chunk_id, vlane = chunk_id[keep], vlane[keep]
+        wid, cl, cell = wid[keep], cl[keep], cell[keep]
+        nnz = r.size
+
+    sub = _color_cells(cell, cl, vlane)
+
+    # -- sublane table, ordered by (window, chunk) for block assembly ------
+    skey = cell * 8192 + sub                  # sub < 4096 enforced above
+    uniq, inv = np.unique(skey, return_inverse=True)
+    su_cell = uniq // 8192
+    su_chunk = su_cell // n_wins
+    su_wid = su_cell % n_wins
+    o = np.lexsort((su_chunk, su_wid))
+    rank = np.empty_like(o)
+    rank[o] = np.arange(o.size)
+    su_chunk, su_wid = su_chunk[o], su_wid[o]
+    gsub = rank[inv]                          # per-entry global sublane
+
+    # -- cut into blocks: Bs sublanes, same window, chunk span <= RSp ------
+    ns = o.size
+    blk_of = np.empty(ns, np.int64)
+    sloc_of = np.empty(ns, np.int64)
+    vbs, cbs = [], []
+    i = 0
+    while i < ns:
+        w0, c0 = su_wid[i], su_chunk[i]
+        j = min(i + Bs, ns)
+        j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
+        j = min(j, i + int(np.searchsorted(su_chunk[i:j], c0 + RSp)))
+        g = len(vbs)
+        blk_of[i:j] = g
+        sloc_of[i:j] = np.arange(j - i)
+        vbs.append(c0)
+        cbs.append(w0 * CW)
+        i = j
+    nb = len(vbs)
+
+    eb = blk_of[gsub]
+    es = sloc_of[gsub]
+    eq = chunk_id - np.asarray(vbs, np.int64)[eb]
+
+    vals2d = np.zeros((nb, Bs, LANE), np.float64)
+    chunk2d = np.zeros((nb, Bs, LANE), np.int64)
+    pq2d = np.zeros((nb, Bs, LANE), np.int64)
+    vals2d[eb, es, cl] = v
+    chunk2d[eb, es, cl] = (c >> 7) - np.asarray(cbs, np.int64)[eb]
+    pq2d[eb, es, vlane] = (eq << 7) | cl
+    # per sublane the qrel is constant; stamp it on every lane (the kernel
+    # reads lane 0) and point unused virtual lanes at zero-value column
+    # lanes (each placed entry uses one of each, so spares pair up)
+    used_v = np.zeros((nb, Bs, LANE), bool)
+    used_v[eb, es, vlane] = True
+    used_c = np.zeros((nb, Bs, LANE), bool)
+    used_c[eb, es, cl] = True
+    qsub = np.zeros((nb, Bs), np.int64)
+    qsub[eb, es] = eq
+    for g in range(nb):
+        for s in range(Bs):
+            free_v = np.nonzero(~used_v[g, s])[0]
+            free_c = np.nonzero(~used_c[g, s])[0]
+            pq2d[g, s, free_v] = free_c[: free_v.size]
+        pq2d[g] |= qsub[g][:, None] << 7
+
+    return (vals2d.astype(np.float32), chunk2d.astype(np.int32),
+            pq2d.astype(np.int32), np.asarray(vbs, np.int32),
+            np.asarray(cbs, np.int32), vmap, VR, spill)
+
+
+def _v2_kernel(vbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
+               *, Bs, RSp, W):
+    """Resident v2 kernel: x and virtual y live whole in VMEM; per block a
+    W-pass transposed gather, one permutation take, and a one-hot MXU
+    matmul scatter into the block's RSp-chunk virtual window."""
+    CW = W * LANE
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    vals = val_ref[0]
+    chunk = chunk_ref[0].astype(jnp.int32)
+    pq = pq_ref[0].astype(jnp.int32)
+    perm = jnp.bitwise_and(pq, jnp.int32(LANE - 1))
+    qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
+    dtype = y_ref.dtype
+
+    xw = x_ref[pl.ds(cbs[g], CW), :]
+    xt = jnp.swapaxes(xw, 0, 1)                       # (128, CW)
+    cht = jnp.swapaxes(chunk, 0, 1)                   # (128, Bs)
+    if Bs < LANE:
+        cht = jnp.concatenate(
+            [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
+    hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
+    low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
+    gt = jnp.zeros((LANE, LANE), dtype)
+    for w in range(W):
+        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
+    xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
+    prod = vals * xg
+
+    pr = jnp.take_along_axis(prod, perm, axis=1)      # virtual-lane layout
+    q0 = jnp.swapaxes(qv[:, 0:1], 0, 1)               # (1, Bs) per-sublane
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
+          == q0).astype(dtype)
+    upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
+    cur = y_ref[pl.ds(vbs[g], RSp), :]
+    y_ref[pl.ds(vbs[g], RSp), :] = cur + upd
+
+
+def build_colsort2(A, config, interpret: bool = False):
+    """Virtual-row colsort SpMV; see module docstring.
+
+    Config keys: block_entries (Bs*128), col_window (gather window in
+    columns; full-width when >= num_cols), vrow_split (D), vrow_span
+    (RSp, multiple of 8), pack16."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "colsort2 kernel supports real dtypes only")
+    row, col, val, shape = _coo_arrays(A)
+    if row.size == 0:
+        raise FormatConversionException("empty matrix — use the default path")
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float64)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    B = int(config.get("block_entries", 16384))
+    if B % LANE != 0:
+        raise NotImplementedException(
+            "block_entries must be a multiple of 128")
+    Bs = B // LANE
+    if Bs > LANE:
+        raise NotImplementedException(
+            "block_entries above 16384 exceed the transposed-gather tile")
+    W = max(1, -(-int(config.get("col_window", n)) // (LANE * LANE)))
+    CW = W * LANE
+    D = config.get("vrow_split", "auto")
+    if D == "auto":
+        # match the split to the mean degree: heavy-row matrices (LP-like)
+        # want dense virtual chunks, light ones want vrows ~ rows
+        D = int(np.clip(row.size // max(1, m), 4, 32))
+    D = int(D)
+    lane_cap = int(config.get("lane_cap", 0))
+    RSp = int(config.get("vrow_span", RSP_DEFAULT))
+    if RSp % 8 != 0:
+        raise NotImplementedException("vrow_span must be a multiple of 8")
+
+    n_pad = max(CW * LANE, round_up(n, CW * LANE))
+    x_rows = n_pad // LANE
+    if x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+        raise NotImplementedException(
+            "x too large for the VMEM-resident colsort2 kernel")
+
+    from cusp_autotuned_tpu import native
+    nat = getattr(native, "plan_colsort2", lambda *a: None)(
+        row, col, val, shape, D, CW, Bs, RSp, lane_cap)
+    if nat is not None:
+        vals_, chunks_, pqs_, vbs_, cbs_, vmap, VR, spill = nat
+    else:
+        vals_, chunks_, pqs_, vbs_, cbs_, vmap, VR, spill = _plan_v2(
+            row, col, val, shape, D, CW, Bs, RSp, lane_cap)
+    nb = vals_.shape[0]
+
+    VRs = round_up(VR, LANE * 8) // LANE + RSp        # slack for last block
+    if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+        raise NotImplementedException(
+            "virtual rows exceed the VMEM budget — use the streamed rail")
+
+    pack16 = config.get("pack16", "auto")
+    can16 = (Bs % 16 == 0 and CW < (1 << 15) and RSp * LANE < (1 << 15))
+    if pack16 == "auto":
+        pack16 = can16
+    elif pack16 and not can16:
+        raise NotImplementedException(
+            "pack16 requires block_entries % 2048 == 0 and small windows")
+    if pack16:
+        chunks_ = chunks_.astype(np.int16)
+        pqs_ = pqs_.astype(np.int16)
+    if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > _plan_budget(config):
+        raise NotImplementedException(
+            "planned arrays exceed the compile-request budget")
+
+    kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * Bs * LANE + 2 * nb * RSp * Bs * LANE,
+            bytes_accessed=(vals_.nbytes + chunks_.nbytes + pqs_.nbytes
+                            + (x_rows + VRs) * LANE * dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret)
+
+    vmap_pad = np.full(VRs * LANE, m, np.int32)
+    vmap_pad[:VR] = vmap
+    arrays = dict(
+        v2v=jnp.asarray(vals_.astype(dtype)), v2c=jnp.asarray(chunks_),
+        v2p=jnp.asarray(pqs_), v2vb=jnp.asarray(vbs_),
+        v2cb=jnp.asarray(cbs_), v2map=jnp.asarray(vmap_pad))
+    srow, scol, sval = spill
+    has_spill = srow.size > 0
+    if has_spill:
+        so = np.lexsort((scol, srow))
+        arrays.update(srow=jnp.asarray(srow[so].astype(np.int32)),
+                      scol=jnp.asarray(scol[so].astype(np.int32)),
+                      sval=jnp.asarray(sval[so].astype(dtype)))
+
+    def apply(arrs, x):
+        if x.ndim != 1:
+            raise NotImplementedException("colsort2 kernel takes 1-D x")
+        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        if nb:
+            yv = call(arrs["v2vb"], arrs["v2cb"], x2, arrs["v2v"],
+                      arrs["v2c"], arrs["v2p"])
+            # virtual ids are row-major: the fold is a sorted segment-sum
+            y = jax.ops.segment_sum(yv.reshape(-1), arrs["v2map"],
+                                    num_segments=m, indices_are_sorted=True)
+        else:
+            y = jnp.zeros(m, dtype)
+        if has_spill:
+            y = y + jax.ops.segment_sum(arrs["sval"] * x[arrs["scol"]],
+                                        arrs["srow"], num_segments=m,
+                                        indices_are_sorted=True)
+        return y
+
+    def fn(x):
+        return apply(arrays, x)
+    fn.planned_arrays = arrays
+    fn.apply = apply
+    return fn

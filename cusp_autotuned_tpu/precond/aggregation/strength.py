@@ -14,6 +14,19 @@ from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
 from cusp_autotuned_tpu.ops.format_utils import extract_diagonal
 
 
+def _lookup_on_pattern(V, keys, n, default=0.0):
+    """Values of canonical CSR matrix V at the sorted linear pattern keys
+    (i*n + j); positions V lacks get `default`."""
+    rowv = np.repeat(np.arange(V.shape[0]), np.diff(V.indptr))
+    keyv = rowv * n + V.indices
+    pos = np.searchsorted(keyv, keys)
+    pos_c = np.clip(pos, 0, max(keyv.size - 1, 0))
+    if keyv.size == 0:
+        return np.full(keys.size, default)
+    hit = keyv[pos_c] == keys
+    return np.where(hit, V.data[pos_c], default)
+
+
 def symmetric_strength_of_connection(A, theta: float = 0.0):
     """Filtered pattern C: keep a_ij with |a_ij| >= theta*sqrt(|a_ii a_jj|)
     (diagonal always kept).  theta == 0 keeps everything — return before
@@ -34,30 +47,106 @@ def symmetric_strength_of_connection(A, theta: float = 0.0):
     return from_scipy(C, "csr", dtype=np.asarray(to_scipy(A).data).dtype)
 
 
+def _restricted_square(Z, chunk_rows: int = 65536):
+    """(Z @ Z) restricted to Z's own sparsity pattern, computed in row
+    chunks so the intermediate product never materializes whole (the
+    reference's incomplete_inner_functor shortcut,
+    evolution_strength.h:136-176)."""
+    n = Z.shape[0]
+    rowz = np.repeat(np.arange(n), np.diff(Z.indptr))
+    out = np.empty_like(Z.data)
+    for r0 in range(0, n, chunk_rows):
+        r1 = min(n, r0 + chunk_rows)
+        Zc = (Z[r0:r1] @ Z).tocsr()
+        Zc.sum_duplicates()
+        Zc.sort_indices()
+        lo, hi = Z.indptr[r0], Z.indptr[r1]
+        keys = (rowz[lo:hi] - r0) * n + Z.indices[lo:hi]
+        out[lo:hi] = _lookup_on_pattern(Zc, keys, n)
+    return out
+
+
 def evolution_strength_of_connection(A, B=None, rho_DinvA: float | None = None,
                                      epsilon: float = 4.0):
-    """Evolution (ODE) strength: smooth the delta functions one weighted-
-    Jacobi step, z = (I - (1/rho) D^-1 A), and measure connection strength
-    by how well neighbor j approximates i in the smoothed operator —
-    |z_ij| relative to the strongest off-diagonal of row i; keep within a
-    factor 1/epsilon (behavioral rebuild of evolution_strength.h:180-399
-    with the standard single-step evolution measure)."""
+    """Evolution (ODE) strength with the near-nullspace candidate B.
+
+    Faithful rebuild of evolution_strength.h:180-399: one smoothing
+    operator Z = I - (1/rho) D^-1 A at A's pattern, Z^2 restricted to the
+    pattern (incomplete inner product), then each connection (i, j) scored
+    by how well B[j] scaled by diag(Z^2)[i] approximates Z^2[i,j] — the
+    approximation RATIO filters weak/negative-angle couplings, the
+    approximation ERROR |1 - ratio| is the distance measure (smaller is
+    stronger), followed by symmetrization, the per-row epsilon distance
+    filter, a unit diagonal, and a final val + val^T symmetrization.
+    B defaults to ones; a 2-D B uses its first column (the reference takes
+    a single candidate vector)."""
     import scipy.sparse as sp
     S = to_scipy(A).tocsr().astype(np.float64)
+    S.sum_duplicates()
+    S.sort_indices()
     n = S.shape[0]
+    nnz = S.nnz
     d = S.diagonal()
     d = np.where(d != 0, d, 1.0)
     if rho_DinvA is None:
         rho_DinvA = rho_Dinv_A(A)
-    Dinv = sp.diags(1.0 / d)
-    Z = (sp.eye(n) - (1.0 / max(rho_DinvA, 1e-30)) * (Dinv @ S)).tocsr()
-    Z = Z.tocoo()
-    off = Z.row != Z.col
-    mags = np.abs(Z.data)
-    row_max = np.zeros(n)
-    np.maximum.at(row_max, Z.row[off], mags[off])
-    keep = (~off) | (mags >= row_max[Z.row] / epsilon)
-    C = sp.coo_matrix((Z.data[keep], (Z.row[keep], Z.col[keep])), shape=S.shape)
+    rho = max(float(rho_DinvA), 1e-30)
+
+    rowi = np.repeat(np.arange(n), np.diff(S.indptr))
+    coli = S.indices
+    # Z = I - (1/rho) D^-1 A at A's pattern (Atilde_functor)
+    zdata = np.where(rowi == coli, 1.0, 0.0) - (S.data / d[rowi]) / rho
+    Z = sp.csr_matrix((zdata, S.indices.copy(), S.indptr.copy()), shape=S.shape)
+
+    data = _restricted_square(Z)              # Z^2 on the pattern
+    diag_mask = rowi == coli
+    DAtilde = np.zeros(n)
+    DAtilde[rowi[diag_mask]] = data[diag_mask]
+
+    if B is None:
+        Bv = np.ones(n)
+    else:
+        Bv = np.asarray(B, np.float64).reshape(n, -1)[:, 0]
+    Bscale = np.where(Bv == 0, 1.0, Bv)       # Bmat_forscaling
+
+    av = DAtilde[rowi] * Bscale[coli]         # row x column scaling
+    angle = data * av
+    neg_angle = angle < 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(data != 0, av / data, np.inf)
+    weak_ratio = ratio < 1e-4
+    err = np.abs(1.0 - ratio)
+    vals = np.where(neg_angle | weak_ratio, 0.0, err)
+    seps = np.sqrt(np.finfo(np.float64).eps)
+    vals = np.where((vals < seps) & (vals != 0), 1e-4, vals)  # set_perfect
+
+    pat_keys = rowi * n + coli
+
+    def on_pattern(V):
+        """Restrict a same-shape sparse matrix back onto S's pattern."""
+        Vc = V.tocsr()
+        Vc.sum_duplicates()
+        Vc.sort_indices()
+        return _lookup_on_pattern(Vc, pat_keys, n)
+
+    Vm = sp.csr_matrix((vals, S.indices.copy(), S.indptr.copy()),
+                       shape=S.shape)
+    sym = 0.5 * (vals + on_pattern(Vm.T))
+
+    if np.isfinite(epsilon):
+        # per-row smallest nonzero measure; vals >= eps * smallest drop
+        smallest = np.full(n, np.inf)
+        nz = sym != 0
+        np.minimum.at(smallest, rowi[nz], sym[nz])
+        drop = sym >= epsilon * smallest[rowi]
+        sym = np.where(drop & np.isfinite(smallest[rowi]), 0.0, sym)
+    sym = np.where(diag_mask, 1.0, sym)
+    Vs = sp.csr_matrix((sym, S.indices.copy(), S.indptr.copy()),
+                       shape=S.shape)
+    final = sym + on_pattern(Vs.T)
+
+    keep = final != 0
+    C = sp.coo_matrix((final[keep], (rowi[keep], coli[keep])), shape=S.shape)
     dtype = to_scipy(A).dtype
     return from_scipy(C, "csr", dtype=dtype)
 

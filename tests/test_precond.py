@@ -128,6 +128,29 @@ def test_strength_measures():
     assert E.nnz <= A.nnz + A.num_rows
 
 
+def test_evolution_strength_uses_candidate_B():
+    """The near-nullspace argument must shape the measure (parity:
+    evolution_strength.h:264-301 scales the approximation test by B) —
+    a different candidate yields a different strength pattern, and the
+    anisotropic pattern keeps the strong axis."""
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu.precond.aggregation.strength import (
+        evolution_strength_of_connection,
+    )
+    A = gallery.diffusion(20, 20, eps=1e-3, format="csr", dtype=np.float64)
+    E_ones = evolution_strength_of_connection(A)
+    rng = np.random.RandomState(3)
+    E_rand = evolution_strength_of_connection(
+        A, B=0.5 + rng.rand(A.num_rows))
+    S1, S2 = to_scipy(E_ones).tocsr(), to_scipy(E_rand).tocsr()
+    same = (S1.nnz == S2.nnz
+            and np.array_equal(S1.indices, S2.indices))
+    assert not same, "candidate B did not change the strength pattern"
+    # the epsilon distance filter keeps a filtered pattern, diagonal intact
+    assert S1.nnz < to_scipy(A).nnz + A.num_rows
+    assert np.all(S1.diagonal() != 0)
+
+
 def test_sa_amg_evolution_strength_anisotropic():
     """strength='evolution' is selectable and helps (or at least matches)
     symmetric strength on an anisotropic diffusion operator (parity:
