@@ -53,7 +53,13 @@ def _bicg_loop(A, At, M, Mt, b, x0, state0):
 
 
 def bicg(A, b, x0=None, monitor: Monitor | None = None, M=None,
-         At=None, Mt=None):
+         At=None, Mt=None, mesh=None):
+    """mesh: a jax.sharding.Mesh distributes the solve.  The A^T apply the
+    dual recurrence needs (bicg.inl:42-157) is materialized at setup — the
+    same move as the single-chip path — and BOTH A and A^T are row-sharded
+    over the mesh (row-aligned for COO/CSR), so each operator's segment
+    reductions stay shard-local and the dot products become ICI
+    all-reduces under GSPMD."""
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -64,7 +70,15 @@ def bicg(A, b, x0=None, monitor: Monitor | None = None, M=None,
     Mop = as_operator(M)
     Mtop = as_operator(Mt) if Mt is not None else (
         Mop if isinstance(Mop, IdentityOperator) else as_operator(transpose_op(M)))
-    x, state = _bicg_loop(A, At, Mop, Mtop, b, jnp.asarray(x0),
-                          monitor.to_state(b))
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A, b, x0 = distribute_for_solve(A, mesh, b, x0)
+        At, = distribute_for_solve(At, mesh)
+        with mesh:
+            x, state = _bicg_loop(A, At, Mop, Mtop, b, jnp.asarray(x0),
+                                  monitor.to_state(b))
+    else:
+        x, state = _bicg_loop(A, At, Mop, Mtop, b, jnp.asarray(x0),
+                              monitor.to_state(b))
     monitor.absorb_state(state)
     return x, monitor

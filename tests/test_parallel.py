@@ -151,6 +151,20 @@ def test_solver_mesh_arg_cg(fmt):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_solver_mesh_arg_bicg():
+    """bicg(mesh=) row-shards BOTH A and the setup-time A^T (parity:
+    bicg.inl:42-157 dual recurrence, distributed per SURVEY §2.6)."""
+    from cusp_autotuned_tpu import solvers
+    mesh = make_row_mesh(jax.devices())
+    A = gallery.poisson5pt(16, 48, format="csr", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.bicg(A, b, mesh=mesh)
+    x1, mon1 = solvers.bicg(A, b)
+    assert mon.converged()
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x1),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_solver_mesh_arg_bicgstab_gmres_cr():
     from cusp_autotuned_tpu import solvers
     mesh = make_row_mesh(jax.devices())
