@@ -53,8 +53,15 @@ def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
     raw = (a_val[k] * b_val[bidx] if combine is None
            else combine(a_val[k], b_val[bidx]))
     cval = jnp.where(valid, raw, 0)
+    return _sort_compress(crow, ccol, cval, num_rows, reduce)
+
+
+def _sort_compress(crow, ccol, cval, num_rows, reduce=None):
+    """Sort (row, col, val) triplets and merge duplicate (row, col) pairs
+    into the first slot of each segment; shared by the per-slice ESC kernel
+    and the cross-slice device merge."""
+    E_pad = crow.shape[0]
     crow, ccol, cval = jax.lax.sort((crow, ccol, cval), num_keys=2)
-    # compress duplicates into segments
     prev_r = jnp.concatenate([jnp.full((1,), -1, jnp.int32), crow[:-1]])
     prev_c = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ccol[:-1]])
     new_seg = (crow != prev_r) | (ccol != prev_c)
@@ -73,6 +80,11 @@ def _esc_kernel(a_row, a_col, a_val, exp_offsets, b_indptr, b_col, b_val,
     cols = jnp.zeros(E_pad, jnp.int32).at[seg_id].set(ccol)
     vals = jnp.where(jnp.arange(E_pad, dtype=jnp.int32) < nseg, vals, 0)
     return rows, cols, vals, nseg
+
+
+@partial(jax.jit, static_argnames=("num_rows", "reduce"))
+def _merge_kernel(rows, cols, vals, num_rows, reduce=None):
+    return _sort_compress(rows, cols, vals, num_rows, reduce)
 
 
 _BUILTIN_OPS = {}
@@ -137,49 +149,40 @@ def spgemm(A, B, initialize=None, combine=None, reduce=None):
                   nnz=max(nnz, 0))
         return C if out_fmt == "coo" else convert(C, out_fmt)
 
+    # multi-slice: each slice's compressed output stays DEVICE-RESIDENT
+    # (only the segment-count scalar syncs), slices are device-sliced to
+    # their compressed length, concatenated on device, and merged with one
+    # final sort + segmented reduction — no O(nnz) host transfer (parity:
+    # the reference slices within device memory, spgemm.h:229-257)
     pieces = []
     start = 0
     while start < a_row.size:
-        stop = int(np.searchsorted(cum, cum[start] + MAX_WORKSPACE, side="right")) - 1
+        stop = int(np.searchsorted(cum, cum[start] + MAX_WORKSPACE,
+                                   side="right")) - 1
         stop = max(stop, start + 1)
-        pieces.append(_esc_slice(a_row[start:stop], a_col[start:stop],
-                                 a_val[start:stop],
-                                 (cum[start:stop + 1] - cum[start]), Bc, m,
-                                 combine, reduce))
+        E = int(cum[stop] - cum[start])
+        E_pad = max(LANE, round_up(E, LANE))
+        offs = (cum[start:stop + 1] - cum[start]).astype(np.int32)
+        r_d, c_d, v_d, nseg = _esc_kernel(
+            jnp.asarray(a_row[start:stop]), jnp.asarray(a_col[start:stop]),
+            jnp.asarray(a_val[start:stop]), jnp.asarray(offs),
+            Bc.indptr, Bc.col, Bc.val,
+            E=E, E_pad=E_pad, num_rows=m, combine=combine, reduce=reduce)
+        nseg_i = int(nseg)
+        real_i = nseg_i - (1 if E_pad > E else 0)   # minus in-slice pad seg
+        keep = min(max(LANE, round_up(nseg_i, LANE)), E_pad)
+        pieces.append((jax.lax.slice_in_dim(r_d, 0, keep),
+                       jax.lax.slice_in_dim(c_d, 0, keep),
+                       jax.lax.slice_in_dim(v_d, 0, keep), keep, real_i))
         start = stop
-    rows = np.concatenate([p[0] for p in pieces])
-    cols = np.concatenate([p[1] for p in pieces])
-    vals = np.concatenate([p[2] for p in pieces])
-    if len(pieces) > 1:
-        # merge duplicates across slice boundaries (rare: only (row, col)
-        # pairs whose expansion straddled a workspace cut)
-        key = rows.astype(np.int64) * (n + 1) + cols
-        uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-        if reduce is None:
-            merged = np.zeros(uniq.size, dtype=vals.dtype)
-            np.add.at(merged, inv, vals)
-        else:
-            merged = vals[first].copy()
-            dup = np.setdiff1d(np.arange(rows.size), first, assume_unique=False)
-            for p in dup:
-                merged[inv[p]] = reduce(merged[inv[p]], vals[p])
-        rows, cols, vals = rows[first], cols[first], merged
-    C = coo_matrix(rows, cols, vals, (m, n), sort=True)
+    rows = jnp.concatenate([p[0] for p in pieces])
+    cols = jnp.concatenate([p[1] for p in pieces])
+    vals = jnp.concatenate([p[2] for p in pieces])
+    rows, cols, vals, nseg = _merge_kernel(rows, cols, vals, num_rows=m,
+                                           reduce=reduce)
+    # all pad slots (row == m) merge into one trailing segment; present
+    # iff any slice carried padding past its real entries
+    has_pad = sum(p[3] for p in pieces) > sum(p[4] for p in pieces)
+    nnz = int(nseg) - (1 if has_pad else 0)
+    C = F.COO(row=rows, col=cols, val=vals, shape=(m, n), nnz=max(nnz, 0))
     return C if out_fmt == "coo" else convert(C, out_fmt)
-
-
-def _esc_slice(a_row, a_col, a_val, offsets, Bcsr, m, combine=None,
-               reduce=None):
-    E = int(offsets[-1])
-    E_pad = max(LANE, round_up(E, LANE))
-    offs_dev = jnp.asarray(np.asarray(offsets).astype(np.int32))  # (nnz_slice + 1,)
-    rows, cols, vals, nseg = _esc_kernel(
-        jnp.asarray(a_row), jnp.asarray(a_col), jnp.asarray(a_val),
-        offs_dev, Bcsr.indptr, Bcsr.col, Bcsr.val,
-        E=E, E_pad=E_pad, num_rows=m, combine=combine, reduce=reduce)
-    nseg = int(nseg)
-    rows = np.asarray(rows)[:nseg]
-    cols = np.asarray(cols)[:nseg]
-    vals = np.asarray(vals)[:nseg]
-    keep = rows < m
-    return rows[keep], cols[keep], vals[keep]

@@ -292,10 +292,33 @@ def test_spgemm_multi_slice_workspace(monkeypatch):
     S1 = sp.random(120, 90, density=0.15, random_state=rng).tocsr()
     S2 = sp.random(90, 110, density=0.15, random_state=rng).tocsr()
     monkeypatch.setattr(SG, "MAX_WORKSPACE", 512)
+    # transfer guard: the sliced path must never pull an O(nnz) array to
+    # the host (parity: spgemm.h:229-257 slices within device memory) —
+    # only Python-int scalar syncs are allowed
+    import jax
+
+    real_asarray = np.asarray
+    big_pulls = []
+
+    # O(num_rows) planning metadata (B's indptr) may cross; O(nnz) may not
+    limit = max(S1.shape + S2.shape) + 1
+
+    def guarded(a, *args, **kw):
+        if isinstance(a, jax.Array) and getattr(a, "size", 0) > limit:
+            big_pulls.append(a.shape)
+        return real_asarray(a, *args, **kw)
+
+    monkeypatch.setattr(np, "asarray", guarded)
     C = SG.spgemm(from_scipy(S1.tocoo(), "coo"), from_scipy(S2.tocoo(), "coo"))
+    monkeypatch.setattr(np, "asarray", real_asarray)
+    assert not big_pulls, f"host pulls in sliced spgemm: {big_pulls}"
+    import jax.numpy as jnp
+    assert isinstance(C.row, jax.Array)     # device-resident result
     ref = (S1 @ S2).tocoo()
     np.testing.assert_allclose(to_scipy(C).toarray(), ref.toarray(),
                                rtol=1e-5, atol=1e-6)
+    r = np.asarray(C.row)
+    assert np.all(r[C.nnz:] == C.shape[0])  # padded sorted COO convention
 
 
 def test_spgemm_multi_slice_semiring(monkeypatch):
