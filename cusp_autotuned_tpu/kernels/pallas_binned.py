@@ -457,6 +457,7 @@ def _build_streamed(A, config, interpret):
             KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // (2 * win_bytes)))
             if KB > 8:
                 KB -= KB % 8
+            KB = int(config.get("spmm_kb", 0)) or KB   # tuned override
 
             def part_mm(arrs2, x3, KK):
                 y3 = make_call(KK)(arrs2["rbs"], arrs2["cbs"],

@@ -527,6 +527,7 @@ def build_colsort(A, config, interpret: bool = False):
         KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // row_bytes))
         if KB > 8:
             KB -= KB % 8
+        KB = int(config.get("spmm_kb", 0)) or KB   # tuned chunk override
         return _spmm_chunked(parts_mm, arrs, x, K, KB, n, n_pad, x_rows)
 
     def fn(x):
@@ -845,6 +846,7 @@ def _build_colsort_streamed(A, config, interpret):
             KB = max(1, int(1.5 * MAX_X_VMEM_BYTES() // (2 * win_bytes)))
             if KB > 8:
                 KB -= KB % 8
+            KB = int(config.get("spmm_kb", 0)) or KB   # tuned override
             return _spmm_chunked(parts_mm, arrs, x, K, KB, n, n_pad, x_rows)
         if x.ndim != 1:
             raise NotImplementedException("colsort kernel takes 1-D/2-D x")

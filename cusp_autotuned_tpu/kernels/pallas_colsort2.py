@@ -1,34 +1,35 @@
-"""Pallas TPU SpMV v2 for scattered patterns: virtual-row colsort.
+"""Pallas TPU SpMV v2 for scattered patterns: plane-aligned virtual rows.
 
 Second-generation replacement for the pallas_colsort main/hub pair
 (rebuild target: the fork's COO strategy family,
-cusp/system/cuda/ktt/kernels/coo_kernel.h:64-369).  Two observations drive
-the redesign:
+cusp/system/cuda/ktt/kernels/coo_kernel.h:64-369).  Three observations
+drive the redesign:
 
 1. The v1 scatter (RS masked per-q sublane sums) costs 2*RS*Bs*128 VPU ops
    per block, so widening the row window to raise fill makes every block
-   proportionally slower — fill and scatter cost fight each other.
-2. Hub rows exist in v1 only because a row needs one row-lane slot per
-   sublane; rows heavier than the sublane count cannot be planned.
+   proportionally slower.  Here the scatter is a one-hot matmul on the MXU
+   — (RSp x Bs) @ (Bs x 128) — whose cost is independent of the window.
+2. XLA gather/scatter on TPU costs ~10-40 ns PER ELEMENT through the
+   relay, so a general virtual-row -> row fold (segment_sum) eats the
+   kernel's win whole (measured 3.2 ms vs 0.35 ms kernel on Webbase).
+   Virtual rows therefore live in K IDENTITY PLANES — vrow k*m_pad + i
+   accumulates row i — and the fold is a pure reshape(K, m_pad).sum(0):
+   no gather, no scatter, stream-rate.
+3. Heavy rows would need degree/K sublanes inside their natural 128-row
+   chunk and collapse its fill, so rows above `hub_cap` move to a HUB
+   REGION of degree-sorted virtual rows (<= `hub_split` entries each,
+   128 similar-weight vrows per chunk -> near-full sublanes).  Only this
+   small region (~ nnz_hub/hub_split + n_hub slots) folds with a real
+   scatter-add.
 
-v2 removes both constraints with PLAN-TIME VIRTUAL ROWS:
-
-* Every actual row is split into ceil(k/D) virtual rows of at most D
-  entries (D = `vrow_split`).  Virtual row ids are allocated in row-major
-  order, so the virtual->actual map is sorted and the final fold is ONE
-  sorted segment-sum in XLA, O(#virtual rows) ~ O(m + nnz/D).
-* A slot (sublane s, lane j) holds an entry whose COLUMN lane is j (the
-  v1 transposed-gather contract), and all entries of a sublane live in the
-  SAME virtual 128-row chunk.  The scatter is then a one-hot matmul on the
-  MXU — (RSp x Bs) @ (Bs x 128) — instead of RS masked sums: its cost is
-  independent of the row-window size, so fill no longer trades against
-  scatter work.
-* Packing a (virtual chunk x column window) cell into sublanes is a small
-  bipartite edge-coloring (unique column lane AND unique virtual lane per
-  sublane), bounded below by max(column-lane degree, D, ceil(E/128)).
-  Heavy ROWS no longer fragment the packing (they split), and the column
-  window can be the whole matrix (W gather passes), so fill on power-law
-  patterns rises several-fold over v1.
+A slot (sublane s, lane j) holds an entry whose COLUMN lane is j (the v1
+transposed-gather contract); within a sublane all entries share one
+virtual 128-row chunk, each with a distinct virtual lane.  Packing a
+(chunk x column-window) cell into sublanes is a small bipartite edge
+coloring bounded by max(column-lane degree, virtual-lane degree,
+ceil(E/128)); entries stacked deeper than `lane_cap` on one (cell, lane)
+spill to an XLA COO side path (the Poisson tail would otherwise force
+near-empty sublanes).
 
 Patterns that cannot be planned raise FormatConversionException
 (skippable autotuner results, KTT ResultStatus semantics).
@@ -60,8 +61,9 @@ def _plan_budget(config):
     return plan_budget(config)
 
 
-D_DEFAULT = 8          # vrow_split: max entries per virtual row
+K_DEFAULT = 2          # vrow_planes: identity planes per row
 RSP_DEFAULT = 32       # virtual-chunk span of one block (multiple of 8)
+HUB_SPLIT = 128        # max entries per hub virtual row
 
 
 def _color_cells(cell, cl, vlane):
@@ -102,31 +104,57 @@ def _color_cells(cell, cl, vlane):
     return sub
 
 
-def _plan_v2(row, col, val, shape, D, CW, Bs, RSp, lane_cap=0):
-    """Returns (vals, chunks, pqs, vbs, cbs, vmap, VR, spill) — see module
-    doc.
+def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
+             hub_cap=0, hub_split=HUB_SPLIT):
+    """Returns (vals, chunks, pqs, vbs, cbs, m_pad, hub_rows, nch_main,
+    spill) — see module doc.
 
     vals/chunks are slot (column-lane) layout, pqs is virtual-lane layout
-    with (qrel << 7) | source_lane, vbs/cbs are per-block virtual-chunk and
-    x-sublane bases, vmap maps flat virtual rows to actual rows.  spill is
-    a (row, col, val) COO remainder: entries stacked deeper than lane_cap
-    on one (cell, column-lane) would force near-empty tail sublanes, so
-    they go to the XLA segment-sum side path instead (same move as the
-    binned kernel's hub spill)."""
+    with (qrel << 7) | source_lane, vbs/cbs are per-block virtual-chunk
+    and x-sublane bases.  Virtual chunks [0, K*m_pad/128) are the identity
+    planes (reshape fold); chunks beyond hold the hub region whose slots
+    scatter-add into hub_rows (one target row per slot, m for dead)."""
     m, n = shape
     nnz = row.size
+    m_pad = round_up(max(m, 1), LANE)
+    nch_plane = m_pad // LANE
 
-    # -- virtual rows: row-major allocation, heavy rows split every D ------
     order = np.lexsort((col, row))
     r, c, v = row[order], col[order], val[order]
     counts = np.bincount(r, minlength=m)
+    if hub_cap <= 0:
+        # the hub fold is an XLA scatter over ~n_hub slots (~15 ns each
+        # through the relay) while a mid row costs only extra kernel
+        # sublanes, so the threshold leans high
+        hub_cap = int(max(64, 4 * nnz // max(1, m)))
     starts = np.concatenate([[0], np.cumsum(counts)])
     idx_in_row = np.arange(nnz) - starts[r]
-    nv_per_row = -(-counts // D)                       # 0 for empty rows
-    vbase = np.concatenate([[0], np.cumsum(nv_per_row)])
-    vid = vbase[r] + idx_in_row // D
-    VR = int(vbase[-1])
-    vmap = np.repeat(np.arange(m), nv_per_row).astype(np.int32)
+    is_hub = counts[r] > hub_cap
+
+    vid = np.empty(nnz, np.int64)
+    # -- main planes: row i's entries round-robin over K identity planes --
+    me = ~is_hub
+    vid[me] = (idx_in_row[me] % K) * nch_plane * LANE + r[me]
+    nch_main = K * nch_plane
+
+    # -- hub region: degree-sorted rows, split every hub_split entries ----
+    hub_rows_arr = np.zeros(0, np.int32)
+    if is_hub.any():
+        hr = r[is_hub]
+        hu, hinv = np.unique(hr, return_inverse=True)
+        deg = counts[hu]
+        deg_order = np.argsort(-deg, kind="stable")
+        rank = np.empty_like(deg_order)
+        rank[deg_order] = np.arange(deg_order.size)
+        nv_per = -(-deg // hub_split)
+        nv_ranked = nv_per[deg_order]
+        vbase = np.concatenate([[0], np.cumsum(nv_ranked)])
+        # entry's index within its row among hub entries = idx_in_row
+        vid[is_hub] = (nch_main * LANE + vbase[rank[hinv]]
+                       + idx_in_row[is_hub] // hub_split)
+        n_hub_v = int(vbase[-1])
+        hub_rows_arr = np.full(round_up(max(n_hub_v, 1), LANE), m, np.int32)
+        hub_rows_arr[:n_hub_v] = np.repeat(hu[deg_order], nv_ranked)
 
     chunk_id = vid >> 7
     vlane = vid & (LANE - 1)
@@ -143,12 +171,11 @@ def _plan_v2(row, col, val, shape, D, CW, Bs, RSp, lane_cap=0):
     depth = np.arange(nnz) - np.maximum.accumulate(
         np.where(grp_start, np.arange(nnz), 0))
     if lane_cap <= 0:
-        # smallest cap spilling at most ~8% of the entries
-        sizes = np.bincount(np.cumsum(grp_start) - 1)
-        lane_cap = 2
-        while lane_cap < 128 and \
-                np.maximum(sizes - lane_cap, 0).sum() > 0.08 * nnz:
-            lane_cap += 1
+        # XLA's per-entry gather/segment cost (~15 ns through the relay)
+        # is ~5x a kernel slot, so by default nothing spills — extra
+        # low-fill sublanes are the cheaper price.  The tuner can set an
+        # explicit lane_cap where the Poisson tail is extreme.
+        lane_cap = 1 << 30
     smask = np.zeros(nnz, bool)
     smask[okey[depth >= lane_cap]] = True
     spill = (r[smask], c[smask], v[smask])
@@ -220,15 +247,16 @@ def _plan_v2(row, col, val, shape, D, CW, Bs, RSp, lane_cap=0):
 
     return (vals2d.astype(np.float32), chunk2d.astype(np.int32),
             pq2d.astype(np.int32), np.asarray(vbs, np.int32),
-            np.asarray(cbs, np.int32), vmap, VR, spill)
+            np.asarray(cbs, np.int32), m_pad, hub_rows_arr, nch_main,
+            spill)
 
 
-def _v2_kernel(vbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
+def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
                *, Bs, RSp, W):
-    """Resident v2 kernel: x and virtual y live whole in VMEM; per block a
-    W-pass transposed gather, one permutation take, and a one-hot MXU
-    matmul scatter into the block's RSp-chunk virtual window."""
-    CW = W * LANE
+    """Resident v2 kernel: x (pre-transposed to lane-major) and virtual y
+    live whole in VMEM; per block a W-pass in-lane gather, one permutation
+    take, and a one-hot MXU matmul scatter into the block's RSp-chunk
+    virtual window."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -242,8 +270,6 @@ def _v2_kernel(vbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
     qv = jax.lax.shift_right_logical(pq, jnp.int32(7))
     dtype = y_ref.dtype
 
-    xw = x_ref[pl.ds(cbs[g], CW), :]
-    xt = jnp.swapaxes(xw, 0, 1)                       # (128, CW)
     cht = jnp.swapaxes(chunk, 0, 1)                   # (128, Bs)
     if Bs < LANE:
         cht = jnp.concatenate(
@@ -251,8 +277,15 @@ def _v2_kernel(vbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     gt = jnp.zeros((LANE, LANE), dtype)
+    single = xt_ref.shape[1] == W * LANE      # full width: one window
+    cb = cbs[g]
     for w in range(W):
-        g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
+        if single:
+            xtw = xt_ref[:, w * LANE:(w + 1) * LANE]
+        else:
+            start = pl.multiple_of(cb + w * LANE, LANE)
+            xtw = xt_ref[:, pl.ds(start, LANE)]
+        g_w = jnp.take_along_axis(xtw, low, axis=1)
         gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
     xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
     prod = vals * xg
@@ -267,11 +300,12 @@ def _v2_kernel(vbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
 
 
 def build_colsort2(A, config, interpret: bool = False):
-    """Virtual-row colsort SpMV; see module docstring.
+    """Plane-aligned virtual-row colsort SpMV; see module docstring.
 
     Config keys: block_entries (Bs*128), col_window (gather window in
-    columns; full-width when >= num_cols), vrow_split (D), vrow_span
-    (RSp, multiple of 8), pack16."""
+    columns; full-width when >= num_cols), vrow_planes (K), vrow_span
+    (RSp, multiple of 8), hub_cap (rows above it go to the hub region),
+    lane_cap (per-(cell,lane) stack cap; 0 = auto), pack16."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
     _reject_x64(A, interpret)
@@ -297,13 +331,9 @@ def build_colsort2(A, config, interpret: bool = False):
             "block_entries above 16384 exceed the transposed-gather tile")
     W = max(1, -(-int(config.get("col_window", n)) // (LANE * LANE)))
     CW = W * LANE
-    D = config.get("vrow_split", "auto")
-    if D == "auto":
-        # match the split to the mean degree: heavy-row matrices (LP-like)
-        # want dense virtual chunks, light ones want vrows ~ rows
-        D = int(np.clip(row.size // max(1, m), 4, 32))
-    D = int(D)
+    K = int(config.get("vrow_planes", K_DEFAULT))
     lane_cap = int(config.get("lane_cap", 0))
+    hub_cap = int(config.get("hub_cap", 0))
     RSp = int(config.get("vrow_span", RSP_DEFAULT))
     if RSp % 8 != 0:
         raise NotImplementedException("vrow_span must be a multiple of 8")
@@ -316,15 +346,18 @@ def build_colsort2(A, config, interpret: bool = False):
 
     from cusp_autotuned_tpu import native
     nat = getattr(native, "plan_colsort2", lambda *a: None)(
-        row, col, val, shape, D, CW, Bs, RSp, lane_cap)
+        row, col, val, shape, K, CW, Bs, RSp, lane_cap, hub_cap)
     if nat is not None:
-        vals_, chunks_, pqs_, vbs_, cbs_, vmap, VR, spill = nat
+        (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
+         spill) = nat
     else:
-        vals_, chunks_, pqs_, vbs_, cbs_, vmap, VR, spill = _plan_v2(
-            row, col, val, shape, D, CW, Bs, RSp, lane_cap)
+        (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
+         spill) = _plan_v2(row, col, val, shape, K, CW, Bs, RSp,
+                           lane_cap, hub_cap)
     nb = vals_.shape[0]
 
-    VRs = round_up(VR, LANE * 8) // LANE + RSp        # slack for last block
+    nch_hub = hub_rows.size // LANE
+    VRs = round_up(nch_main + nch_hub + RSp, 8)
     if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
             "virtual rows exceed the VMEM budget — use the streamed rail")
@@ -360,12 +393,13 @@ def build_colsort2(A, config, interpret: bool = False):
             transcendentals=0),
         interpret=interpret)
 
-    vmap_pad = np.full(VRs * LANE, m, np.int32)
-    vmap_pad[:VR] = vmap
     arrays = dict(
         v2v=jnp.asarray(vals_.astype(dtype)), v2c=jnp.asarray(chunks_),
         v2p=jnp.asarray(pqs_), v2vb=jnp.asarray(vbs_),
-        v2cb=jnp.asarray(cbs_), v2map=jnp.asarray(vmap_pad))
+        v2cb=jnp.asarray(cbs_))
+    has_hub = nch_hub > 0
+    if has_hub:
+        arrays["v2hub"] = jnp.asarray(hub_rows)
     srow, scol, sval = spill
     has_spill = srow.size > 0
     if has_spill:
@@ -377,13 +411,17 @@ def build_colsort2(A, config, interpret: bool = False):
     def apply(arrs, x):
         if x.ndim != 1:
             raise NotImplementedException("colsort2 kernel takes 1-D x")
-        x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
+        xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
         if nb:
-            yv = call(arrs["v2vb"], arrs["v2cb"], x2, arrs["v2v"],
+            yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
                       arrs["v2c"], arrs["v2p"])
-            # virtual ids are row-major: the fold is a sorted segment-sum
-            y = jax.ops.segment_sum(yv.reshape(-1), arrs["v2map"],
-                                    num_segments=m, indices_are_sorted=True)
+            # identity planes fold as a pure reshape + sum: no gather
+            planes = yv.reshape(-1)[: nch_main * LANE]
+            y = planes.reshape(K, m_pad)[:, :m].sum(axis=0)
+            if has_hub:
+                hubv = jax.lax.dynamic_slice_in_dim(
+                    yv.reshape(-1), nch_main * LANE, nch_hub * LANE)
+                y = y.at[arrs["v2hub"]].add(hubv, mode="drop")
         else:
             y = jnp.zeros(m, dtype)
         if has_spill:

@@ -37,3 +37,10 @@ def build_binned(A, config):
 def build_colsort(A, config):
     from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort as bc
     return bc(A, config, interpret=_interpret())
+
+
+def build_colsort2(A, config):
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import (
+        build_colsort2 as bc2,
+    )
+    return bc2(A, config, interpret=_interpret())

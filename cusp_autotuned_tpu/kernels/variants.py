@@ -95,6 +95,13 @@ def _build_colsort(A, config):
     return pallas_spmv.build_colsort(A, config)
 
 
+def _build_colsort2(A, config):
+    """Plane-aligned virtual-row colsort v2 (MXU matmul scatter +
+    reshape fold; scattered patterns)."""
+    from cusp_autotuned_tpu.kernels import pallas_spmv
+    return pallas_spmv.build_colsort2(A, config)
+
+
 def _build_ellr_rowlen(A, config):
     """ELLR-semantics SpMV: mask slots by row_lengths instead of the -1
     sentinel (the fork's ELLR=1 kernel rail, kernels/ell_kernel.h:86-213)."""
@@ -165,6 +172,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "pallas": _build_pallas("ell"),
         "binned": _build_binned,
         "colsort": _build_colsort,
+        "colsort2": _build_colsort2,
     },
     "ellr": {
         "gather": _build_ell_gather,
@@ -174,6 +182,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "pallas": _build_pallas("ellr"),
         "binned": _build_binned,
         "colsort": _build_colsort,
+        "colsort2": _build_colsort2,
     },
     "csr": {
         "segsum": _build_csr_segsum,
@@ -182,6 +191,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "pallas": _build_pallas("csr"),
         "binned": _build_binned,
         "colsort": _build_colsort,
+        "colsort2": _build_colsort2,
     },
     "coo": {
         "segsum": _build_coo_segsum,
@@ -189,6 +199,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "pallas": _build_pallas("coo"),
         "binned": _build_binned,
         "colsort": _build_colsort,
+        "colsort2": _build_colsort2,
     },
     "hyb": {
         "default": _build_hyb,
@@ -196,6 +207,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "via_dia": _build_via_dia,
         "binned": _build_binned,
         "colsort": _build_colsort,
+        "colsort2": _build_colsort2,
     },
 }
 
@@ -235,12 +247,13 @@ def tuning_space(A) -> TuningSpace:
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
             "ell": ("gather", "via_dia", "rcm_dia", "pallas", "binned",
-                    "colsort"),
+                    "colsort", "colsort2"),
             "ellr": ("gather", "rowlen", "via_dia", "rcm_dia", "pallas",
-                     "binned", "colsort"),
+                     "binned", "colsort", "colsort2"),
             "csr": ("segsum", "via_dia", "rcm_dia", "pallas", "binned",
-                    "colsort"),
-            "coo": ("segsum", "via_dia", "pallas", "binned", "colsort"),
+                    "colsort", "colsort2"),
+            "coo": ("segsum", "via_dia", "pallas", "binned", "colsort",
+                    "colsort2"),
         }[fmt]
         space.add_parameter("impl", impls)
         space.add_parameter("dia_impl", ("none", "slices", "pallas"))
@@ -270,11 +283,36 @@ def tuning_space(A) -> TuningSpace:
         space.add_constraint(("dia_impl", "block_rows"),
                              lambda d, b: (b > 0) == (d == "pallas"))
         space.add_constraint(("impl", "block_entries"),
-                             lambda i, b: (b > 0) == (i in ("pallas", "binned", "colsort")))
+                             lambda i, b: (b > 0) == (i in ("pallas", "binned", "colsort", "colsort2")))
         space.add_constraint(("impl", "col_window"),
-                             lambda i, c: (c > 0) == (i in ("pallas", "binned", "colsort")))
+                             lambda i, c: (c > 0) == (i in ("pallas", "binned", "colsort", "colsort2")))
         space.add_constraint(("impl", "row_window"),
                              lambda i, r: (r > 0) == (i in ("binned", "colsort")))
+        # round-2 verdict: search the REAL surface — the streaming choice,
+        # int16 metadata packing, the hub spill threshold, the SpMM chunk,
+        # and colsort2's virtual planes are tuned, not auto-only
+        space.add_parameter("stream_x", (0, 1))
+        space.add_constraint(("impl", "stream_x"),
+                             lambda i, s: s == 0 or i in ("binned", "colsort"))
+        space.add_parameter("pack16", ("auto", 0))
+        space.add_constraint(("impl", "pack16"),
+                             lambda i, p: p == "auto" or i in ("binned", "colsort", "colsort2"))
+        space.add_parameter("hub_cap", (0, 8, 64))
+        space.add_constraint(("impl", "hub_cap"),
+                             lambda i, h: h == 0 or i in ("colsort", "colsort2"))
+        space.add_parameter("spmm_kb", (0, 8))
+        space.add_constraint(("impl", "spmm_kb"),
+                             lambda i, k: k == 0 or i in ("binned", "colsort"))
+        # keep the exhaustive walk tractable: the streaming/packing pair is
+        # a real 2x2 surface, but hub_cap and spmm_kb vary one at a time
+        # against default settings of the other secondary axes
+        space.add_constraint(
+            ("stream_x", "pack16", "hub_cap", "spmm_kb"),
+            lambda s, p, h, k: (h == 0 and k == 0)
+            or (s == 0 and p == "auto" and (h == 0 or k == 0)))
+        space.add_parameter("vrow_planes", (0, 2, 4))
+        space.add_constraint(("impl", "vrow_planes"),
+                             lambda i, v: (v > 0) == (i == "colsort2"))
     elif fmt == "hyb":
         space.add_parameter("impl", ("default", "via_dia", "pallas", "binned"))
         space.add_parameter("dia_impl", ("none", "slices"))

@@ -119,11 +119,14 @@ def test_onehot_wide_scatter_pattern_is_skippable():
 # -- lane-binned kernels (binned / colsort) -----------------------------------
 
 def _check_binned(S, builder_name, fmt="csr", **cfg):
-    from cusp_autotuned_tpu.kernels import pallas_binned, pallas_colsort
+    from cusp_autotuned_tpu.kernels import (
+        pallas_binned, pallas_colsort, pallas_colsort2,
+    )
     A = from_scipy(S.tocoo(), fmt)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(A.num_cols).astype(np.float32))
-    mod = pallas_binned if builder_name == "build_binned" else pallas_colsort
+    mod = {"build_binned": pallas_binned, "build_colsort": pallas_colsort,
+           "build_colsort2": pallas_colsort2}[builder_name]
     build = getattr(mod, builder_name)
     fn = build(A, cfg, interpret=True)
     y = np.asarray(jax.jit(fn)(x))
@@ -499,3 +502,68 @@ def test_colsort_streamed_spmm(k):
     Y = np.asarray(jax.jit(fn)(X))
     ref = A.to_scipy().astype(np.float64) @ np.asarray(X, np.float64)
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+# -- colsort2 (plane-aligned virtual rows, MXU matmul scatter) -----------------
+
+def test_colsort2_poisson9():
+    _check_binned(gallery.poisson9pt(35, 35, format="csr").to_scipy(),
+                  "build_colsort2")
+
+
+def test_colsort2_powerlaw_hub_region():
+    # heavy rows route through the degree-sorted hub region (scatter fold)
+    S = _powerlaw(800, 8000, seed=3)
+    _check_binned(S, "build_colsort2", hub_cap=8)
+
+
+def test_colsort2_lane_cap_spill():
+    # an aggressive lane cap forces the XLA COO spill side path
+    S = _powerlaw(800, 8000, seed=4)
+    _check_binned(S, "build_colsort2", lane_cap=2)
+
+
+@pytest.mark.parametrize("planes", [1, 4])
+def test_colsort2_vrow_planes(planes):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(11)
+    S = sp.random(700, 700, density=0.02, random_state=rng).tocsr() \
+        + sp.eye(700)
+    _check_binned(S, "build_colsort2", vrow_planes=planes)
+
+
+def test_colsort2_windowed_gather():
+    # col_window below num_cols exercises the dynamic 128-aligned window
+    # slice path instead of the full-width static gather
+    import scipy.sparse as sp
+    rng = np.random.RandomState(12)
+    S = sp.random(400, 40000, density=0.001, random_state=rng).tocsr()
+    _check_binned(S, "build_colsort2", col_window=16384)
+
+
+def test_colsort2_rectangular():
+    import scipy.sparse as sp
+    rng = np.random.RandomState(13)
+    _check_binned(sp.random(300, 900, density=0.02, random_state=rng).tocsr(),
+                  "build_colsort2")
+    _check_binned(sp.random(900, 300, density=0.02, random_state=rng).tocsr(),
+                  "build_colsort2")
+
+
+def test_colsort2_single_dense_row():
+    import scipy.sparse as sp
+    row = np.zeros(500, np.int64)
+    col = np.arange(500) * 3 % 1500
+    S = sp.coo_matrix((np.random.RandomState(5).randn(500), (row, col)),
+                      shape=(4, 1500)).tocsr()
+    _check_binned(S, "build_colsort2", hub_cap=16)
+
+
+def test_colsort2_via_variants_and_tuner_config():
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+    A = gallery.poisson5pt(30, 30, format="csr", dtype=np.float32)
+    fn = build_spmv(A, {"impl": "colsort2", "block_entries": 2048,
+                        "col_window": 2048, "vrow_planes": 2})
+    x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+    y = np.asarray(jax.jit(fn)(x))
+    np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
