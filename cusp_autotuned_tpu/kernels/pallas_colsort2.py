@@ -67,10 +67,18 @@ HUB_SPLIT = 128        # max entries per hub virtual row
 
 
 def _color_cells(cell, cl, vlane):
-    """Greedy round-based edge coloring, all cells at once: round s places,
-    per cell, a set of entries with unique column lane and unique virtual
-    lane (these become sublane s of that cell).  Returns the per-entry
-    sublane index.  Rounds needed ~ max degree, each round vectorized."""
+    """Edge coloring of each cell's (column lane, virtual lane) entries
+    into sublanes (unique cl AND unique vlane per sublane).  The native
+    planner does hardest-first first-fit (near the max-degree bound; the
+    round greedy below loses ~2x on dense hub cells); entries must arrive
+    sorted by cell."""
+    from cusp_autotuned_tpu import native
+    order = np.argsort(cell, kind="stable")
+    nat = native.color_cells(cell[order], cl[order], vlane[order])
+    if nat is not None:
+        sub = np.empty(cell.size, np.int64)
+        sub[order] = nat
+        return sub
     nnz = cell.size
     sub = np.full(nnz, -1, np.int64)
     # the rotated pick order decorrelates each column lane's preferred
@@ -238,12 +246,16 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     used_c[eb, es, cl] = True
     qsub = np.zeros((nb, Bs), np.int64)
     qsub[eb, es] = eq
-    for g in range(nb):
-        for s in range(Bs):
-            free_v = np.nonzero(~used_v[g, s])[0]
-            free_c = np.nonzero(~used_c[g, s])[0]
-            pq2d[g, s, free_v] = free_c[: free_v.size]
-        pq2d[g] |= qsub[g][:, None] << 7
+    # pair the i-th free virtual lane with the i-th free column lane,
+    # vectorized over all (block, sublane) pairs
+    fv = np.argsort(used_v, axis=2, kind="stable")
+    fc = np.argsort(used_c, axis=2, kind="stable")
+    n_free = LANE - used_v.sum(axis=2)
+    lane_i = np.arange(LANE)[None, None, :]
+    cur = np.take_along_axis(pq2d, fv, axis=2)
+    np.put_along_axis(pq2d, fv,
+                      np.where(lane_i < n_free[:, :, None], fc, cur), axis=2)
+    pq2d |= qsub[:, :, None] << 7
 
     return (vals2d.astype(np.float32), chunk2d.astype(np.int32),
             pq2d.astype(np.int32), np.asarray(vbs, np.int32),

@@ -77,6 +77,8 @@ def _compile() -> ctypes.CDLL | None:
                                       ctypes.c_int64,
                                       f32p, i32p, i32p, i32p, i32p,
                                       ctypes.c_int64, ctypes.c_int32]
+    lib.color_cells.restype = ctypes.c_int64
+    lib.color_cells.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i32p]
     return lib
 
 
@@ -278,3 +280,21 @@ def plan_colsort_main(row, col, val, B, RW, CW, nb_max, aligned=False):
         if cap >= nb_max:
             raise ValueError("plan overflow")
         cap = min(nb_max, cap * 4)
+
+
+def color_cells(cell, cl, vlane):
+    """Hardest-first edge coloring for the colsort2 planner.  Entries must
+    be sorted by cell.  Returns the per-entry sublane array or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell = np.ascontiguousarray(cell, np.int64)
+    cl32 = np.ascontiguousarray(cl, np.int32)
+    vl32 = np.ascontiguousarray(vlane, np.int32)
+    sub = np.empty(cell.size, np.int32)
+    rc = lib.color_cells(cell.size, _ptr_i64(cell), _ptr_i32(cl32),
+                         _ptr_i32(vl32), _ptr_i32(sub))
+    if rc < 0:
+        return None
+    return sub.astype(np.int64)

@@ -191,3 +191,70 @@ std::int64_t plan_colsort_main(
 }
 
 }  // extern "C"
+
+extern "C"
+// Hardest-first edge coloring for the colsort2 planner
+// (kernels/pallas_colsort2._color_cells): within each cell, entries are
+// edges (column lane, virtual lane); a sublane holds a matching (unique
+// cl AND unique vlane).  Entries are processed hardest-first (descending
+// max endpoint degree) with first-fit over sublane bitsets, which lands
+// near the max(deg) lower bound where the round-based greedy loses ~2x
+// on dense hub cells.
+//
+// Inputs: entries SORTED BY CELL; cl/vlane in [0,128).  Output: sub[e].
+// Returns the max sublane count over cells, or -1 on failure.
+std::int64_t color_cells(
+    std::int64_t nnz, const std::int64_t* cell, const std::int32_t* cl,
+    const std::int32_t* vlane, std::int32_t* sub) {
+  constexpr int L = 128;
+  std::int64_t max_s = 0;
+  std::int64_t i = 0;
+  std::vector<std::int64_t> order;
+  std::vector<std::int64_t> deg_c(L), deg_v(L);
+  std::vector<std::vector<std::uint64_t>> used_c(L), used_v(L);
+  while (i < nnz) {
+    std::int64_t j = i;
+    while (j < nnz && cell[j] == cell[i]) ++j;
+    const std::int64_t E = j - i;
+    std::fill(deg_c.begin(), deg_c.end(), 0);
+    std::fill(deg_v.begin(), deg_v.end(), 0);
+    for (std::int64_t e = i; e < j; ++e) {
+      ++deg_c[cl[e]];
+      ++deg_v[vlane[e]];
+    }
+    order.resize(E);
+    for (std::int64_t t = 0; t < E; ++t) order[t] = i + t;
+    std::sort(order.begin(), order.end(),
+              [&](std::int64_t a, std::int64_t b) {
+                const std::int64_t ka = std::max(deg_c[cl[a]], deg_v[vlane[a]]);
+                const std::int64_t kb = std::max(deg_c[cl[b]], deg_v[vlane[b]]);
+                return ka > kb;
+              });
+    const std::int64_t words = (E + 63) / 64 + 1;   // sublanes <= E
+    for (int l = 0; l < L; ++l) {
+      used_c[l].assign(words, 0);
+      used_v[l].assign(words, 0);
+    }
+    std::int64_t cell_max = 0;
+    for (std::int64_t e : order) {
+      const std::uint64_t* uc = used_c[cl[e]].data();
+      const std::uint64_t* uv = used_v[vlane[e]].data();
+      std::int64_t s = -1;
+      for (std::int64_t w = 0; w < words; ++w) {
+        const std::uint64_t free_w = ~(uc[w] | uv[w]);
+        if (free_w) {
+          s = w * 64 + __builtin_ctzll(free_w);
+          break;
+        }
+      }
+      if (s < 0) return -1;                         // cannot happen: s <= E
+      used_c[cl[e]][s >> 6] |= 1ull << (s & 63);
+      used_v[vlane[e]][s >> 6] |= 1ull << (s & 63);
+      sub[e] = (std::int32_t)s;
+      cell_max = std::max(cell_max, s + 1);
+    }
+    max_s = std::max(max_s, cell_max);
+    i = j;
+  }
+  return max_s;
+}
