@@ -9,7 +9,7 @@ reductions.
 from cusp_autotuned_tpu.parallel.sharded import (
     make_row_mesh, shard_rows, shard_rows_aligned, replicate,
     distributed_cg, distributed_bicgstab, sharded_spmv,
-    distribute_for_solve,
+    distribute_for_solve, distribute_multilevel,
 )
 from cusp_autotuned_tpu.parallel.shard_map_spmv import (
     sharded_spmv_dia_shardmap, distributed_cg_shardmap, distributed_cg_halo,

@@ -183,3 +183,36 @@ def distributed_bicgstab(A, b, mesh: Mesh, iterations: int = 25,
 
     with mesh:
         return solve(A, b)
+
+
+def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
+    """Mesh-aware AMG hierarchy (SURVEY §2.6 extension; the reference's
+    multilevel is single-GPU): every level operator with at least `cutoff`
+    rows is row-sharded over the mesh — the V-cycle's SpMVs then run
+    row-parallel with GSPMD inserting the collectives — while smaller
+    levels, the smoothers' vectors, and the coarse LU are replicated
+    (coarse grids are latency-bound; replication beats sharding there).
+    Tuned planned operators (Aop/Rop/Pop) are replicated as-is: their
+    block plans are not row-partitionable."""
+    import dataclasses
+
+    def repl_tree(obj):
+        if obj is None:
+            return None
+        return jax.tree_util.tree_map(lambda l: replicate(l, mesh), obj)
+
+    def place(op):
+        if op is None:
+            return None
+        if F.is_sparse(op) and op.num_rows >= cutoff:
+            return shard_rows(op, mesh)
+        return repl_tree(op)
+
+    new_levels = tuple(
+        dataclasses.replace(
+            lvl, A=place(lvl.A), R=place(lvl.R), P=place(lvl.P),
+            smoother=repl_tree(lvl.smoother), Aop=repl_tree(lvl.Aop),
+            Rop=repl_tree(lvl.Rop), Pop=repl_tree(lvl.Pop))
+        for lvl in M.levels)
+    return dataclasses.replace(M, levels=new_levels,
+                               coarse=repl_tree(M.coarse))

@@ -67,7 +67,11 @@ def cg(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
         monitor = default_monitor(b)
     Mop = as_operator(M)
     if mesh is not None:
-        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        from cusp_autotuned_tpu.parallel.sharded import (
+            distribute_for_solve, distribute_multilevel,
+        )
+        if hasattr(Mop, "levels"):      # AMG hierarchy: shard fine levels
+            Mop = distribute_multilevel(Mop, mesh)
         A, b, x0 = distribute_for_solve(A, mesh, b, x0)
         with mesh:
             x, state = _cg_loop(A, Mop, b, jnp.asarray(x0),

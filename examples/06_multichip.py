@@ -30,11 +30,24 @@ def main():
     print(f"public cg(mesh=): converged={mon.converged()} in "
           f"{mon.iteration_count()} iterations")
 
-    x4, mon4 = solvers.bicgstab(
-        gallery.poisson5pt(64, 16 * n_dev, format="csr", dtype=np.float32),
-        b, mesh=mesh)
+    Ac = gallery.poisson5pt(64, 16 * n_dev, format="csr", dtype=np.float32)
+    x4, mon4 = solvers.bicgstab(Ac, b, mesh=mesh)
     print(f"public bicgstab(mesh=) on row-aligned CSR: "
           f"converged={mon4.converged()}")
+
+    # bicg distributes too: the setup-time A^T is row-sharded alongside A
+    x5, mon5 = solvers.bicg(Ac, b, mesh=mesh)
+    print(f"public bicg(mesh=): converged={mon5.converged()}")
+
+    # distributed AMG: fine levels row-sharded, coarse levels and the LU
+    # replicated; one V-cycle per CG iteration, all under GSPMD
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.solvers.monitor import Monitor
+    M = smoothed_aggregation(Ac, min_level_size=100)
+    x6, mon6 = solvers.cg(Ac, b, M=M, monitor=Monitor(b, 100, 1e-8),
+                          mesh=mesh)
+    print(f"AMG-preconditioned cg(mesh=): converged={mon6.converged()} in "
+          f"{mon6.iteration_count()} iterations")
 
 
 if __name__ == "__main__":
