@@ -264,11 +264,13 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
 
 
 def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
-               *, Bs, RSp, W):
+               *, Bs, RSp, W, K=0):
     """Resident v2 kernel: x (pre-transposed to lane-major) and virtual y
     live whole in VMEM; per block a W-pass in-lane gather, one permutation
     take, and a one-hot MXU matmul scatter into the block's RSp-chunk
-    virtual window."""
+    virtual window.  K > 0 adds the SpMM k-major leading dim: entry
+    blocks, masks, and the scatter one-hot are read/built once across the
+    K right-hand sides."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -288,27 +290,43 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
             [cht, jnp.zeros((LANE, LANE - Bs), jnp.int32)], axis=1)
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
-    gt = jnp.zeros((LANE, LANE), dtype)
-    single = xt_ref.shape[1] == W * LANE      # full width: one window
-    cb = cbs[g]
-    for w in range(W):
-        if single:
-            xtw = xt_ref[:, w * LANE:(w + 1) * LANE]
-        else:
-            start = pl.multiple_of(cb + w * LANE, LANE)
-            xtw = xt_ref[:, pl.ds(start, LANE)]
-        g_w = jnp.take_along_axis(xtw, low, axis=1)
-        gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
-    xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
-    prod = vals * xg
-
-    pr = jnp.take_along_axis(prod, perm, axis=1)      # virtual-lane layout
+    wmask = [hiw == w for w in range(W)]
     q0 = jnp.swapaxes(qv[:, 0:1], 0, 1)               # (1, Bs) per-sublane
     oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
           == q0).astype(dtype)
-    upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
-    cur = y_ref[pl.ds(vbs[g], RSp), :]
-    y_ref[pl.ds(vbs[g], RSp), :] = cur + upd
+    lanes = xt_ref.shape[-1]
+    single = lanes == W * LANE                # full width: one window
+    cb = cbs[g]
+    vb = vbs[g]
+
+    def one_rhs(load_w, y_at, y_set):
+        gt = jnp.zeros((LANE, LANE), dtype)
+        for w in range(W):
+            g_w = jnp.take_along_axis(load_w(w), low, axis=1)
+            gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
+        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        pr = jnp.take_along_axis(prod, perm, axis=1)  # virtual-lane layout
+        upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
+        y_set(y_at() + upd)
+
+    def wslice(w):
+        if single:
+            return slice(w * LANE, (w + 1) * LANE)
+        return pl.ds(pl.multiple_of(cb + w * LANE, LANE), LANE)
+
+    if K == 0:
+        one_rhs(lambda w: xt_ref[:, wslice(w)],
+                lambda: y_ref[pl.ds(vb, RSp), :],
+                lambda v: y_ref.__setitem__((pl.ds(vb, RSp), slice(None)),
+                                            v))
+    else:
+        def body(kk, carry):
+            one_rhs(lambda w: xt_ref[kk, :, wslice(w)],
+                    lambda: y_ref[kk, pl.ds(vb, RSp), :],
+                    lambda v: y_ref.__setitem__(
+                        (kk, pl.ds(vb, RSp), slice(None)), v))
+            return carry
+        jax.lax.fori_loop(0, K, body, 0)
 
 
 def build_colsort2(A, config, interpret: bool = False):
@@ -420,27 +438,84 @@ def build_colsort2(A, config, interpret: bool = False):
                       scol=jnp.asarray(scol[so].astype(np.int32)),
                       sval=jnp.asarray(sval[so].astype(dtype)))
 
-    def apply(arrs, x):
-        if x.ndim != 1:
-            raise NotImplementedException("colsort2 kernel takes 1-D x")
-        xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
-        if nb:
-            yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
-                      arrs["v2c"], arrs["v2p"])
-            # identity planes fold as a pure reshape + sum: no gather
-            planes = yv.reshape(-1)[: nch_main * LANE]
-            y = planes.reshape(K, m_pad)[:, :m].sum(axis=0)
-            if has_hub:
-                hubv = jax.lax.dynamic_slice_in_dim(
-                    yv.reshape(-1), nch_main * LANE, nch_hub * LANE)
+    def make_call_mm(KK, _cache={}):
+        callK = _cache.get(KK)
+        if callK is None:
+            kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W, K=KK)
+            callK = _cache[KK] = pl.pallas_call(
+                kernK,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2, grid=(nb,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)] * 3,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
+                interpret=interpret)
+        return callK
+
+    def fold(arrs, yv_flat):
+        """Virtual -> actual rows: reshape-sum planes + hub scatter-add."""
+        planes = yv_flat[..., : nch_main * LANE]
+        shp = planes.shape[:-1]
+        y = planes.reshape(shp + (K, m_pad))[..., :m].sum(axis=-2)
+        if has_hub:
+            hubv = jax.lax.dynamic_slice_in_dim(
+                yv_flat, nch_main * LANE, nch_hub * LANE, axis=-1)
+            if y.ndim == 1:
                 y = y.at[arrs["v2hub"]].add(hubv, mode="drop")
-        else:
-            y = jnp.zeros(m, dtype)
-        if has_spill:
-            y = y + jax.ops.segment_sum(arrs["sval"] * x[arrs["scol"]],
-                                        arrs["srow"], num_segments=m,
-                                        indices_are_sorted=True)
+            else:
+                y = y.at[:, arrs["v2hub"]].add(hubv, mode="drop")
         return y
+
+    def apply(arrs, x):
+        if x.ndim == 1:
+            xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
+            if nb:
+                yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
+                          arrs["v2c"], arrs["v2p"])
+                # identity planes fold as a pure reshape + sum: no gather
+                y = fold(arrs, yv.reshape(-1))
+            else:
+                y = jnp.zeros(m, dtype)
+            if has_spill:
+                y = y + jax.ops.segment_sum(arrs["sval"] * x[arrs["scol"]],
+                                            arrs["srow"], num_segments=m,
+                                            indices_are_sorted=True)
+            return y
+        if x.ndim != 2:
+            raise NotImplementedException("colsort2 kernel takes 1-D/2-D x")
+        KK = x.shape[1]
+        if KK == 0:
+            return jnp.zeros((m, 0), dtype)
+        # k-major chunks: entries read once per chunk, x/yv chunks bounded
+        # by the VMEM budget
+        per_k = (x_rows + VRs) * LANE * dtype.itemsize
+        KB = max(1, int(1.5 * MAX_VMEM_BYTES() // (2 * per_k)))
+        if KB > 8:
+            KB -= KB % 8
+        KB = int(config.get("spmm_kb", 0)) or KB
+        KB = min(KB, KK)
+        xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T        # (K, n_pad)
+        xTp = jnp.pad(xT, ((0, (-KK) % KB), (0, 0)))
+        outs = []
+        for s0 in range(0, KK, KB):
+            xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
+            if nb:
+                x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
+                yv = make_call_mm(KB)(arrs["v2vb"], arrs["v2cb"], x3t,
+                                      arrs["v2v"], arrs["v2c"], arrs["v2p"])
+                yk = fold(arrs, yv.reshape(KB, -1))
+            else:
+                yk = jnp.zeros((KB, m), dtype)
+            if has_spill:
+                xs = jnp.take(xc, arrs["scol"], axis=1)    # (KB, ns)
+                contrib = jax.ops.segment_sum(
+                    xs.T * arrs["sval"][:, None], arrs["srow"],
+                    num_segments=m, indices_are_sorted=True)
+                yk = yk + contrib.T
+            outs.append(yk)
+        return jnp.concatenate(outs, axis=0)[:KK].T
 
     def fn(x):
         return apply(arrays, x)

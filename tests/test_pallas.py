@@ -567,3 +567,29 @@ def test_colsort2_via_variants_and_tuner_config():
     x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
     y = np.asarray(jax.jit(fn)(x))
     np.testing.assert_allclose(y, reference_spmv(A, x), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [1, 10])
+def test_colsort2_spmm(k):
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(17)
+    S = sp.random(500, 700, density=0.02, random_state=rng).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_colsort2(A, {"spmm_kb": 4}, interpret=True)
+    X = rng.randn(A.num_cols, k).astype(np.float32)
+    Y = np.asarray(fn(X))
+    np.testing.assert_allclose(Y, (S @ X).astype(np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_colsort2_spmm_hub_and_spill():
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    S = _powerlaw(600, 6000, seed=9)
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(18)
+    fn = build_colsort2(A, {"hub_cap": 8, "lane_cap": 2}, interpret=True)
+    X = rng.randn(A.num_cols, 6).astype(np.float32)
+    Y = np.asarray(fn(X))
+    np.testing.assert_allclose(Y, np.asarray(S @ X, np.float32),
+                               rtol=1e-4, atol=1e-4)
