@@ -114,6 +114,80 @@ def _sweep(on_tpu, budget_s: float = 300.0):
     t = _timeit(fn, Xp)
     out["colsort_spmm_scattered_k16_gflops"] = round(
         2 * Ss.nnz * 16 / t / 1e9, 1)
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
+    # colsort2 (plane-aligned virtual rows, MXU scatter): SpMV on the
+    # power law + SpMM on the scattered pattern
+    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    try:
+        if not on_tpu:
+            raise RuntimeError("skip: interpret mode too slow at 1M nnz")
+        f2 = build_colsort2(P, {"plan_budget_bytes": 1 << 33})
+        op2 = PlannedOperator(arrays=f2.planned_arrays, build=f2.apply,
+                              shape=P.shape)
+        t = _timeit(op2, xp)
+        out["csr_colsort2_powerlaw_1m_gbps"] = round(
+            (S.nnz * 8 + S.shape[0] * 8) / t / 1e9, 2)
+        f2s = build_colsort2(Ps, {"plan_budget_bytes": 1 << 33})
+        op2s = PlannedOperator(arrays=f2s.planned_arrays, build=f2s.apply,
+                               shape=Ps.shape)
+        t = _timeit(op2s, Xp)
+        out["colsort2_spmm_scattered_k16_gflops"] = round(
+            2 * Ss.nnz * 16 / t / 1e9, 1)
+    except Exception as e:  # noqa: BLE001
+        out["colsort2_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
+    # on-chip exhaustive-walk summary (VERDICT r2 item 8): every DIA-space
+    # configuration validated against the host oracle, on the real chip
+    try:
+        from cusp_autotuned_tpu import gallery as _g
+        from cusp_autotuned_tpu.autotune.tuner import Tuner
+        from cusp_autotuned_tpu.autotune.result import ResultStatus
+        from cusp_autotuned_tpu.backend.reference import reference_spmv
+        Aw = _g.make_diagonal_symmetric_matrix(512, 512, 2, 5)
+        xw = np.linspace(0, 1, 512).astype(np.float32)
+        res = Tuner().tune(Aw, xw, reference_computation=reference_spmv)
+        ok = sum(r.status == ResultStatus.Ok for r in res)
+        out["walk_dia"] = f"{ok}/{len(res)} ok, rest skippable"
+        bad = [r for r in res
+               if r.status not in (ResultStatus.Ok,
+                                   ResultStatus.DeviceLimitsExceeded,
+                                   ResultStatus.CompilationFailed)]
+        if bad:
+            out["walk_dia_bad"] = len(bad)
+    except Exception as e:  # noqa: BLE001
+        out["walk_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
+    # AMG-CG wall clock (warm): the flagship end-to-end result
+    try:
+        import time as _t
+        from cusp_autotuned_tpu import solvers
+        from cusp_autotuned_tpu.precond.aggregation import (
+            smoothed_aggregation,
+        )
+        from cusp_autotuned_tpu.solvers.monitor import Monitor
+        Aa = poisson5pt(150, 150, format="csr", dtype=np.float64)
+        ba = np.ones(Aa.num_rows, np.float64)
+        Ma = smoothed_aggregation(Aa)
+        xa, mona = solvers.cg(Aa, ba, M=Ma,
+                              monitor=Monitor(ba, 100, 1e-10))  # compile
+        t0 = _t.perf_counter()
+        xa, mona = solvers.cg(Aa, ba, M=Ma,
+                              monitor=Monitor(ba, 100, 1e-10))
+        jax.block_until_ready(xa)
+        out["amg_cg_150sq_warm_s"] = round(_t.perf_counter() - t0, 3)
+        out["amg_cg_iters"] = mona.iteration_count()
+    except Exception as e:  # noqa: BLE001
+        out["amg_error"] = str(e)[:120]
     return out
 
 
@@ -141,10 +215,20 @@ def main():
 
     stream_gbps = stream_bandwidth_gbps(useful)
 
+    # relay latency floor: per-call times sit on it (BASELINE.md
+    # calibration), so the floor-corrected MARGINAL rate is the
+    # kernel-quality number; the raw ratio conflates tunnel latency with
+    # kernel speed
+    from benchmarks.harness import relay_floor_s
+    floor_s = relay_floor_s()
+    marginal_gbps = useful / max(t_spmv - floor_s, 1e-9) / 1e9
+
     try:
         sweep = _sweep(on_tpu)
     except Exception as e:  # noqa: BLE001 — the headline must still print
         sweep = {"error": str(e)[:200]}
+    sweep["floor_ms"] = round(floor_s * 1e3, 3)
+    sweep["dia_marginal_gbps"] = round(marginal_gbps, 1)
 
     print(json.dumps({
         "metric": f"SpMV DIA poisson5pt({grid}x{grid}) bandwidth "

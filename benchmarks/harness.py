@@ -148,3 +148,15 @@ def l2_error(y, expected) -> float:
     expected = np.asarray(expected, np.float64)
     denom = np.linalg.norm(expected)
     return float(np.linalg.norm(y - expected) / (denom if denom else 1.0))
+
+
+def relay_floor_s() -> float:
+    """The relay's per-chained-iteration latency floor, measured with the
+    same chained harness on a trivial 256-element op.  Subtracting it from
+    a chained per-call time gives the MARGINAL on-chip rate — the kernel
+    quality number; raw per-call times conflate tunnel latency with kernel
+    speed (BASELINE.md calibration)."""
+    import jax
+    import jax.numpy as jnp
+    tiny = jnp.asarray(np.random.RandomState(9).randn(256).astype(np.float32))
+    return time_fn(jax.jit(lambda v: v * 1.0000001 + 0.125), tiny)

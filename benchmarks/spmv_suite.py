@@ -41,6 +41,9 @@ def candidate_configs(rect: bool):
                               "hub_rows": 32}),
         ("onehot", {"impl": "pallas", "block_entries": 2048,
                     "col_window": 4096}),
+        ("colsort2", {"impl": "colsort2"}),
+        ("colsort2-w1", {"impl": "colsort2", "col_window": 16384}),
+        ("colsort2-hub8", {"impl": "colsort2", "hub_cap": 8}),
     ]
     if not rect:
         cfgs.append(("via_dia", {"impl": "via_dia", "dia_impl": "pallas",
@@ -60,6 +63,10 @@ def main():
     from cusp_autotuned_tpu.gallery.suite import williams_suite, stencil_suite
     from cusp_autotuned_tpu.backend.reference import from_scipy
     from cusp_autotuned_tpu.kernels.variants import build_spmv
+
+    from benchmarks.harness import relay_floor_s
+    floor = relay_floor_s()
+    print(json.dumps({"relay_floor_ms": round(floor * 1e3, 3)}))
 
     suite = williams_suite(args.scale)
     if args.quick:
@@ -100,11 +107,15 @@ def main():
         t_best = timed[best]
         base = timed.get("segsum", float("nan"))
         gbps = useful / t_best / 1e9
+        t_marg = max(t_best - floor, 1e-9)
+        marg_gbps = useful / t_marg / 1e9
         row = {
             "matrix": name, "rows": m, "cols": n, "nnz": int(S.nnz),
             "best": best, "ms": round(t_best * 1e3, 3),
             "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
             "frac": round(gbps / st, 2),
+            "marginal_gbps": round(marg_gbps, 2),
+            "frac_marginal": round(marg_gbps / st, 2),
             "speedup_vs_default": (round(base / t_best, 1)
                                    if base == base else None),
             "all": {k: (round(v[0] * 1e3, 3) if isinstance(v[0], float)
@@ -131,10 +142,13 @@ def main():
             t = time_fn(fn, x)
         st = stream_bandwidth_gbps(useful)
         gbps = useful / t / 1e9
+        marg_gbps = useful / max(t - floor, 1e-9) / 1e9
         row = {"matrix": name, "rows": m, "nnz": int(k * m),
                "best": "dia-pallas", "ms": round(t * 1e3, 3),
                "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
-               "frac": round(gbps / st, 2)}
+               "frac": round(gbps / st, 2),
+               "marginal_gbps": round(marg_gbps, 2),
+               "frac_marginal": round(marg_gbps / st, 2)}
         rows_out.append(row)
         print(json.dumps(row))
 
