@@ -386,6 +386,11 @@ def build_colsort2(A, config, interpret: bool = False):
                            lane_cap, hub_cap)
     nb = vals_.shape[0]
 
+    # shrink the block span to what the plan actually uses: the one-hot
+    # dot and the y window RMW both scale with RSp
+    if nb:
+        max_q = int(max(pqs_.max(initial=0) >> 7, 0))
+        RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
     nch_hub = hub_rows.size // LANE
     VRs = round_up(nch_main + nch_hub + RSp, 8)
     if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():

@@ -37,13 +37,34 @@ def potrs(L, b, lower=True):
 
 
 def sytrf(A):
-    """Symmetric indefinite factorization; XLA has no Bunch-Kaufman, so this
-    returns an LU factorization usable by sytrs (reference binds host LAPACK
-    for the same reason)."""
-    return jsl.lu_factor(jnp.asarray(A))
+    """Symmetric indefinite Bunch-Kaufman factorization (host LAPACK via
+    scipy, the same binding the reference makes — cusp/lapack/detail/
+    stubs.h routes sytrf to host LAPACK too; XLA has no Bunch-Kaufman).
+    Returns an opaque factor consumed by sytrs."""
+    import scipy.linalg.lapack as lp
+    Ah = np.asarray(A)
+    real = not np.issubdtype(Ah.dtype, np.complexfloating)
+    f = lp.ssytrf if Ah.dtype == np.float32 else (
+        lp.dsytrf if real else
+        (lp.csytrf if Ah.dtype == np.complex64 else lp.zsytrf))
+    ldu, ipiv, info = f(Ah, lower=1)
+    if info != 0:
+        raise np.linalg.LinAlgError(f"sytrf failed: info={info}")
+    return ("bk", ldu, ipiv, Ah.dtype)
 
 
 def sytrs(fact, b):
+    if isinstance(fact, tuple) and len(fact) == 4 and fact[0] == "bk":
+        import scipy.linalg.lapack as lp
+        _, ldu, ipiv, dtype = fact
+        real = not np.issubdtype(dtype, np.complexfloating)
+        f = lp.ssytrs if dtype == np.float32 else (
+            lp.dsytrs if real else
+            (lp.csytrs if dtype == np.complex64 else lp.zsytrs))
+        x, info = f(ldu, ipiv, np.asarray(b), lower=1)
+        if info != 0:
+            raise np.linalg.LinAlgError(f"sytrs failed: info={info}")
+        return jnp.asarray(x)
     return jsl.lu_solve(fact, jnp.asarray(b))
 
 
@@ -72,11 +93,18 @@ def stev(alphas, betas):
 
 
 def stsv(alphas, betas, b):
-    """Solve a symmetric tridiagonal system."""
-    n = len(np.asarray(alphas))
-    T = (np.diag(np.asarray(alphas))
-         + np.diag(np.asarray(betas), 1) + np.diag(np.asarray(betas), -1))
-    return gesv(jnp.asarray(T), b)
+    """Solve a symmetric tridiagonal system in O(n) via lax.linalg's
+    tridiagonal solve (no densification; parity: cusp/lapack stsv)."""
+    import jax.lax.linalg as lxl
+    a = jnp.asarray(alphas)
+    e = jnp.asarray(betas)
+    z = jnp.zeros(1, a.dtype)
+    dl = jnp.concatenate([z, e])              # sub-diagonal, dl[0] ignored
+    du = jnp.concatenate([e, z])              # super-diagonal, du[-1] ignored
+    b2 = jnp.asarray(b)
+    rhs = b2[:, None] if b2.ndim == 1 else b2
+    x = lxl.tridiagonal_solve(dl, a, du, rhs.astype(a.dtype))
+    return x[:, 0] if b2.ndim == 1 else x
 
 
 def gesvd(A):

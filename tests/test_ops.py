@@ -190,6 +190,31 @@ def test_lapack_suite():
     np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(T), rtol=1e-8)
 
 
+def test_lapack_sytrf_indefinite_and_stsv():
+    """sytrf is a real Bunch-Kaufman factorization (host LAPACK, the
+    reference's own binding) — it must solve an INDEFINITE symmetric
+    system; stsv solves tridiagonal in O(n) without densifying."""
+    from cusp_autotuned_tpu.ops import lapack
+    rng = np.random.RandomState(7)
+    A = rng.randn(16, 16)
+    A = (A + A.T) / 2                        # indefinite
+    b = rng.randn(16)
+    fact = lapack.sytrf(A)
+    x = np.asarray(lapack.sytrs(fact, b))
+    np.testing.assert_allclose(A @ x, b, rtol=2e-4, atol=2e-4)
+    assert fact[0] == "bk"                   # not a plain LU fallback
+    n = 200
+    al = rng.rand(n) + 2.0
+    be = rng.rand(n - 1) * 0.5
+    T = np.diag(al) + np.diag(be, 1) + np.diag(be, -1)
+    b1 = rng.randn(n)
+    x1 = np.asarray(lapack.stsv(al, be, b1))
+    np.testing.assert_allclose(T @ x1, b1, rtol=2e-4, atol=2e-4)
+    B = rng.randn(n, 3)
+    X = np.asarray(lapack.stsv(al, be, B))
+    np.testing.assert_allclose(T @ X, B, rtol=2e-4, atol=2e-4)
+
+
 def test_iterator_utils():
     from cusp_autotuned_tpu.ops import iterator_utils as it
     np.testing.assert_array_equal(np.asarray(it.counting_array(4, 2)),
