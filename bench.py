@@ -21,7 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from benchmarks.harness import time_fn as _timeit, stream_bandwidth_gbps
+from benchmarks.harness import (time_fn as _timeit, time_fn_marginal,
+                                stream_bandwidth_gbps)
 
 
 def _sweep(on_tpu, budget_s: float = 300.0):
@@ -206,7 +207,7 @@ def main():
     config = ({"impl": "pallas", "block_rows": 4096} if on_tpu
               else {"impl": "slices", "block_rows": 0})
     spmv = jax.jit(build_spmv(A, config))
-    t_spmv = _timeit(spmv, x)
+    t_marg, t_spmv = time_fn_marginal(spmv, x)
 
     itemsize = 4
     k = A.num_diagonals
@@ -215,20 +216,17 @@ def main():
 
     stream_gbps = stream_bandwidth_gbps(useful)
 
-    # relay latency floor: per-call times sit on it (BASELINE.md
-    # calibration), so the floor-corrected MARGINAL rate is the
-    # kernel-quality number; the raw ratio conflates tunnel latency with
-    # kernel speed
-    from benchmarks.harness import relay_floor_s
-    floor_s = relay_floor_s()
-    marginal_gbps = useful / max(t_spmv - floor_s, 1e-9) / 1e9
+    # two-point marginal: the relay adds a FIXED ~28 ms per dispatch
+    # (NOT a per-iteration floor — see harness.time_fn_marginal); the
+    # differenced rate is the kernel-quality number
+    marginal_gbps = useful / max(t_marg, 1e-9) / 1e9
 
     try:
         sweep = _sweep(on_tpu)
     except Exception as e:  # noqa: BLE001 — the headline must still print
         sweep = {"error": str(e)[:200]}
-    sweep["floor_ms"] = round(floor_s * 1e3, 3)
     sweep["dia_marginal_gbps"] = round(marginal_gbps, 1)
+    sweep["dispatch_fixed_ms"] = round(max(t_spmv - t_marg, 0) * 30e3, 1)
 
     print(json.dumps({
         "metric": f"SpMV DIA poisson5pt({grid}x{grid}) bandwidth "

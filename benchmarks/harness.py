@@ -82,21 +82,24 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
         # input-independent fixed point, which the relay detects and serves
         # from its memo cache — reporting terabytes/s); the optimization
         # barrier forces each iteration to materialize
-        def chain_body(fop, x, *rest):
+        # the iteration count rides the jitted chain as a dynamic argument
+        # so a single executable serves every reps value (time_fn_marginal
+        # re-times at a larger reps without a second compile)
+        def chain_body(fop, n, x, *rest):
             def body(i, v):
                 return jax.lax.optimization_barrier(
                     proj(fop(v, *rest)) * 0.125 + x * 0.875)
-            return jax.lax.fori_loop(0, reps, body, x)
+            return jax.lax.fori_loop(0, n, body, x)
 
         if f_is_pytree:
             chain_op = jax.jit(chain_body)
 
-            def chain(x, *rest):
-                return chain_op(f, x, *rest)
+            def chain(n, x, *rest):
+                return chain_op(f, n, x, *rest)
         else:
             @jax.jit
-            def chain(x, *rest):
-                return chain_body(f, x, *rest)
+            def chain(n, x, *rest):
+                return chain_body(f, n, x, *rest)
 
         # materially distinct input per outer repetition: the relay serves
         # repeated requests from a cache keyed on a LOW-PRECISION value
@@ -107,12 +110,15 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
                   for i in range(outer)]
         else:
             xs = [x0] * outer
-        jax.block_until_ready(chain(x0, *rest))
+        n_arr = jnp.asarray(reps, jnp.int32)
+        jax.block_until_ready(chain(n_arr, x0, *rest))
         best = float("inf")
         for i in range(outer):
             t0 = time.perf_counter()
-            jax.block_until_ready(chain(xs[i], *rest))
+            jax.block_until_ready(chain(n_arr, xs[i], *rest))
             best = min(best, (time.perf_counter() - t0) / reps)
+        if _marginal_ctx:
+            _marginal_ctx[-1] = (chain, xs, rest, reps, best)
         return best
 
     jax.block_until_ready(f(*args))
@@ -123,6 +129,43 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
         jax.block_until_ready(ys[-1])
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
+
+
+_marginal_ctx: list = []
+
+
+def time_fn_marginal(f, *args, reps_scale: int = 8,
+                     threshold_s: float = 3e-3):
+    """(marginal_s, per_call_s): the two-point chained measurement.
+
+    The relayed TPU adds a FIXED ~20-30 ms cost to every dispatch; a
+    single chained timing at N reps therefore reads fixed/N + t_kernel
+    per call (round 1/2 misread this as a "0.85 ms per-iteration floor"
+    — it is 28 ms / 30 reps).  Timing the SAME compiled chain at N and
+    at reps_scale*N reps and differencing cancels the fixed cost exactly:
+    marginal = (T2 - T1) / (N2 - N1).  Skipped (marginal = per_call) when
+    the first timing is already above `threshold_s` per call — the fixed
+    cost is then noise — or when the call is not chainable."""
+    import jax
+    import jax.numpy as jnp
+    _marginal_ctx.append(None)
+    try:
+        t1 = time_fn(f, *args)
+        ctx = _marginal_ctx[-1]
+    finally:
+        _marginal_ctx.pop()
+    if ctx is None or t1 > threshold_s or not _on_tpu():
+        return t1, t1
+    chain, xs, rest, reps1, best1 = ctx
+    reps2 = reps1 * reps_scale
+    n2 = jnp.asarray(reps2, jnp.int32)
+    best2 = float("inf")
+    for i in range(min(2, len(xs))):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(n2, xs[i], *rest))
+        best2 = min(best2, time.perf_counter() - t0)
+    marg = (best2 - best1 * reps1) / (reps2 - reps1)
+    return max(marg, 0.0), t1
 
 
 def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
@@ -137,7 +180,7 @@ def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
         nbytes = (64 << 20) if _on_tpu() else (8 << 20)
     a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
     f = jax.jit(lambda v: v * 1.0000001 + 0.125)
-    t = time_fn(f, a)
+    t, _ = time_fn_marginal(f, a)
     # the chained harness body is a triad (read v, read x, write v):
     # 3 accesses x 4 bytes per element per iteration
     return (a.size * 3 * 4) / t / 1e9
@@ -151,12 +194,23 @@ def l2_error(y, expected) -> float:
 
 
 def relay_floor_s() -> float:
-    """The relay's per-chained-iteration latency floor, measured with the
-    same chained harness on a trivial 256-element op.  Subtracting it from
-    a chained per-call time gives the MARGINAL on-chip rate — the kernel
-    quality number; raw per-call times conflate tunnel latency with kernel
-    speed (BASELINE.md calibration)."""
+    """The relay's per-chained-iteration latency floor for PALLAS calls,
+    measured with the same chained harness on a near-empty one-step
+    kernel.  (A plain XLA op chains at ~2 us/iter — the ~0.9 ms floor
+    attaches to Pallas kernel dispatch through the relay, so the probe
+    must be a pallas_call.)  Subtracting it from a chained per-call time
+    gives the MARGINAL on-chip rate — the kernel-quality number; raw
+    per-call times conflate tunnel latency with kernel speed."""
     import jax
     import jax.numpy as jnp
-    tiny = jnp.asarray(np.random.RandomState(9).randn(256).astype(np.float32))
-    return time_fn(jax.jit(lambda v: v * 1.0000001 + 0.125), tiny)
+    from jax.experimental import pallas as pl
+
+    def copy_kernel(x_ref, y_ref):
+        y_ref[...] = x_ref[...] * 1.0000001 + 0.125
+
+    tiny = jnp.asarray(
+        np.random.RandomState(9).randn(8, 128).astype(np.float32))
+    call = pl.pallas_call(
+        copy_kernel, out_shape=jax.ShapeDtypeStruct((8, 128), np.float32),
+        interpret=not _on_tpu())
+    return time_fn(jax.jit(call), tiny)

@@ -22,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks.harness import setup_backend, time_fn, stream_bandwidth_gbps
+from benchmarks.harness import (setup_backend, time_fn, time_fn_marginal, stream_bandwidth_gbps)
 
 
 def candidate_configs(rect: bool):
@@ -64,10 +64,6 @@ def main():
     from cusp_autotuned_tpu.backend.reference import from_scipy
     from cusp_autotuned_tpu.kernels.variants import build_spmv
 
-    from benchmarks.harness import relay_floor_s
-    floor = relay_floor_s()
-    print(json.dumps({"relay_floor_ms": round(floor * 1e3, 3)}))
-
     suite = williams_suite(args.scale)
     if args.quick:
         keep = ("Protein", "QCD", "Epidemiology", "Webbase", "LP")
@@ -92,8 +88,8 @@ def main():
                 if err > 1e-4:
                     results[label] = ("BADVAL", err)
                     continue
-                t = time_fn(fn, x)
-                results[label] = (t, err)
+                tm, t = time_fn_marginal(fn, x)
+                results[label] = (t, err, tm)
             except Exception as e:  # noqa: BLE001 — skippable (KTT semantics)
                 results[label] = ("SKIP", str(e)[:60])
 
@@ -103,22 +99,28 @@ def main():
         if not timed:
             print(f"{name}: no config succeeded: {results}")
             continue
-        best = min(timed, key=timed.get)
+        # rank strategies by the MARGINAL (two-point) rate: the fixed
+        # ~28 ms dispatch cost over 30 chained reps otherwise drowns every
+        # fast kernel at ~0.95 ms/call and the ranking degenerates
+        marg = {k: v[2] for k, v in results.items()
+                if isinstance(v[0], float)}
+        best = min(marg, key=marg.get)
         t_best = timed[best]
+        t_marg = max(marg[best], 1e-9)
         base = timed.get("segsum", float("nan"))
         gbps = useful / t_best / 1e9
-        t_marg = max(t_best - floor, 1e-9)
         marg_gbps = useful / t_marg / 1e9
         row = {
             "matrix": name, "rows": m, "cols": n, "nnz": int(S.nnz),
             "best": best, "ms": round(t_best * 1e3, 3),
+            "marginal_ms": round(t_marg * 1e3, 3),
             "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
             "frac": round(gbps / st, 2),
             "marginal_gbps": round(marg_gbps, 2),
             "frac_marginal": round(marg_gbps / st, 2),
             "speedup_vs_default": (round(base / t_best, 1)
                                    if base == base else None),
-            "all": {k: (round(v[0] * 1e3, 3) if isinstance(v[0], float)
+            "all": {k: (round(v[2] * 1e3, 3) if isinstance(v[0], float)
                         else v[0]) for k, v in results.items()},
         }
         rows_out.append(row)
@@ -135,16 +137,17 @@ def main():
             fn = jax.jit(build_spmv(A, {"impl": "pallas",
                                         "block_rows": 4096}))
             jax.block_until_ready(fn(x))
-            t = time_fn(fn, x)
+            tm, t = time_fn_marginal(fn, x)
         except Exception:  # noqa: BLE001
             fn = jax.jit(build_spmv(A, {"impl": "slices"}))
             jax.block_until_ready(fn(x))
-            t = time_fn(fn, x)
+            tm, t = time_fn_marginal(fn, x)
         st = stream_bandwidth_gbps(useful)
         gbps = useful / t / 1e9
-        marg_gbps = useful / max(t - floor, 1e-9) / 1e9
+        marg_gbps = useful / max(tm, 1e-9) / 1e9
         row = {"matrix": name, "rows": m, "nnz": int(k * m),
                "best": "dia-pallas", "ms": round(t * 1e3, 3),
+               "marginal_ms": round(tm * 1e3, 3),
                "gbps": round(gbps, 2), "stream_gbps": round(st, 1),
                "frac": round(gbps / st, 2),
                "marginal_gbps": round(marg_gbps, 2),

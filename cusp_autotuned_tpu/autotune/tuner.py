@@ -196,46 +196,26 @@ class Tuner:
                             compilation_ms=compile_ms)
 
     def _time(self, fn, x, y) -> float:
-        """Milliseconds per call.  Square operators are timed as a chained
-        dependent loop inside one jit — immune to per-dispatch RPC latency
-        and to request caching on relayed devices; rectangular ones chain
-        through a slice/pad projection back to the input space (repeated
-        identical dispatches remain only as a last resort)."""
+        """Milliseconds per call, MARGINAL.  Square operators are timed as
+        a chained dependent loop inside one jit; the iteration count rides
+        the executable as a dynamic argument, and dispatch-dominated
+        timings are re-run at 8x the reps so the relay's FIXED ~28 ms
+        per-dispatch cost differences out — without it every fast kernel
+        reads ~fixed/reps and the ranking degenerates.  Rectangular
+        operators chain through a slice/pad projection back to the input
+        space (repeated identical dispatches remain only as a last
+        resort)."""
         import jax.numpy as jnp
 
         x = jnp.asarray(x)
-        if isinstance(y, jnp.ndarray) and y.shape == x.shape and \
-                y.dtype == x.dtype:
-            reps = max(self.repeats * 2, 8)
-
-            @jax.jit
-            def chain(v):
-                # damping + mixing the original input back in each iteration:
-                # a pure contraction converges to an input-independent fixed
-                # point, which the relay detects and serves from its memo
-                # cache (reporting nonsense timings)
-                def body(i, u):
-                    return jax.lax.optimization_barrier(
-                        fn(u) * 0.125 + v * 0.875)
-                return jax.lax.fori_loop(0, reps, body, v)
-
-            jax.block_until_ready(chain(x))
-            best = float("inf")
-            for i in range(2):
-                # materially distinct input per repetition — the relay's
-                # request cache keys on a LOW-precision value fingerprint
-                xi = jax.block_until_ready(x * (1.0 + (i + 1) * 0.37))
-                t0 = time.perf_counter()
-                jax.block_until_ready(chain(xi))
-                best = min(best, (time.perf_counter() - t0) / reps * 1e3)
-            return best
-
-        if isinstance(y, jnp.ndarray) and y.dtype == x.dtype and \
-                y.ndim == x.ndim:
-            # rectangular operator: chain through a cheap slice/pad
-            # projection back to the input space, so iterations stay
-            # dependent (no repeated-dispatch lower bound, no memo cache)
+        square = isinstance(y, jnp.ndarray) and y.shape == x.shape and \
+            y.dtype == x.dtype
+        rect = (not square and isinstance(y, jnp.ndarray)
+                and y.dtype == x.dtype and y.ndim == x.ndim)
+        if square or rect:
             def proj(u):
+                if square:
+                    return u
                 for ax in range(x.ndim):
                     if u.shape[ax] > x.shape[ax]:
                         u = jax.lax.slice_in_dim(u, 0, x.shape[ax], axis=ax)
@@ -248,20 +228,36 @@ class Tuner:
             reps = max(self.repeats * 2, 8)
 
             @jax.jit
-            def chain(v):
+            def chain(n, v):
+                # damping + mixing the original input back in each
+                # iteration: a pure contraction converges to an input-
+                # independent fixed point, which the relay detects and
+                # serves from its memo cache (reporting nonsense timings)
                 def body(i, u):
                     return jax.lax.optimization_barrier(
                         proj(fn(u)) * 0.125 + v * 0.875)
-                return jax.lax.fori_loop(0, reps, body, v)
+                return jax.lax.fori_loop(0, n, body, v)
 
-            jax.block_until_ready(chain(x))
-            best = float("inf")
-            for i in range(2):
-                xi = jax.block_until_ready(x * (1.0 + (i + 1) * 0.37))
-                t0 = time.perf_counter()
-                jax.block_until_ready(chain(xi))
-                best = min(best, (time.perf_counter() - t0) / reps * 1e3)
-            return best
+            def run_total(n_reps):
+                n_arr = jnp.asarray(n_reps, jnp.int32)
+                best = float("inf")
+                for i in range(2):
+                    # materially distinct input per repetition — the
+                    # relay's request cache keys on a LOW-precision value
+                    # fingerprint
+                    xi = jax.block_until_ready(x * (1.0 + (i + 1) * 0.37))
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(chain(n_arr, xi))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            jax.block_until_ready(chain(jnp.asarray(reps, jnp.int32), x))
+            t1 = run_total(reps)
+            if t1 / reps > 3e-3 or jax.default_backend() != "tpu":
+                return t1 / reps * 1e3
+            reps2 = reps * 8
+            t2 = run_total(reps2)
+            return max(t2 - t1, 0.0) / (reps2 - reps) * 1e3
 
         for _ in range(self.warmup):
             y = fn(x)
