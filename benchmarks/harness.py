@@ -29,6 +29,19 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _sink(out) -> None:
+    """Force materialization by reading a VALUE back.  On the relayed TPU
+    `block_until_ready` can return while the computation is still pending
+    (measured: a 64 MB x 240-iteration chain "completed" in 0.2 ms but
+    took 95 ms when its sum was read), so every timed call must end in a
+    scalar readback; the extra fixed readback cost cancels in the
+    two-point marginal."""
+    import jax
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "reshape") and getattr(leaf, "size", 0) > 0:
+            leaf.reshape(-1)[0].item()
+
+
 def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> float:
     """Seconds per call.
 
@@ -111,22 +124,22 @@ def time_fn(f, *args, reps: int | None = None, outer: int | None = None) -> floa
         else:
             xs = [x0] * outer
         n_arr = jnp.asarray(reps, jnp.int32)
-        jax.block_until_ready(chain(n_arr, x0, *rest))
+        _sink(chain(n_arr, x0, *rest))
         best = float("inf")
         for i in range(outer):
             t0 = time.perf_counter()
-            jax.block_until_ready(chain(n_arr, xs[i], *rest))
+            _sink(chain(n_arr, xs[i], *rest))
             best = min(best, (time.perf_counter() - t0) / reps)
         if _marginal_ctx:
             _marginal_ctx[-1] = (chain, xs, rest, reps, best)
         return best
 
-    jax.block_until_ready(f(*args))
+    _sink(f(*args))
     best = float("inf")
     for _ in range(outer):
         t0 = time.perf_counter()
         ys = [f(*args) for _ in range(reps)]
-        jax.block_until_ready(ys[-1])
+        _sink(ys[-1])
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -159,10 +172,19 @@ def time_fn_marginal(f, *args, reps_scale: int = 8,
     chain, xs, rest, reps1, best1 = ctx
     reps2 = reps1 * reps_scale
     n2 = jnp.asarray(reps2, jnp.int32)
+    # FRESH input values: the relay dedups requests by a low-precision
+    # value fingerprint of the ARRAYS — a different dynamic reps count
+    # alone does not miss the cache (measured: a reused input read
+    # 4.3 TB/s "stream")
+    if jnp.issubdtype(xs[0].dtype, jnp.inexact):
+        x2s = [jax.block_until_ready(xs[i] * (1.0 + (i + 1) * 0.53))
+               for i in range(min(2, len(xs)))]
+    else:
+        x2s = xs[:2]
     best2 = float("inf")
-    for i in range(min(2, len(xs))):
+    for xi in x2s:
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(n2, xs[i], *rest))
+        _sink(chain(n2, xi, *rest))
         best2 = min(best2, time.perf_counter() - t0)
     marg = (best2 - best1 * reps1) / (reps2 - reps1)
     return max(marg, 0.0), t1
@@ -171,19 +193,54 @@ def time_fn_marginal(f, *args, reps_scale: int = 8,
 def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
     """Measured streaming bandwidth for roofline calibration.
 
-    Chained FMA passes separated by optimization barriers: uncacheable (each
-    iteration depends on the last) and unfusable (the barrier forces one full
-    read + write per iteration).  Counts 8 bytes/element/iteration."""
+    The probe is a PALLAS triad kernel, not an XLA elementwise chain: the
+    relay symbolically collapses simple affine XLA programs (a 64 MB FMA
+    chain "ran" at 250 TB/s under every input perturbation tried), while
+    Mosaic payloads execute for real.  Two-point chained timing cancels
+    the fixed per-dispatch cost; counts the chain's 5 accesses x 4 bytes
+    per element per iteration (pallas read+write, mix read+read+write)."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
     if nbytes is None:
-        nbytes = (64 << 20) if _on_tpu() else (8 << 20)
-    a = jnp.asarray(np.random.randn(nbytes // 8).astype(np.float32))
-    f = jax.jit(lambda v: v * 1.0000001 + 0.125)
-    t, _ = time_fn_marginal(f, a)
-    # the chained harness body is a triad (read v, read x, write v):
-    # 3 accesses x 4 bytes per element per iteration
-    return (a.size * 3 * 4) / t / 1e9
+        # the in+out working set must overflow VMEM (~128 MB) or the
+        # revisited blocks never touch HBM and the probe reads >1.8 TB/s
+        nbytes = (256 << 20) if _on_tpu() else (8 << 20)
+    BR = 2048
+    rows = max(BR, nbytes // (4 * 128) // BR * BR)
+    nb = rows // BR
+
+    def triad_kernel(x_ref, y_ref):
+        # read y, read x, write y — exactly 3 accesses per visit, all
+        # inside Mosaic (nothing for the relay to fold away)
+        y_ref[...] = y_ref[...] * 0.5 + x_ref[...] * 0.25
+
+    def total_s(reps, scale):
+        call = pl.pallas_call(
+            triad_kernel,
+            grid=(reps, nb),
+            in_specs=[pl.BlockSpec((BR, 128), lambda r, b: (b, 0))],
+            out_specs=pl.BlockSpec((BR, 128), lambda r, b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), np.float32),
+            interpret=not _on_tpu())
+        f = jax.jit(call)
+        a = jnp.asarray(
+            (np.random.RandomState(3).randn(rows, 128) * scale)
+            .astype(np.float32))
+        _sink(f(a))
+        best = float("inf")
+        for i in range(2):
+            ai = jax.block_until_ready(a * (1.3 + 0.7 * i))
+            t0 = time.perf_counter()
+            _sink(f(ai))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1, r2 = (4, 24) if _on_tpu() else (1, 2)
+    t1 = total_s(r1, 1.0)
+    t2 = total_s(r2, 2.1)
+    marg = max(t2 - t1, 1e-9) / (r2 - r1)
+    return (rows * 128 * 3 * 4) / marg / 1e9
 
 
 def l2_error(y, expected) -> float:

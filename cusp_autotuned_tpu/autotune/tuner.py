@@ -242,16 +242,21 @@ class Tuner:
                 n_arr = jnp.asarray(n_reps, jnp.int32)
                 best = float("inf")
                 for i in range(2):
-                    # materially distinct input per repetition — the
-                    # relay's request cache keys on a LOW-precision value
-                    # fingerprint
-                    xi = jax.block_until_ready(x * (1.0 + (i + 1) * 0.37))
+                    # materially distinct input per repetition AND per
+                    # reps count — the relay's request cache keys on a
+                    # LOW-precision value fingerprint of the arrays (a
+                    # different dynamic reps alone still hits the cache)
+                    xi = jax.block_until_ready(
+                        x * (1.0 + (i + 1) * 0.37 + n_reps * 7.7e-4))
                     t0 = time.perf_counter()
-                    jax.block_until_ready(chain(n_arr, xi))
+                    # value readback: on the relayed TPU block_until_ready
+                    # can return before the work is done (see
+                    # benchmarks.harness._sink)
+                    chain(n_arr, xi).reshape(-1)[0].item()
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            jax.block_until_ready(chain(jnp.asarray(reps, jnp.int32), x))
+            chain(jnp.asarray(reps, jnp.int32), x).reshape(-1)[0].item()
             t1 = run_total(reps)
             if t1 / reps > 3e-3 or jax.default_backend() != "tpu":
                 return t1 / reps * 1e3
