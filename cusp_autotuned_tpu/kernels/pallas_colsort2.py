@@ -113,7 +113,7 @@ def _color_cells(cell, cl, vlane):
 
 
 def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
-             hub_cap=0, hub_split=HUB_SPLIT):
+             hub_cap=0, hub_split=HUB_SPLIT, aligned=False):
     """Returns (vals, chunks, pqs, vbs, cbs, m_pad, hub_rows, nch_main,
     spill) — see module doc.
 
@@ -196,13 +196,16 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
 
     sub = _color_cells(cell, cl, vlane)
 
-    # -- sublane table, ordered by (window, chunk) for block assembly ------
+    # -- sublane table: (window, chunk) order for the resident rail;
+    # (chunk, window) for the STREAMED rail, whose y windows ride index
+    # maps and must be revisited contiguously on an RSp-aligned grid ------
     skey = cell * 8192 + sub                  # sub < 4096 enforced above
     uniq, inv = np.unique(skey, return_inverse=True)
     su_cell = uniq // 8192
     su_chunk = su_cell // n_wins
     su_wid = su_cell % n_wins
-    o = np.lexsort((su_chunk, su_wid))
+    o = (np.lexsort((su_wid, su_chunk)) if aligned
+         else np.lexsort((su_chunk, su_wid)))
     rank = np.empty_like(o)
     rank[o] = np.arange(o.size)
     su_chunk, su_wid = su_chunk[o], su_wid[o]
@@ -218,11 +221,12 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         w0, c0 = su_wid[i], su_chunk[i]
         j = min(i + Bs, ns)
         j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
-        j = min(j, i + int(np.searchsorted(su_chunk[i:j], c0 + RSp)))
+        vb = (int(c0) // RSp) * RSp if aligned else int(c0)
+        j = min(j, i + int(np.searchsorted(su_chunk[i:j], vb + RSp)))
         g = len(vbs)
         blk_of[i:j] = g
         sloc_of[i:j] = np.arange(j - i)
-        vbs.append(c0)
+        vbs.append(vb)
         cbs.append(w0 * CW)
         i = j
     nb = len(vbs)
@@ -264,16 +268,25 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
 
 
 def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
-               *, Bs, RSp, W, K=0):
-    """Resident v2 kernel: x (pre-transposed to lane-major) and virtual y
-    live whole in VMEM; per block a W-pass in-lane gather, one permutation
-    take, and a one-hot MXU matmul scatter into the block's RSp-chunk
-    virtual window.  K > 0 adds the SpMM k-major leading dim: entry
-    blocks, masks, and the scatter one-hot are read/built once across the
-    K right-hand sides."""
+               *, Bs, RSp, W, K=0, streamed=False):
+    """v2 kernel.  Resident: x (pre-transposed to lane-major) and virtual
+    y live whole in VMEM; per block a W-pass in-lane gather, one
+    permutation take, and a one-hot MXU matmul scatter into the block's
+    RSp-chunk virtual window.  STREAMED: xt_ref IS the (128, CW) x-sublane
+    window and y_ref the (RSp, 128) virtual window, pipelined by index
+    maps over the RSp/CW-ALIGNED plan — n/m bounded only by HBM; y zeroes
+    on first visit of a window (same-window blocks are contiguous by plan
+    order).  K > 0 adds the SpMM k-major leading dim: entry blocks,
+    masks, and the scatter one-hot are read/built once across the K
+    right-hand sides."""
     g = pl.program_id(0)
 
-    @pl.when(g == 0)
+    if streamed:
+        first = jnp.logical_or(g == 0, vbs[g] != vbs[jnp.maximum(g - 1, 0)])
+    else:
+        first = g == 0
+
+    @pl.when(first)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -295,7 +308,7 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
     oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
           == q0).astype(dtype)
     lanes = xt_ref.shape[-1]
-    single = lanes == W * LANE                # full width: one window
+    single = streamed or lanes == W * LANE    # window IS the block
     cb = cbs[g]
     vb = vbs[g]
 
@@ -314,7 +327,19 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
             return slice(w * LANE, (w + 1) * LANE)
         return pl.ds(pl.multiple_of(cb + w * LANE, LANE), LANE)
 
-    if K == 0:
+    if streamed:
+        if K == 0:
+            one_rhs(lambda w: xt_ref[:, wslice(w)],
+                    lambda: y_ref[...],
+                    lambda v: y_ref.__setitem__(Ellipsis, v))
+        else:
+            def body(kk, carry):
+                one_rhs(lambda w: xt_ref[kk, :, wslice(w)],
+                        lambda: y_ref[kk],
+                        lambda v: y_ref.__setitem__(kk, v))
+                return carry
+            jax.lax.fori_loop(0, K, body, 0)
+    elif K == 0:
         one_rhs(lambda w: xt_ref[:, wslice(w)],
                 lambda: y_ref[pl.ds(vb, RSp), :],
                 lambda v: y_ref.__setitem__((pl.ds(vb, RSp), slice(None)),
@@ -370,12 +395,25 @@ def build_colsort2(A, config, interpret: bool = False):
 
     n_pad = max(CW * LANE, round_up(n, CW * LANE))
     x_rows = n_pad // LANE
-    if x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+    m_pad_est = round_up(max(m, 1), LANE)
+    yv_est = (K * (m_pad_est // LANE) + RSp) * LANE * dtype.itemsize
+    stream = config.get("stream_x", "auto")
+    if stream in (1, True, "1"):
+        streamed = True
+    elif stream == "auto":
+        # stream when resident x or the virtual-y estimate would exceed
+        # the VMEM budget (hub chunks only shrink the resident margin)
+        streamed = max(x_rows * LANE * dtype.itemsize,
+                       yv_est) > MAX_VMEM_BYTES()
+    else:
+        streamed = False
+    if not streamed and x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
             "x too large for the VMEM-resident colsort2 kernel")
 
     from cusp_autotuned_tpu import native
-    nat = getattr(native, "plan_colsort2", lambda *a: None)(
+    nat = None if streamed else getattr(
+        native, "plan_colsort2", lambda *a: None)(
         row, col, val, shape, K, CW, Bs, RSp, lane_cap, hub_cap)
     if nat is not None:
         (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
@@ -383,19 +421,20 @@ def build_colsort2(A, config, interpret: bool = False):
     else:
         (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
          spill) = _plan_v2(row, col, val, shape, K, CW, Bs, RSp,
-                           lane_cap, hub_cap)
+                           lane_cap, hub_cap, aligned=streamed)
     nb = vals_.shape[0]
 
     # shrink the block span to what the plan actually uses: the one-hot
-    # dot and the y window RMW both scale with RSp
-    if nb:
+    # dot and the y window RMW both scale with RSp (resident only — the
+    # streamed plan's windows sit on the RSp grid)
+    if nb and not streamed:
         max_q = int(max(pqs_.max(initial=0) >> 7, 0))
         RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
     nch_hub = hub_rows.size // LANE
-    VRs = round_up(nch_main + nch_hub + RSp, 8)
-    if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+    VRs = round_up(nch_main + nch_hub + RSp, RSp if streamed else 8)
+    if not streamed and VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
-            "virtual rows exceed the VMEM budget — use the streamed rail")
+            "virtual rows exceed the VMEM budget — use stream_x=1")
 
     pack16 = config.get("pack16", "auto")
     can16 = (Bs % 16 == 0 and CW < (1 << 15) and RSp * LANE < (1 << 15))
@@ -411,15 +450,27 @@ def build_colsort2(A, config, interpret: bool = False):
         raise NotImplementedException(
             "planned arrays exceed the compile-request budget")
 
-    kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W)
+    if streamed:
+        vbs_ = vbs_ // RSp                    # y window index
+        cbs_ = cbs_ // CW                     # x window index
+    kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
+                             streamed=streamed)
+    if streamed:
+        x_spec = pl.BlockSpec((LANE, CW), lambda g, vbs, cbs: (0, cbs[g]),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((RSp, LANE), lambda g, vbs, cbs: (vbs[g], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+            in_specs=[x_spec] + [
                 pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
                              memory_space=pltpu.VMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+            out_specs=y_spec),
         out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * Bs * LANE + 2 * nb * RSp * Bs * LANE,
@@ -432,6 +483,11 @@ def build_colsort2(A, config, interpret: bool = False):
         v2v=jnp.asarray(vals_.astype(dtype)), v2c=jnp.asarray(chunks_),
         v2p=jnp.asarray(pqs_), v2vb=jnp.asarray(vbs_),
         v2cb=jnp.asarray(cbs_))
+    if streamed:
+        # windows no block visits keep garbage: mask them out of the fold
+        win_mask = np.zeros(VRs // RSp, dtype)
+        win_mask[np.unique(np.asarray(vbs_))] = 1
+        arrays["v2wm"] = jnp.asarray(np.repeat(win_mask, RSp)[:, None])
     has_hub = nch_hub > 0
     if has_hub:
         arrays["v2hub"] = jnp.asarray(hub_rows)
@@ -446,15 +502,26 @@ def build_colsort2(A, config, interpret: bool = False):
     def make_call_mm(KK, _cache={}):
         callK = _cache.get(KK)
         if callK is None:
-            kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W, K=KK)
+            kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
+                                      K=KK, streamed=streamed)
+            if streamed:
+                xk_spec = pl.BlockSpec(
+                    (KK, LANE, CW), lambda g, vbs, cbs: (0, 0, cbs[g]),
+                    memory_space=pltpu.VMEM)
+                yk_spec = pl.BlockSpec(
+                    (KK, RSp, LANE), lambda g, vbs, cbs: (0, vbs[g], 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                xk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+                yk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
             callK = _cache[KK] = pl.pallas_call(
                 kernK,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2, grid=(nb,),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [
+                    in_specs=[xk_spec] + [
                         pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
                                      memory_space=pltpu.VMEM)] * 3,
-                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                    out_specs=yk_spec),
                 out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
                 interpret=interpret)
         return callK
@@ -479,6 +546,8 @@ def build_colsort2(A, config, interpret: bool = False):
             if nb:
                 yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
                           arrs["v2c"], arrs["v2p"])
+                if "v2wm" in arrs:
+                    yv = yv * arrs["v2wm"]
                 # identity planes fold as a pure reshape + sum: no gather
                 y = fold(arrs, yv.reshape(-1))
             else:
@@ -494,8 +563,9 @@ def build_colsort2(A, config, interpret: bool = False):
         if KK == 0:
             return jnp.zeros((m, 0), dtype)
         # k-major chunks: entries read once per chunk, x/yv chunks bounded
-        # by the VMEM budget
-        per_k = (x_rows + VRs) * LANE * dtype.itemsize
+        # by the VMEM budget (streamed rail holds only windows in VMEM)
+        per_k = ((CW + RSp) if streamed else (x_rows + VRs)) \
+            * LANE * dtype.itemsize
         KB = max(1, int(1.5 * MAX_VMEM_BYTES() // (2 * per_k)))
         if KB > 8:
             KB -= KB % 8
@@ -510,6 +580,8 @@ def build_colsort2(A, config, interpret: bool = False):
                 x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
                 yv = make_call_mm(KB)(arrs["v2vb"], arrs["v2cb"], x3t,
                                       arrs["v2v"], arrs["v2c"], arrs["v2p"])
+                if "v2wm" in arrs:
+                    yv = yv * arrs["v2wm"]
                 yk = fold(arrs, yv.reshape(KB, -1))
             else:
                 yk = jnp.zeros((KB, m), dtype)

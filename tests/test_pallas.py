@@ -593,3 +593,39 @@ def test_colsort2_spmm_hub_and_spill():
     Y = np.asarray(fn(X))
     np.testing.assert_allclose(Y, np.asarray(S @ X, np.float32),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_colsort2_streamed_spmv_spmm():
+    # forced streamed rail: aligned windows, index-mapped x/y, fold mask
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(21)
+    S = (sp.random(3000, 2500, density=0.004, random_state=rng)
+         .tocsr().astype(np.float32))
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_colsort2(A, {"stream_x": 1}, interpret=True)
+    assert "v2wm" in fn.planned_arrays        # streamed fold mask present
+    x = rng.randn(A.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(x)), S @ x, rtol=1e-4,
+                               atol=1e-4)
+    X = rng.randn(A.num_cols, 4).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(X)), S @ X, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_colsort2_auto_streams_past_vmem_budget():
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    from cusp_autotuned_tpu.utils import config as C
+    S = _powerlaw(3000, 30000, seed=5).astype(np.float32).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(22)
+    old = C.get_config().vmem_budget_bytes
+    C.configure(vmem_budget_bytes=10_000)
+    try:
+        fn = build_colsort2(A, {}, interpret=True)
+    finally:
+        C.configure(vmem_budget_bytes=old)
+    assert "v2wm" in fn.planned_arrays        # auto chose the streamed rail
+    x = rng.randn(A.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(x)), S @ x, rtol=1e-4,
+                               atol=1e-4)
