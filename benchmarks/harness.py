@@ -186,7 +186,18 @@ def time_fn_marginal(f, *args, reps_scale: int = 8,
         t0 = time.perf_counter()
         _sink(chain(n2, xi, *rest))
         best2 = min(best2, time.perf_counter() - t0)
-    marg = (best2 - best1 * reps1) / (reps2 - reps1)
+    marg = max(best2 - best1 * reps1, 0.0) / (reps2 - reps1)
+    if marg * reps2 < 15e-3:
+        # delta below the dispatch jitter (~+-10 ms): refine at 8x reps
+        reps3 = reps2 * 8
+        n3 = jnp.asarray(reps3, jnp.int32)
+        best3 = float("inf")
+        for j, xi in enumerate(x2s):
+            xj = jax.block_until_ready(xi * (1.0 + (j + 1) * 0.29))
+            t0 = time.perf_counter()
+            _sink(chain(n3, xj, *rest))
+            best3 = min(best3, time.perf_counter() - t0)
+        marg = max(best3 - best2, 0.0) / (reps3 - reps2)
     return max(marg, 0.0), t1
 
 
@@ -236,9 +247,12 @@ def stream_bandwidth_gbps(nbytes: int | None = None) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    r1, r2 = (4, 24) if _on_tpu() else (1, 2)
-    t1 = total_s(r1, 1.0)
-    t2 = total_s(r2, 2.1)
+    # the fixed dispatch cost jitters by +-10 ms between calls; the rep
+    # delta must dwarf it or the difference is noise (a 20-rep delta once
+    # read 114 GB/s on a 1.6 TB/s chip)
+    r1, r2 = (4, 96) if _on_tpu() else (1, 2)
+    t1 = min(total_s(r1, 1.0), total_s(r1, 3.1))
+    t2 = min(total_s(r2, 2.1), total_s(r2, 4.3))
     marg = max(t2 - t1, 1e-9) / (r2 - r1)
     return (rows * 128 * 3 * 4) / marg / 1e9
 
