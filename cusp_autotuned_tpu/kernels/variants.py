@@ -102,6 +102,14 @@ def _build_colsort2(A, config):
     return pallas_spmv.build_colsort2(A, config)
 
 
+def _build_bcoo(A, config):
+    """Vendor-library baseline (jax.experimental.sparse BCOO — the
+    reference's cusparse-adapter analogue).  Explicit-config only; not
+    part of the tuning walk."""
+    from cusp_autotuned_tpu.backend.jsparse import bcoo_spmv
+    return bcoo_spmv(A)
+
+
 def _build_ellr_rowlen(A, config):
     """ELLR-semantics SpMV: mask slots by row_lengths instead of the -1
     sentinel (the fork's ELLR=1 kernel rail, kernels/ell_kernel.h:86-213)."""
@@ -173,6 +181,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "bcoo": _build_bcoo,
     },
     "ellr": {
         "gather": _build_ell_gather,
@@ -183,6 +192,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "bcoo": _build_bcoo,
     },
     "csr": {
         "segsum": _build_csr_segsum,
@@ -192,6 +202,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "bcoo": _build_bcoo,
     },
     "coo": {
         "segsum": _build_coo_segsum,
@@ -200,6 +211,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "bcoo": _build_bcoo,
     },
     "hyb": {
         "default": _build_hyb,
@@ -208,6 +220,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "bcoo": _build_bcoo,
     },
 }
 

@@ -386,3 +386,25 @@ def test_functional_parity():
                                np.full(3, 7.0))
     v = fn.valid_index(5)(np.array([-1, 0, 4, 5]))
     np.testing.assert_array_equal(np.asarray(v), [False, True, True, False])
+
+
+def test_jsparse_vendor_adapter():
+    """BCOO round trip + vendor SpMV baseline (parity: the reference's
+    cusparse adapter paths, cusp/system/cuda/detail/cusparse/)."""
+    import jax
+    from cusp_autotuned_tpu import gallery
+    from cusp_autotuned_tpu.backend.jsparse import (to_bcoo, from_bcoo,
+                                                    bcoo_spmv)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+    A = gallery.poisson5pt(20, 20, format="csr", dtype=np.float32)
+    M = to_bcoo(A)
+    B = from_bcoo(M, "csr")
+    np.testing.assert_allclose(to_scipy(B).toarray(),
+                               to_scipy(A).toarray(), rtol=1e-6)
+    x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+    y = np.asarray(jax.jit(bcoo_spmv(A))(x))
+    np.testing.assert_allclose(y, to_scipy(A) @ x, rtol=1e-5, atol=1e-5)
+    fn = build_spmv(A, {"impl": "bcoo"})
+    np.testing.assert_allclose(np.asarray(fn(x)), to_scipy(A) @ x,
+                               rtol=1e-5, atol=1e-5)
