@@ -64,6 +64,12 @@ def main():
     from cusp_autotuned_tpu.backend.reference import from_scipy
     from cusp_autotuned_tpu.kernels.variants import build_spmv
 
+    # one full-size stream calibration for the whole sweep: the probe's
+    # working set must overflow VMEM, so "matched-size" per-row probes are
+    # meaningless (a 7 MB probe stays VMEM-resident and reads >5 TB/s)
+    stream_gbps = stream_bandwidth_gbps()
+    print(json.dumps({"stream_gbps": round(stream_gbps, 1)}))
+
     suite = williams_suite(args.scale)
     if args.quick:
         keep = ("Protein", "QCD", "Epidemiology", "Webbase", "LP")
@@ -93,7 +99,7 @@ def main():
             except Exception as e:  # noqa: BLE001 — skippable (KTT semantics)
                 results[label] = ("SKIP", str(e)[:60])
 
-        st = stream_bandwidth_gbps(useful)
+        st = stream_gbps
         timed = {k: v[0] for k, v in results.items()
                  if isinstance(v[0], float)}
         if not timed:
@@ -142,7 +148,7 @@ def main():
             fn = jax.jit(build_spmv(A, {"impl": "slices"}))
             jax.block_until_ready(fn(x))
             tm, t = time_fn_marginal(fn, x)
-        st = stream_bandwidth_gbps(useful)
+        st = stream_gbps
         gbps = useful / t / 1e9
         marg_gbps = useful / max(tm, 1e-9) / 1e9
         row = {"matrix": name, "rows": m, "nnz": int(k * m),
