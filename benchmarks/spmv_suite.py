@@ -55,6 +55,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated matrix-name filter (substring match)")
+    ap.add_argument("--configs", type=str, default=None,
+                    help="comma-separated config-label filter (exact match)")
+    ap.add_argument("--no-stencil", action="store_true")
+    ap.add_argument("--out", type=str, default="/tmp/spmv_suite_results.json")
     args = ap.parse_args()
 
     setup_backend()
@@ -74,6 +80,10 @@ def main():
     if args.quick:
         keep = ("Protein", "QCD", "Epidemiology", "Webbase", "LP")
         suite = {k: v for k, v in suite.items() if k in keep}
+    if args.only:
+        pats = [p.strip().lower() for p in args.only.split(",")]
+        suite = {k: v for k, v in suite.items()
+                 if any(p in k.lower() for p in pats)}
 
     rows_out = []
     for name, S in suite.items():
@@ -86,7 +96,11 @@ def main():
         scale_ref = np.linalg.norm(ref) or 1.0
 
         results = {}
-        for label, cfg in candidate_configs(rect=(m != n)):
+        cfgs = candidate_configs(rect=(m != n))
+        if args.configs:
+            want = {c.strip() for c in args.configs.split(",")}
+            cfgs = [(lb, c) for lb, c in cfgs if lb in want]
+        for label, cfg in cfgs:
             try:
                 fn = jax.jit(build_spmv(A, cfg))
                 y = np.asarray(jax.block_until_ready(fn(x)))
@@ -133,7 +147,8 @@ def main():
         print(json.dumps(row))
 
     # stencil suite: DIA pallas kernel
-    for name, A in stencil_suite(min(args.scale, 1.0)).items():
+    for name, A in ({} if args.no_stencil
+                    else stencil_suite(min(args.scale, 1.0))).items():
         m, n = A.shape
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(n).astype(np.float32))
@@ -161,7 +176,7 @@ def main():
         rows_out.append(row)
         print(json.dumps(row))
 
-    with open("/tmp/spmv_suite_results.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(rows_out, f, indent=1)
 
 
