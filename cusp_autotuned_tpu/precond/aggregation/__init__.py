@@ -35,6 +35,27 @@ from cusp_autotuned_tpu.precond.multilevel import (
 from cusp_autotuned_tpu.ops.convert import to_dense
 
 
+def _tuned_level_config(Mx):
+    """Cached-tuner pick for one hierarchy level: run the offline search
+    (KTT-style, validated against the f64 oracle) the first time this
+    matrix signature is seen; the tuner's persistent cache makes repeated
+    setups — and the typical re-setup after a mesh refinement with the
+    same sparsity — free.  Returns None when tuning is unavailable (the
+    caller falls back to the fill-matched default config)."""
+    from cusp_autotuned_tpu.autotune.tuner import get_tuner, matrix_signature
+    from cusp_autotuned_tpu.backend.reference import reference_spmv
+    tuner = get_tuner()
+    try:
+        sig = matrix_signature(Mx)
+        if not any(r.is_valid()
+                   for r in tuner.results.get(sig, {}).values()):
+            x = np.ones(Mx.num_cols, np.dtype(Mx.dtype))
+            tuner.tune(Mx, x, reference_computation=reference_spmv)
+        return tuner.best_configuration(Mx)
+    except Exception:  # noqa: BLE001 — tuning is best-effort (KTT skippable)
+        return None
+
+
 @dataclasses.dataclass
 class SALevel:
     """Setup-phase data kept per level (parity: sa_level)."""
@@ -59,8 +80,28 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
     ones).  aggregator: 'standard' | 'mis'.  smoother: 'jacobi' |
     'gauss_seidel' | 'sor' | 'polynomial'.  strength: 'symmetric' (theta
     threshold) | 'evolution' (ODE strength, epsilon drop factor — parity:
-    evolution_strength.h:180-399; stronger on anisotropic operators)."""
+    evolution_strength.h:180-399; stronger on anisotropic operators).
+
+    spmv_config: None (container multiplies) | a kernel config dict
+    (every level's A/R/P becomes a PlannedOperator with that config,
+    block_entries='auto' fill-matches each level) | 'tune' (each level's
+    A is tuned through the cached autotuner — the per-matrix offline
+    search, KTT-style, reused across setups via the tuner's persistent
+    cache; R/P keep the fill-matched default).  A dict with
+    {'tune': True, ...} tunes A and uses the rest of the dict as the
+    R/P base config; 'tune_min_rows' (default 4096) leaves levels below
+    that size on the fill-matched default (tuning a 500-row coarse level
+    buys nothing and costs a space walk)."""
     from cusp_autotuned_tpu.precond import smoothers as sm
+
+    tune_levels = False
+    tune_min_rows = 4096
+    if spmv_config == "tune":
+        tune_levels, spmv_config = True, {}
+    elif isinstance(spmv_config, dict) and spmv_config.get("tune"):
+        spmv_config = dict(spmv_config)
+        tune_levels = bool(spmv_config.pop("tune"))
+        tune_min_rows = int(spmv_config.pop("tune_min_rows", tune_min_rows))
 
     smoother_factory = {
         "jacobi": lambda M, rho: sm.jacobi_smoother(M, rho),
@@ -101,9 +142,15 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             from cusp_autotuned_tpu.operators import planned_operator
             from cusp_autotuned_tpu.utils.exceptions import (
                 FormatConversionException, NotImplementedException)
+            base = dict(spmv_config) or {"impl": "binned",
+                                         "block_entries": "auto"}
 
-            def _wrap(Mx):
-                cfg = dict(spmv_config)
+            def _wrap(Mx, tune_this=False):
+                cfg = dict(base)
+                if tune_this:
+                    tuned = _tuned_level_config(Mx)
+                    if tuned is not None:
+                        cfg = tuned
                 if cfg.get("block_entries") in (None, 0, "auto"):
                     # fill-match the block to this level's entries per row
                     # window: a mismatched block size wastes traffic on
@@ -118,7 +165,8 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                 except (FormatConversionException,
                         NotImplementedException):
                     return None
-            Aop, Rop, Pop = _wrap(sa.A), _wrap(R), _wrap(P)
+            tune_A = tune_levels and sa.A.num_rows >= tune_min_rows
+            Aop, Rop, Pop = _wrap(sa.A, tune_A), _wrap(R), _wrap(P)
         levels.append(Level(R=R, A=sa.A, P=P,
                             smoother=smoother_factory(sa.A, rho),
                             Aop=Aop, Rop=Rop, Pop=Pop))

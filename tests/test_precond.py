@@ -206,3 +206,29 @@ def test_smoothed_aggregation_auto_block_entries():
     b = np.ones(A.num_rows, np.float32)
     x, mon = solvers.cg(A, b, M=M)
     assert mon.converged()
+
+
+def test_smoothed_aggregation_tuned_levels():
+    # spmv_config='tune': each (large-enough) level's A goes through the
+    # cached autotuner; the pick is validated + persisted, so re-setups
+    # reuse it (the AMG analogue of the reference's per-matrix KTT tuning)
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.autotune.tuner import get_tuner, matrix_signature
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson5pt(30, 30, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={"tune": True,
+                                             "tune_min_rows": 1})
+    assert M.levels[0].Aop is not None
+    sig = matrix_signature(M.levels[0].A)
+    store = get_tuner().results.get(sig, {})
+    assert any(r.is_valid() for r in store.values()), (
+        "tuner cached no validated result for the fine level")
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(A, b, M=M)
+    assert mon.converged()
+    # second setup must reuse the cache (no new walk): result count stable
+    n_before = len(store)
+    M2 = smoothed_aggregation(A, spmv_config={"tune": True,
+                                              "tune_min_rows": 1})
+    assert len(get_tuner().results.get(sig, {})) == n_before
+    assert M2.levels[0].Aop is not None
