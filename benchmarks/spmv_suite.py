@@ -44,6 +44,11 @@ def candidate_configs(rect: bool):
         ("colsort2", {"impl": "colsort2"}),
         ("colsort2-w1", {"impl": "colsort2", "col_window": 16384}),
         ("colsort2-hub8", {"impl": "colsort2", "hub_cap": 8}),
+        ("colsort2-k1", {"impl": "colsort2", "vrow_planes": 1}),
+        ("colsort2-mix8", {"impl": "colsort2", "vrow_planes": 1,
+                           "mix_chunks": 8}),
+        ("colsort2-mix8-hub8", {"impl": "colsort2", "vrow_planes": 1,
+                                "mix_chunks": 8, "hub_cap": 8}),
     ]
     if not rect:
         cfgs.append(("via_dia", {"impl": "via_dia", "dia_impl": "pallas",

@@ -112,8 +112,58 @@ def _color_cells(cell, cl, vlane):
     return sub
 
 
+def _color_cells_mixed(cell, cl, vlane, qrel, mix):
+    """Chunk-mixed coloring: a sublane takes entries of up to `mix`
+    distinct chunks (qrel) of its RSp group; unique cl and unique vlane
+    per sublane stay.  Native hardest-first first-fit with a python
+    first-fit fallback for small inputs."""
+    from cusp_autotuned_tpu import native
+    order = np.argsort(cell, kind="stable")
+    rsp = int(qrel.max(initial=0)) + 1
+    nat = getattr(native, "color_cells_mixed", lambda *a: None)(
+        cell[order], cl[order], vlane[order], qrel[order], mix, rsp)
+    if nat is not None:
+        sub = np.empty(cell.size, np.int64)
+        mi = np.empty(cell.size, np.int64)
+        sub[order] = nat[0]
+        mi[order] = nat[1]
+        return sub, mi
+    if cell.size > 200_000:
+        raise FormatConversionException(
+            "colsort2 python-fallback coloring is quadratic — build the "
+            "native planner (g++) for matrices this large")
+    sub = np.empty(cell.size, np.int64)
+    mi = np.empty(cell.size, np.int64)
+    state: dict = {}
+    for e in order:
+        cu, vu, qs = state.setdefault(cell[e], ([], [], []))
+        placed = False
+        for s in range(len(cu)):
+            if cu[s][cl[e]] or vu[s][vlane[e]]:
+                continue
+            if qrel[e] not in qs[s] and len(qs[s]) >= mix:
+                continue
+            cu[s][cl[e]] = True
+            vu[s][vlane[e]] = True
+            if qrel[e] not in qs[s]:
+                qs[s].append(qrel[e])
+            sub[e], mi[e] = s, qs[s].index(qrel[e])
+            placed = True
+            break
+        if not placed:
+            c = np.zeros(LANE, bool)
+            v = np.zeros(LANE, bool)
+            c[cl[e]] = True
+            v[vlane[e]] = True
+            cu.append(c)
+            vu.append(v)
+            qs.append([qrel[e]])
+            sub[e], mi[e] = len(cu) - 1, 0
+    return sub, mi
+
+
 def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
-             hub_cap=0, hub_split=HUB_SPLIT, aligned=False):
+             hub_cap=0, hub_split=HUB_SPLIT, aligned=False, mix=1):
     """Returns (vals, chunks, pqs, vbs, cbs, m_pad, hub_rows, nch_main,
     spill) — see module doc.
 
@@ -169,7 +219,14 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     wid = c // (CW * LANE)
     cl = c & (LANE - 1)
     n_wins = int(wid.max()) + 1 if nnz else 1
-    cell = chunk_id * n_wins + wid
+    if mix > 1:
+        # chunk-mixed cells: one RSp-aligned GROUP of chunks x window; a
+        # sublane may host up to `mix` chunks of its group (the kernel
+        # scatters with `mix` one-hot dots), lifting the per-128-row
+        # Poisson column-lane bound on light scatter
+        cell = ((chunk_id // RSp) * RSp) * n_wins + wid
+    else:
+        cell = chunk_id * n_wins + wid
 
     # -- hot-lane spill: cap the per-(cell, lane) stack depth --------------
     okey = np.argsort(cell * LANE + cl, kind="stable")
@@ -194,7 +251,12 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         wid, cl, cell = wid[keep], cl[keep], cell[keep]
         nnz = r.size
 
-    sub = _color_cells(cell, cl, vlane)
+    if mix > 1:
+        qrel_e = chunk_id - (chunk_id // RSp) * RSp
+        sub, mi_e = _color_cells_mixed(cell, cl, vlane, qrel_e, mix)
+    else:
+        sub = _color_cells(cell, cl, vlane)
+        mi_e = None
 
     # -- sublane table: (window, chunk) order for the resident rail;
     # (chunk, window) for the STREAMED rail, whose y windows ride index
@@ -238,18 +300,28 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     vals2d = np.zeros((nb, Bs, LANE), np.float64)
     chunk2d = np.zeros((nb, Bs, LANE), np.int64)
     pq2d = np.zeros((nb, Bs, LANE), np.int64)
+    qbits = max(1, int(RSp - 1).bit_length())
     vals2d[eb, es, cl] = v
     chunk2d[eb, es, cl] = (c >> 7) - np.asarray(cbs, np.int64)[eb]
-    pq2d[eb, es, vlane] = (eq << 7) | cl
-    # per sublane the qrel is constant; stamp it on every lane (the kernel
-    # reads lane 0) and point unused virtual lanes at zero-value column
-    # lanes (each placed entry uses one of each, so spares pair up)
+    if mix > 1:
+        # per-vlane qrel + the chunk's index in its sublane's chunk list
+        # (the kernel rebuilds each mix slot's one-hot by masked lane-max)
+        pq2d[eb, es, vlane] = (mi_e << (7 + qbits)) | (eq << 7) | cl
+    else:
+        pq2d[eb, es, vlane] = (eq << 7) | cl
+    # point unused virtual lanes at zero-value column lanes (each placed
+    # entry uses one of each, so spares pair up); for the uniform plan the
+    # per-sublane qrel is stamped on every lane (the kernel reads lane 0)
     used_v = np.zeros((nb, Bs, LANE), bool)
     used_v[eb, es, vlane] = True
     used_c = np.zeros((nb, Bs, LANE), bool)
     used_c[eb, es, cl] = True
     qsub = np.zeros((nb, Bs), np.int64)
-    qsub[eb, es] = eq
+    if mix > 1:
+        m0 = mi_e == 0
+        qsub[eb[m0], es[m0]] = eq[m0]      # the mix-slot-0 chunk's qrel
+    else:
+        qsub[eb, es] = eq
     # pair the i-th free virtual lane with the i-th free column lane,
     # vectorized over all (block, sublane) pairs
     fv = np.argsort(used_v, axis=2, kind="stable")
@@ -257,9 +329,17 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     n_free = LANE - used_v.sum(axis=2)
     lane_i = np.arange(LANE)[None, None, :]
     cur = np.take_along_axis(pq2d, fv, axis=2)
-    np.put_along_axis(pq2d, fv,
-                      np.where(lane_i < n_free[:, :, None], fc, cur), axis=2)
-    pq2d |= qsub[:, :, None] << 7
+    if mix > 1:
+        # spares carry mi=0 and the slot-0 qrel (their value lane is zero)
+        spare = fc | (qsub[:, :, None] << 7)
+        np.put_along_axis(pq2d, fv,
+                          np.where(lane_i < n_free[:, :, None], spare, cur),
+                          axis=2)
+    else:
+        np.put_along_axis(pq2d, fv,
+                          np.where(lane_i < n_free[:, :, None], fc, cur),
+                          axis=2)
+        pq2d |= qsub[:, :, None] << 7
 
     return (vals2d.astype(np.float32), chunk2d.astype(np.int32),
             pq2d.astype(np.int32), np.asarray(vbs, np.int32),
@@ -268,7 +348,7 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
 
 
 def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
-               *, Bs, RSp, W, K=0, streamed=False):
+               *, Bs, RSp, W, K=0, streamed=False, mix=1, qbits=0):
     """v2 kernel.  Resident: x (pre-transposed to lane-major) and virtual
     y live whole in VMEM; per block a W-pass in-lane gather, one
     permutation take, and a one-hot MXU matmul scatter into the block's
@@ -304,9 +384,26 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     wmask = [hiw == w for w in range(W)]
-    q0 = jnp.swapaxes(qv[:, 0:1], 0, 1)               # (1, Bs) per-sublane
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
-          == q0).astype(dtype)
+    if mix > 1:
+        # chunk-mixed sublanes: qv carries (mi << qbits) | qrel per vlane;
+        # each mix slot gets its own one-hot (RSp, Bs) rebuilt by masked
+        # lane-max (a slot's entries all share one qrel per sublane) and a
+        # vlane mask — the scatter is `mix` MXU dots instead of one
+        qrels = jnp.bitwise_and(qv, jnp.int32((1 << qbits) - 1))
+        mslot = jax.lax.shift_right_logical(qv, jnp.int32(qbits))
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
+        mix_oh, mix_mask = [], []
+        for ci in range(mix):
+            m_ci = mslot == ci
+            q_ci = jnp.max(jnp.where(m_ci, qrels, -1), axis=1,
+                           keepdims=True)                   # (Bs, 1)
+            mix_oh.append((iota_q == jnp.swapaxes(q_ci, 0, 1))
+                          .astype(dtype))
+            mix_mask.append(m_ci)
+    else:
+        q0 = jnp.swapaxes(qv[:, 0:1], 0, 1)           # (1, Bs) per-sublane
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
+              == q0).astype(dtype)
     lanes = xt_ref.shape[-1]
     single = streamed or lanes == W * LANE    # window IS the block
     cb = cbs[g]
@@ -319,7 +416,17 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
         prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)  # virtual-lane layout
-        upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
+        if mix > 1:
+            upd = jax.lax.dot(mix_oh[0],
+                              jnp.where(mix_mask[0], pr, jnp.zeros_like(pr)),
+                              precision=jax.lax.Precision.HIGHEST)
+            for ci in range(1, mix):
+                upd = upd + jax.lax.dot(
+                    mix_oh[ci],
+                    jnp.where(mix_mask[ci], pr, jnp.zeros_like(pr)),
+                    precision=jax.lax.Precision.HIGHEST)
+        else:
+            upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
         y_set(y_at() + upd)
 
     def wslice(w):
@@ -360,7 +467,11 @@ def build_colsort2(A, config, interpret: bool = False):
     Config keys: block_entries (Bs*128), col_window (gather window in
     columns; full-width when >= num_cols), vrow_planes (K), vrow_span
     (RSp, multiple of 8), hub_cap (rows above it go to the hub region),
-    lane_cap (per-(cell,lane) stack cap; 0 = auto), pack16."""
+    lane_cap (per-(cell,lane) stack cap; 0 = auto), pack16, mix_chunks
+    (sublanes may host up to this many chunks of their RSp group —
+    `mix` one-hot dots in the kernel; lifts the Poisson column-lane
+    collision bound on light scatter, Webbase main fill 0.17->0.52 at
+    mix=4)."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
     _reject_x64(A, interpret)
@@ -392,6 +503,10 @@ def build_colsort2(A, config, interpret: bool = False):
     RSp = int(config.get("vrow_span", RSP_DEFAULT))
     if RSp % 8 != 0:
         raise NotImplementedException("vrow_span must be a multiple of 8")
+    mix = int(config.get("mix_chunks", 0)) or 1
+    if not 1 <= mix <= 8:
+        raise NotImplementedException("mix_chunks must be in 1..8")
+    qbits = max(1, (RSp - 1).bit_length())
 
     n_pad = max(CW * LANE, round_up(n, CW * LANE))
     x_rows = n_pad // LANE
@@ -412,7 +527,7 @@ def build_colsort2(A, config, interpret: bool = False):
             "x too large for the VMEM-resident colsort2 kernel")
 
     from cusp_autotuned_tpu import native
-    nat = None if streamed else getattr(
+    nat = None if (streamed or mix > 1) else getattr(
         native, "plan_colsort2", lambda *a: None)(
         row, col, val, shape, K, CW, Bs, RSp, lane_cap, hub_cap)
     if nat is not None:
@@ -421,14 +536,17 @@ def build_colsort2(A, config, interpret: bool = False):
     else:
         (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
          spill) = _plan_v2(row, col, val, shape, K, CW, Bs, RSp,
-                           lane_cap, hub_cap, aligned=streamed)
+                           lane_cap, hub_cap, aligned=streamed, mix=mix)
     nb = vals_.shape[0]
 
     # shrink the block span to what the plan actually uses: the one-hot
     # dot and the y window RMW both scale with RSp (resident only — the
     # streamed plan's windows sit on the RSp grid)
     if nb and not streamed:
-        max_q = int(max(pqs_.max(initial=0) >> 7, 0))
+        hi = pqs_ >> 7
+        if mix > 1:
+            hi = hi & ((1 << qbits) - 1)   # strip the mix-slot bits
+        max_q = int(max(hi.max(initial=0), 0))
         RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
     nch_hub = hub_rows.size // LANE
     VRs = round_up(nch_main + nch_hub + RSp, RSp if streamed else 8)
@@ -437,7 +555,9 @@ def build_colsort2(A, config, interpret: bool = False):
             "virtual rows exceed the VMEM budget — use stream_x=1")
 
     pack16 = config.get("pack16", "auto")
-    can16 = (Bs % 16 == 0 and CW < (1 << 15) and RSp * LANE < (1 << 15))
+    pq16_ok = (RSp * LANE < (1 << 15) if mix == 1
+               else 7 + qbits + (mix - 1).bit_length() <= 15)
+    can16 = (Bs % 16 == 0 and CW < (1 << 15) and pq16_ok)
     if pack16 == "auto":
         pack16 = can16
     elif pack16 and not can16:
@@ -454,7 +574,7 @@ def build_colsort2(A, config, interpret: bool = False):
         vbs_ = vbs_ // RSp                    # y window index
         cbs_ = cbs_ // CW                     # x window index
     kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
-                             streamed=streamed)
+                             streamed=streamed, mix=mix, qbits=qbits)
     if streamed:
         x_spec = pl.BlockSpec((LANE, CW), lambda g, vbs, cbs: (0, cbs[g]),
                               memory_space=pltpu.VMEM)
@@ -503,7 +623,8 @@ def build_colsort2(A, config, interpret: bool = False):
         callK = _cache.get(KK)
         if callK is None:
             kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
-                                      K=KK, streamed=streamed)
+                                      K=KK, streamed=streamed, mix=mix,
+                                      qbits=qbits)
             if streamed:
                 xk_spec = pl.BlockSpec(
                     (KK, LANE, CW), lambda g, vbs, cbs: (0, 0, cbs[g]),

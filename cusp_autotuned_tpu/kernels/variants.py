@@ -323,9 +323,17 @@ def tuning_space(A) -> TuningSpace:
             ("stream_x", "pack16", "hub_cap", "spmm_kb"),
             lambda s, p, h, k: (h == 0 and k == 0)
             or (s == 0 and p == "auto" and (h == 0 or k == 0)))
-        space.add_parameter("vrow_planes", (0, 2, 4))
+        space.add_parameter("vrow_planes", (0, 1, 2, 4))
         space.add_constraint(("impl", "vrow_planes"),
                              lambda i, v: (v > 0) == (i == "colsort2"))
+        # chunk-mixed sublanes (colsort2): 0 = uniform; 4/8 = up to that
+        # many chunks per sublane (mix one-hot dots); varied one at a time
+        # against the default vrow_planes to keep the walk tractable
+        space.add_parameter("mix_chunks", (0, 4, 8))
+        space.add_constraint(("impl", "mix_chunks"),
+                             lambda i, x: x == 0 or i == "colsort2")
+        space.add_constraint(("vrow_planes", "mix_chunks"),
+                             lambda v, x: x == 0 or v == 1)
     elif fmt == "hyb":
         space.add_parameter("impl", ("default", "via_dia", "pallas", "binned"))
         space.add_parameter("dia_impl", ("none", "slices"))

@@ -79,6 +79,10 @@ def _compile() -> ctypes.CDLL | None:
                                       ctypes.c_int64, ctypes.c_int32]
     lib.color_cells.restype = ctypes.c_int64
     lib.color_cells.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i32p]
+    lib.color_cells_mixed.restype = ctypes.c_int64
+    lib.color_cells_mixed.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
+                                      i32p, ctypes.c_int64, ctypes.c_int64,
+                                      i32p, i32p]
     return lib
 
 
@@ -298,3 +302,23 @@ def color_cells(cell, cl, vlane):
     if rc < 0:
         return None
     return sub.astype(np.int64)
+
+
+def color_cells_mixed(cell, cl, vlane, qrel, mix, rsp):
+    """Chunk-mixed coloring (colsort2 mix_chunks > 1): entries sorted by
+    cell; returns (sub, mi) or None when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell = np.ascontiguousarray(cell, np.int64)
+    cl32 = np.ascontiguousarray(cl, np.int32)
+    vl32 = np.ascontiguousarray(vlane, np.int32)
+    q32 = np.ascontiguousarray(qrel, np.int32)
+    sub = np.empty(cell.size, np.int32)
+    mi = np.empty(cell.size, np.int32)
+    rc = lib.color_cells_mixed(cell.size, _ptr_i64(cell), _ptr_i32(cl32),
+                               _ptr_i32(vl32), _ptr_i32(q32), int(mix),
+                               int(rsp), _ptr_i32(sub), _ptr_i32(mi))
+    if rc < 0:
+        return None
+    return sub.astype(np.int64), mi.astype(np.int64)

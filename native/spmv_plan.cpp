@@ -258,3 +258,93 @@ std::int64_t color_cells(
   }
   return max_s;
 }
+
+extern "C"
+// Chunk-mixed edge coloring (kernels/pallas_colsort2, mix_chunks > 1):
+// cells are RSp-aligned CHUNK GROUPS x column window, and one sublane may
+// host entries of up to `mix` distinct chunks (qrel values) of its group.
+// Constraints per sublane stay unique cl AND unique vlane; the scatter
+// becomes `mix` one-hot MXU dots.  Mixing lifts the per-128-row Poisson
+// column-lane collision bound that caps fill on light scatter (Webbase
+// main fill 0.17 -> 0.52 at mix=4, measured host-side).
+//
+// Inputs: entries SORTED BY CELL; cl/vlane in [0,128); qrel in [0,rsp).
+// Outputs: sub[e] (sublane) and mi[e] (index of the entry's chunk in its
+// sublane's chunk list, < mix).  Returns max sublanes per cell, -1 on
+// failure.
+std::int64_t color_cells_mixed(
+    std::int64_t nnz, const std::int64_t* cell, const std::int32_t* cl,
+    const std::int32_t* vlane, const std::int32_t* qrel,
+    std::int64_t mix, std::int64_t rsp, std::int32_t* sub,
+    std::int32_t* mi) {
+  constexpr int L = 128;
+  if (mix < 1 || rsp < 1 || rsp > 4096) return -1;
+  std::int64_t max_s = 0, i = 0;
+  std::vector<std::int64_t> order;
+  std::vector<std::int64_t> deg_c(L), deg_v(L);
+  std::vector<std::vector<std::uint64_t>> used_c(L), used_v(L), has_q;
+  std::vector<std::uint64_t> full;
+  std::vector<std::int32_t> nq;          // chunks used per sublane
+  std::vector<std::int32_t> qlist;       // sublane-major chunk lists
+  has_q.resize(rsp);
+  while (i < nnz) {
+    std::int64_t j = i;
+    while (j < nnz && cell[j] == cell[i]) ++j;
+    const std::int64_t E = j - i;
+    std::fill(deg_c.begin(), deg_c.end(), 0);
+    std::fill(deg_v.begin(), deg_v.end(), 0);
+    for (std::int64_t e = i; e < j; ++e) {
+      ++deg_c[cl[e]];
+      ++deg_v[vlane[e]];
+    }
+    order.resize(E);
+    for (std::int64_t t = 0; t < E; ++t) order[t] = i + t;
+    std::sort(order.begin(), order.end(),
+              [&](std::int64_t a, std::int64_t b) {
+                const std::int64_t ka = std::max(deg_c[cl[a]], deg_v[vlane[a]]);
+                const std::int64_t kb = std::max(deg_c[cl[b]], deg_v[vlane[b]]);
+                return ka > kb;
+              });
+    const std::int64_t words = (E + 63) / 64 + 1;   // sublanes <= E
+    for (int l = 0; l < L; ++l) {
+      used_c[l].assign(words, 0);
+      used_v[l].assign(words, 0);
+    }
+    for (std::int64_t q = 0; q < rsp; ++q) has_q[q].assign(words, 0);
+    full.assign(words, 0);
+    nq.assign(words * 64, 0);
+    qlist.assign(words * 64 * mix, -1);
+    std::int64_t cell_max = 0;
+    for (std::int64_t e : order) {
+      const std::uint64_t* uc = used_c[cl[e]].data();
+      const std::uint64_t* uv = used_v[vlane[e]].data();
+      const std::uint64_t* hq = has_q[qrel[e]].data();
+      std::int64_t s = -1;
+      for (std::int64_t w = 0; w < words; ++w) {
+        const std::uint64_t free_w = ~(uc[w] | uv[w]) & (hq[w] | ~full[w]);
+        if (free_w) {
+          s = w * 64 + __builtin_ctzll(free_w);
+          break;
+        }
+      }
+      if (s < 0) return -1;                         // cannot happen: s <= E
+      used_c[cl[e]][s >> 6] |= 1ull << (s & 63);
+      used_v[vlane[e]][s >> 6] |= 1ull << (s & 63);
+      std::int32_t slot = -1;
+      for (std::int32_t t = 0; t < nq[s]; ++t)
+        if (qlist[s * mix + t] == qrel[e]) { slot = t; break; }
+      if (slot < 0) {
+        slot = nq[s];
+        qlist[s * mix + slot] = qrel[e];
+        has_q[qrel[e]][s >> 6] |= 1ull << (s & 63);
+        if (++nq[s] >= mix) full[s >> 6] |= 1ull << (s & 63);
+      }
+      sub[e] = (std::int32_t)s;
+      mi[e] = slot;
+      cell_max = std::max(cell_max, s + 1);
+    }
+    max_s = std::max(max_s, cell_max);
+    i = j;
+  }
+  return max_s;
+}

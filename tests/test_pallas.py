@@ -550,6 +550,56 @@ def test_colsort2_rectangular():
                   "build_colsort2")
 
 
+@pytest.mark.parametrize("mix", [2, 4, 8])
+def test_colsort2_mix_chunks(mix):
+    # chunk-mixed sublanes: up to `mix` chunks share a sublane, scattered
+    # with `mix` one-hot dots (lifts the Poisson column-lane fill bound)
+    S = _powerlaw(800, 8000, seed=6)
+    _check_binned(S, "build_colsort2", vrow_planes=1, hub_cap=8,
+                  mix_chunks=mix)
+
+
+def test_colsort2_mix_chunks_raises_fill():
+    # on light scatter the mixed plan must place the same entries in
+    # fewer sublanes than the uniform plan
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(21)
+    S = (sp.random(2000, 2000, density=0.002, random_state=rng)
+         + sp.eye(2000)).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    cfg = {"vrow_planes": 1, "hub_cap": 8, "block_entries": 2048}
+    nb1 = build_colsort2(A, cfg, interpret=True) \
+        .planned_arrays["v2v"].shape[0]
+    nb4 = build_colsort2(A, dict(cfg, mix_chunks=4), interpret=True) \
+        .planned_arrays["v2v"].shape[0]
+    assert nb4 < nb1, (nb4, nb1)
+
+
+def test_colsort2_mix_pack16_and_spmm():
+    # int16 metadata with the mix-slot bits packed above qrel; SpMM rail
+    S = _powerlaw(900, 9000, seed=7)
+    _check_binned(S, "build_colsort2", vrow_planes=1, hub_cap=8,
+                  mix_chunks=4, block_entries=2048, pack16="auto")
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    A = from_scipy(S.tocoo(), "csr")
+    rng = np.random.RandomState(8)
+    X = rng.randn(A.num_cols, 6).astype(np.float32)
+    fn = build_colsort2(A, {"vrow_planes": 1, "hub_cap": 8,
+                            "mix_chunks": 4}, interpret=True)
+    Y = np.asarray(fn(jnp.asarray(X)))
+    ref = S.astype(np.float64) @ X.astype(np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_colsort2_mix_streamed():
+    import scipy.sparse as sp
+    rng = np.random.RandomState(22)
+    S = sp.random(700, 30000, density=0.001, random_state=rng).tocsr()
+    _check_binned(S, "build_colsort2", vrow_planes=1, mix_chunks=4,
+                  stream_x=1, col_window=8192, block_entries=2048)
+
+
 def test_colsort2_single_dense_row():
     import scipy.sparse as sp
     row = np.zeros(500, np.int64)
