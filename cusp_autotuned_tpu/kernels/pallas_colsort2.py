@@ -400,6 +400,9 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
             mix_oh.append((iota_q == jnp.swapaxes(q_ci, 0, 1))
                           .astype(dtype))
             mix_mask.append(m_ci)
+        # one stacked dot per rhs instead of `mix` small ones (the MXU is
+        # latency-bound at (RSp x Bs) tiles; stacking amortizes it)
+        mix_ohb = jnp.concatenate(mix_oh, axis=1)           # (RSp, mix*Bs)
     else:
         q0 = jnp.swapaxes(qv[:, 0:1], 0, 1)           # (1, Bs) per-sublane
         oh = (jax.lax.broadcasted_iota(jnp.int32, (RSp, Bs), 0)
@@ -417,14 +420,11 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
         prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)  # virtual-lane layout
         if mix > 1:
-            upd = jax.lax.dot(mix_oh[0],
-                              jnp.where(mix_mask[0], pr, jnp.zeros_like(pr)),
+            zero = jnp.zeros_like(pr)
+            prs = jnp.concatenate(
+                [jnp.where(m, pr, zero) for m in mix_mask], axis=0)
+            upd = jax.lax.dot(mix_ohb, prs,
                               precision=jax.lax.Precision.HIGHEST)
-            for ci in range(1, mix):
-                upd = upd + jax.lax.dot(
-                    mix_oh[ci],
-                    jnp.where(mix_mask[ci], pr, jnp.zeros_like(pr)),
-                    precision=jax.lax.Precision.HIGHEST)
         else:
             upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
         y_set(y_at() + upd)
