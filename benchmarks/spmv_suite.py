@@ -47,6 +47,8 @@ def candidate_configs(rect: bool):
         ("colsort2-k1", {"impl": "colsort2", "vrow_planes": 1}),
         ("colsort2-mix8", {"impl": "colsort2", "vrow_planes": 1,
                            "mix_chunks": 8}),
+        ("colsort2-mix4", {"impl": "colsort2", "vrow_planes": 1,
+                           "mix_chunks": 4}),
         ("colsort2-mix8-hub8", {"impl": "colsort2", "vrow_planes": 1,
                                 "mix_chunks": 8, "hub_cap": 8}),
     ]

@@ -162,16 +162,65 @@ def _color_cells_mixed(cell, cl, vlane, qrel, mix):
     return sub, mi
 
 
+def _color_cells_capped(cell, cl, vlane, qrel, Bs, cap):
+    """Capacity-capped coloring (mix_chunks='perm'): unique cl and unique
+    vlane per sublane, plus at most `cap` entries per (Bs-sublane block,
+    vlane, qrel) — the sigma-fold slot capacity.  Native hardest-first
+    with a python first-fit fallback for small inputs."""
+    from cusp_autotuned_tpu import native
+    order = np.argsort(cell, kind="stable")
+    nat = getattr(native, "color_cells_capped", lambda *a: None)(
+        cell[order], cl[order], vlane[order], qrel[order], Bs, cap)
+    if nat is not None:
+        sub = np.empty(cell.size, np.int64)
+        sub[order] = nat
+        return sub
+    if cell.size > 200_000:
+        raise FormatConversionException(
+            "colsort2 python-fallback coloring is quadratic — build the "
+            "native planner (g++) for matrices this large")
+    sub = np.empty(cell.size, np.int64)
+    state: dict = {}
+    for e in order:
+        cu, vu, cnt = state.setdefault(cell[e], ([], [], {}))
+        s = 0
+        while True:
+            if s == len(cu):
+                cu.append(np.zeros(LANE, bool))
+                vu.append(np.zeros(LANE, bool))
+            key = (s // Bs, vlane[e], qrel[e])
+            if (not cu[s][cl[e]] and not vu[s][vlane[e]]
+                    and cnt.get(key, 0) < cap):
+                cu[s][cl[e]] = True
+                vu[s][vlane[e]] = True
+                cnt[key] = cnt.get(key, 0) + 1
+                sub[e] = s
+                break
+            s += 1
+    return sub
+
+
 def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
-             hub_cap=0, hub_split=HUB_SPLIT, aligned=False, mix=1):
+             hub_cap=0, hub_split=HUB_SPLIT, aligned=False, mix=1,
+             perm_fold=False):
     """Returns (vals, chunks, pqs, vbs, cbs, m_pad, hub_rows, nch_main,
-    spill) — see module doc.
+    spill, sigma) — see module doc.
 
     vals/chunks are slot (column-lane) layout, pqs is virtual-lane layout
     with (qrel << 7) | source_lane, vbs/cbs are per-block virtual-chunk
     and x-sublane bases.  Virtual chunks [0, K*m_pad/128) are the identity
     planes (reshape fold); chunks beyond hold the hub region whose slots
-    scatter-add into hub_rows (one target row per slot, m for dead)."""
+    scatter-add into hub_rows (one target row per slot, m for dead).
+
+    `perm_fold=True` plans for the sigma-fold kernel (mix_chunks='perm'):
+    cells are RSp-aligned chunk GROUPS like mix>1 but a sublane may host
+    entries of ANY chunk of its group (only column-lane/virtual-lane
+    uniqueness remains — the best fill any coloring can reach), subject
+    to the slot capacity <= Bs/RSp entries per (block, vlane, qrel).
+    sigma (nb, 128, Bs) is a per-lane sublane permutation placing every
+    product in a sublane slot whose index == its qrel (mod RSp), so the
+    kernel scatter is transpose -> one take -> transpose -> reshape fold
+    — no one-hot dot.  sigma is None for the other modes."""
     m, n = shape
     nnz = row.size
     m_pad = round_up(max(m, 1), LANE)
@@ -219,11 +268,12 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     wid = c // (CW * LANE)
     cl = c & (LANE - 1)
     n_wins = int(wid.max()) + 1 if nnz else 1
-    if mix > 1:
+    if mix > 1 or perm_fold:
         # chunk-mixed cells: one RSp-aligned GROUP of chunks x window; a
         # sublane may host up to `mix` chunks of its group (the kernel
-        # scatters with `mix` one-hot dots), lifting the per-128-row
-        # Poisson column-lane bound on light scatter
+        # scatters with `mix` one-hot dots; every chunk when perm_fold),
+        # lifting the per-128-row Poisson column-lane bound on light
+        # scatter
         cell = ((chunk_id // RSp) * RSp) * n_wins + wid
     else:
         cell = chunk_id * n_wins + wid
@@ -251,51 +301,78 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         wid, cl, cell = wid[keep], cl[keep], cell[keep]
         nnz = r.size
 
-    if mix > 1:
+    if perm_fold:
+        # unconstrained-chunk coloring with the sigma slot capacity
+        qrel_e = chunk_id - (chunk_id // RSp) * RSp
+        sub = _color_cells_capped(cell, cl, vlane, qrel_e, Bs, Bs // RSp)
+        mi_e = None
+    elif mix > 1:
         qrel_e = chunk_id - (chunk_id // RSp) * RSp
         sub, mi_e = _color_cells_mixed(cell, cl, vlane, qrel_e, mix)
     else:
         sub = _color_cells(cell, cl, vlane)
         mi_e = None
 
-    # -- sublane table: (window, chunk) order for the resident rail;
-    # (chunk, window) for the STREAMED rail, whose y windows ride index
-    # maps and must be revisited contiguously on an RSp-aligned grid ------
-    skey = cell * 8192 + sub                  # sub < 4096 enforced above
-    uniq, inv = np.unique(skey, return_inverse=True)
-    su_cell = uniq // 8192
-    su_chunk = su_cell // n_wins
-    su_wid = su_cell % n_wins
-    o = (np.lexsort((su_wid, su_chunk)) if aligned
-         else np.lexsort((su_chunk, su_wid)))
-    rank = np.empty_like(o)
-    rank[o] = np.arange(o.size)
-    su_chunk, su_wid = su_chunk[o], su_wid[o]
-    gsub = rank[inv]                          # per-entry global sublane
+    if perm_fold:
+        # keep the colorer's sublane positions VERBATIM: its slot
+        # capacity is per window of Bs sublanes, so block = sub // Bs and
+        # slot = sub % Bs (capacity-forced gaps stay as empty sublanes —
+        # compacting them would shift block boundaries and break sigma)
+        bkey = cell * (1 << 30) + sub // Bs
+        uniqb, invb = np.unique(bkey, return_inverse=True)
+        bu_cell = uniqb >> 30
+        bu_chunk = bu_cell // n_wins          # RSp-aligned group base
+        bu_wid = bu_cell % n_wins
+        ob = (np.lexsort((bu_wid, bu_chunk)) if aligned
+              else np.lexsort((bu_chunk, bu_wid)))
+        rankb = np.empty_like(ob)
+        rankb[ob] = np.arange(ob.size)
+        nb = ob.size
+        eb = rankb[invb]
+        es = sub % Bs
+        vbs = bu_chunk[ob].astype(np.int64)
+        cbs = (bu_wid[ob] * CW).astype(np.int64)
+        eq = chunk_id - vbs[eb]
+    else:
+        # -- sublane table: (window, chunk) order for the resident rail;
+        # (chunk, window) for the STREAMED rail, whose y windows ride
+        # index maps and must be revisited contiguously on an RSp-aligned
+        # grid ----------------------------------------------------------
+        skey = cell * 8192 + sub              # sub < 4096 enforced above
+        uniq, inv = np.unique(skey, return_inverse=True)
+        su_cell = uniq // 8192
+        su_chunk = su_cell // n_wins
+        su_wid = su_cell % n_wins
+        o = (np.lexsort((su_wid, su_chunk)) if aligned
+             else np.lexsort((su_chunk, su_wid)))
+        rank = np.empty_like(o)
+        rank[o] = np.arange(o.size)
+        su_chunk, su_wid = su_chunk[o], su_wid[o]
+        gsub = rank[inv]                      # per-entry global sublane
 
-    # -- cut into blocks: Bs sublanes, same window, chunk span <= RSp ------
-    ns = o.size
-    blk_of = np.empty(ns, np.int64)
-    sloc_of = np.empty(ns, np.int64)
-    vbs, cbs = [], []
-    i = 0
-    while i < ns:
-        w0, c0 = su_wid[i], su_chunk[i]
-        j = min(i + Bs, ns)
-        j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
-        vb = (int(c0) // RSp) * RSp if aligned else int(c0)
-        j = min(j, i + int(np.searchsorted(su_chunk[i:j], vb + RSp)))
-        g = len(vbs)
-        blk_of[i:j] = g
-        sloc_of[i:j] = np.arange(j - i)
-        vbs.append(vb)
-        cbs.append(w0 * CW)
-        i = j
-    nb = len(vbs)
+        # -- cut into blocks: Bs sublanes, same window, chunk span <= RSp
+        ns = o.size
+        blk_of = np.empty(ns, np.int64)
+        sloc_of = np.empty(ns, np.int64)
+        vbs, cbs = [], []
+        i = 0
+        while i < ns:
+            w0, c0 = su_wid[i], su_chunk[i]
+            j = min(i + Bs, ns)
+            j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
+            vb = (int(c0) // RSp) * RSp if aligned else int(c0)
+            j = min(j, i + int(np.searchsorted(su_chunk[i:j], vb + RSp)))
+            g = len(vbs)
+            blk_of[i:j] = g
+            sloc_of[i:j] = np.arange(j - i)
+            vbs.append(vb)
+            cbs.append(w0 * CW)
+            i = j
+        nb = len(vbs)
 
-    eb = blk_of[gsub]
-    es = sloc_of[gsub]
-    eq = chunk_id - np.asarray(vbs, np.int64)[eb]
+        eb = blk_of[gsub]
+        es = sloc_of[gsub]
+        eq = chunk_id - np.asarray(vbs, np.int64)[eb]
 
     vals2d = np.zeros((nb, Bs, LANE), np.float64)
     chunk2d = np.zeros((nb, Bs, LANE), np.int64)
@@ -308,6 +385,7 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         # (the kernel rebuilds each mix slot's one-hot by masked lane-max)
         pq2d[eb, es, vlane] = (mi_e << (7 + qbits)) | (eq << 7) | cl
     else:
+        # roll mode also lands here: per-vlane qrel, no mix-slot bits
         pq2d[eb, es, vlane] = (eq << 7) | cl
     # point unused virtual lanes at zero-value column lanes (each placed
     # entry uses one of each, so spares pair up); for the uniform plan the
@@ -320,7 +398,7 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
     if mix > 1:
         m0 = mi_e == 0
         qsub[eb[m0], es[m0]] = eq[m0]      # the mix-slot-0 chunk's qrel
-    else:
+    elif not perm_fold:
         qsub[eb, es] = eq
     # pair the i-th free virtual lane with the i-th free column lane,
     # vectorized over all (block, sublane) pairs
@@ -336,29 +414,71 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
                           np.where(lane_i < n_free[:, :, None], spare, cur),
                           axis=2)
     else:
+        # perm spares carry qrel 0 (their paired value lane is zero, so
+        # whatever sigma slot gathers them receives nothing)
         np.put_along_axis(pq2d, fv,
                           np.where(lane_i < n_free[:, :, None], fc, cur),
                           axis=2)
-        pq2d |= qsub[:, :, None] << 7
+        if not perm_fold:
+            pq2d |= qsub[:, :, None] << 7
+
+    sigma = None
+    if perm_fold:
+        # sigma[b, vl, s'] = source sublane whose (s, vl) product lands
+        # in slot s' (s' == qrel mod RSp); entries take slots qrel + k*RSp
+        # in arrival order, leftover slots pair with leftover (zero
+        # product) sublanes to complete each per-lane permutation
+        folds = Bs // RSp
+        o2 = np.lexsort((es, eq, vlane, eb))
+        gkey = (eb[o2] * LANE + vlane[o2]) * RSp + eq[o2]
+        gs = np.ones(o2.size, bool)
+        gs[1:] = gkey[1:] != gkey[:-1]
+        idx = np.arange(o2.size)
+        kk = np.empty(o2.size, np.int64)
+        kk[o2] = idx - np.maximum.accumulate(np.where(gs, idx, 0))
+        if kk.size and kk.max() >= folds:
+            raise FormatConversionException(
+                "colsort2 perm plan exceeded the sigma slot capacity")
+        slot = eq + kk * RSp
+        sigma = np.full((nb, LANE, Bs), -1, np.int64)
+        sigma[eb, vlane, slot] = es
+        used_sl = sigma >= 0
+        used_sr = np.zeros((nb, LANE, Bs), bool)
+        used_sr[eb, vlane, es] = True
+        fsl = np.argsort(used_sl, axis=2, kind="stable")
+        fsr = np.argsort(used_sr, axis=2, kind="stable")
+        nfree = Bs - used_sl.sum(axis=2)
+        sl_i = np.arange(Bs)[None, None, :]
+        cur2 = np.take_along_axis(sigma, fsl, axis=2)
+        np.put_along_axis(sigma, fsl,
+                          np.where(sl_i < nfree[:, :, None], fsr, cur2),
+                          axis=2)
+        sigma = sigma.astype(np.int32)
 
     return (vals2d.astype(np.float32), chunk2d.astype(np.int32),
             pq2d.astype(np.int32), np.asarray(vbs, np.int32),
             np.asarray(cbs, np.int32), m_pad, hub_rows_arr, nch_main,
-            spill)
+            spill, sigma)
 
 
-def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
-               *, Bs, RSp, W, K=0, streamed=False, mix=1, qbits=0):
+def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, *rest,
+               Bs, RSp, W, K=0, streamed=False, mix=1, qbits=0,
+               perm_fold=False):
     """v2 kernel.  Resident: x (pre-transposed to lane-major) and virtual
     y live whole in VMEM; per block a W-pass in-lane gather, one
     permutation take, and a one-hot MXU matmul scatter into the block's
-    RSp-chunk virtual window.  STREAMED: xt_ref IS the (128, CW) x-sublane
+    RSp-chunk virtual window (or the sigma take + reshape fold when
+    perm_fold).  STREAMED: xt_ref IS the (128, CW) x-sublane
     window and y_ref the (RSp, 128) virtual window, pipelined by index
     maps over the RSp/CW-ALIGNED plan — n/m bounded only by HBM; y zeroes
     on first visit of a window (same-window blocks are contiguous by plan
     order).  K > 0 adds the SpMM k-major leading dim: entry blocks,
     masks, and the scatter one-hot are read/built once across the K
     right-hand sides."""
+    if perm_fold:
+        sig_ref, y_ref = rest
+    else:
+        (y_ref,) = rest
     g = pl.program_id(0)
 
     if streamed:
@@ -384,7 +504,14 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
     hiw = jax.lax.shift_right_logical(cht, jnp.int32(7))
     low = jnp.bitwise_and(cht, jnp.int32(LANE - 1))
     wmask = [hiw == w for w in range(W)]
-    if mix > 1:
+    if perm_fold:
+        # sigma-fold scatter: a plan-time per-lane sublane permutation
+        # puts every product in a slot whose index == qrel (mod RSp), so
+        # the scatter is transpose -> take -> transpose -> reshape fold —
+        # no one-hot dot, and the plan colors with NO chunk constraint
+        # (best-possible fill; Economics 0.57 vs 0.18 at mix=8)
+        sg = sig_ref[0].astype(jnp.int32)             # (LANE, Bs)
+    elif mix > 1:
         # chunk-mixed sublanes: qv carries (mi << qbits) | qrel per vlane;
         # each mix slot gets its own one-hot (RSp, Bs) rebuilt by masked
         # lane-max (a slot's entries all share one qrel per sublane) and a
@@ -419,7 +546,12 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, y_ref,
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
         prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)  # virtual-lane layout
-        if mix > 1:
+        if perm_fold:
+            prT = jnp.swapaxes(pr, 0, 1)              # (LANE, Bs)
+            pr2 = jnp.swapaxes(jnp.take_along_axis(prT, sg, axis=1), 0, 1)
+            upd = (pr2.reshape(Bs // RSp, RSp, LANE).sum(0) if Bs > RSp
+                   else pr2)
+        elif mix > 1:
             zero = jnp.zeros_like(pr)
             prs = jnp.concatenate(
                 [jnp.where(m, pr, zero) for m in mix_mask], axis=0)
@@ -471,7 +603,18 @@ def build_colsort2(A, config, interpret: bool = False):
     (sublanes may host up to this many chunks of their RSp group —
     `mix` one-hot dots in the kernel; lifts the Poisson column-lane
     collision bound on light scatter, Webbase main fill 0.17->0.52 at
-    mix=4)."""
+    mix=4).  mix_chunks='perm' drops the chunk constraint entirely (best
+    fill: Economics 0.57 vs 0.18) and scatters through a plan-time
+    per-lane sublane permutation + reshape fold instead of dots.
+
+    'perm' is an explicit-config EXPERIMENT, deliberately not in the
+    tuner walk: measured on v5e it LOSES to the mix dots (Economics SpMV
+    220 us vs mix4 138 us marginal) because the one-hot dot rides the
+    otherwise-idle MXU while the kernel is bound by the W-pass XLU
+    gathers — sigma's extra takes/transposes ADD to that critical path.
+    The design-class roofline is ~(W / fill) XLU lane-ops per entry per
+    rhs (Economics: 8/0.57 = 14 -> 17 GF/s ceiling at k=16; the mix rail
+    measures 15.9 = 92% of it)."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
     _reject_x64(A, interpret)
@@ -503,9 +646,15 @@ def build_colsort2(A, config, interpret: bool = False):
     RSp = int(config.get("vrow_span", RSP_DEFAULT))
     if RSp % 8 != 0:
         raise NotImplementedException("vrow_span must be a multiple of 8")
-    mix = int(config.get("mix_chunks", 0)) or 1
+    mix_raw = config.get("mix_chunks", 0)
+    perm = mix_raw == "perm"
+    mix = 1 if perm else int(mix_raw or 0) or 1
     if not 1 <= mix <= 8:
-        raise NotImplementedException("mix_chunks must be in 1..8")
+        raise NotImplementedException("mix_chunks must be in 1..8 or 'perm'")
+    if perm and (RSp & (RSp - 1) or Bs % RSp or RSp > 128):
+        raise NotImplementedException(
+            "mix_chunks='perm' needs a power-of-two vrow_span <= 128 "
+            "dividing block_entries/128")
     qbits = max(1, (RSp - 1).bit_length())
 
     n_pad = max(CW * LANE, round_up(n, CW * LANE))
@@ -527,16 +676,19 @@ def build_colsort2(A, config, interpret: bool = False):
             "x too large for the VMEM-resident colsort2 kernel")
 
     from cusp_autotuned_tpu import native
-    nat = None if (streamed or mix > 1) else getattr(
+    nat = None if (streamed or mix > 1 or perm) else getattr(
         native, "plan_colsort2", lambda *a: None)(
         row, col, val, shape, K, CW, Bs, RSp, lane_cap, hub_cap)
+    sigma = None
     if nat is not None:
         (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
          spill) = nat
     else:
         (vals_, chunks_, pqs_, vbs_, cbs_, m_pad, hub_rows, nch_main,
-         spill) = _plan_v2(row, col, val, shape, K, CW, Bs, RSp,
-                           lane_cap, hub_cap, aligned=streamed, mix=mix)
+         spill, sigma) = _plan_v2(
+            row, col, val, shape, K, CW, Bs, RSp, lane_cap, hub_cap,
+            hub_split=(Bs // RSp if perm else HUB_SPLIT),
+            aligned=streamed, mix=mix, perm_fold=perm)
     nb = vals_.shape[0]
 
     # shrink the block span to what the plan actually uses: the one-hot
@@ -547,7 +699,14 @@ def build_colsort2(A, config, interpret: bool = False):
         if mix > 1:
             hi = hi & ((1 << qbits) - 1)   # strip the mix-slot bits
         max_q = int(max(hi.max(initial=0), 0))
-        RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
+        if perm:
+            # keep RSp a power of two dividing Bs (the residue fold);
+            # sigma slots stay valid: s' == q (mod RSp') for RSp' | RSp
+            cand = max(8, 1 << max_q.bit_length())
+            if cand < RSp and Bs % cand == 0:
+                RSp = cand
+        else:
+            RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
     nch_hub = hub_rows.size // LANE
     VRs = round_up(nch_main + nch_hub + RSp, RSp if streamed else 8)
     if not streamed and VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
@@ -566,7 +725,11 @@ def build_colsort2(A, config, interpret: bool = False):
     if pack16:
         chunks_ = chunks_.astype(np.int16)
         pqs_ = pqs_.astype(np.int16)
-    if vals_.nbytes + chunks_.nbytes + pqs_.nbytes > _plan_budget(config):
+    if perm:
+        sigma = sigma.astype(np.int16 if pack16 else np.int32)
+    plan_bytes = vals_.nbytes + chunks_.nbytes + pqs_.nbytes \
+        + (sigma.nbytes if perm else 0)
+    if plan_bytes > _plan_budget(config):
         raise NotImplementedException(
             "planned arrays exceed the compile-request budget")
 
@@ -574,7 +737,14 @@ def build_colsort2(A, config, interpret: bool = False):
         vbs_ = vbs_ // RSp                    # y window index
         cbs_ = cbs_ // CW                     # x window index
     kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
-                             streamed=streamed, mix=mix, qbits=qbits)
+                             streamed=streamed, mix=mix, qbits=qbits,
+                             perm_fold=perm)
+    entry_specs = [pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3
+    if perm:
+        entry_specs.append(
+            pl.BlockSpec((1, LANE, Bs), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM))
     if streamed:
         x_spec = pl.BlockSpec((LANE, CW), lambda g, vbs, cbs: (0, cbs[g]),
                               memory_space=pltpu.VMEM)
@@ -587,14 +757,12 @@ def build_colsort2(A, config, interpret: bool = False):
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(nb,),
-            in_specs=[x_spec] + [
-                pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
-                             memory_space=pltpu.VMEM)] * 3,
+            in_specs=[x_spec] + entry_specs,
             out_specs=y_spec),
         out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * Bs * LANE + 2 * nb * RSp * Bs * LANE,
-            bytes_accessed=(vals_.nbytes + chunks_.nbytes + pqs_.nbytes
+            bytes_accessed=(plan_bytes
                             + (x_rows + VRs) * LANE * dtype.itemsize),
             transcendentals=0),
         interpret=interpret)
@@ -603,6 +771,8 @@ def build_colsort2(A, config, interpret: bool = False):
         v2v=jnp.asarray(vals_.astype(dtype)), v2c=jnp.asarray(chunks_),
         v2p=jnp.asarray(pqs_), v2vb=jnp.asarray(vbs_),
         v2cb=jnp.asarray(cbs_))
+    if perm:
+        arrays["v2s"] = jnp.asarray(sigma)
     if streamed:
         # windows no block visits keep garbage: mask them out of the fold
         win_mask = np.zeros(VRs // RSp, dtype)
@@ -624,7 +794,7 @@ def build_colsort2(A, config, interpret: bool = False):
         if callK is None:
             kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
                                       K=KK, streamed=streamed, mix=mix,
-                                      qbits=qbits)
+                                      qbits=qbits, perm_fold=perm)
             if streamed:
                 xk_spec = pl.BlockSpec(
                     (KK, LANE, CW), lambda g, vbs, cbs: (0, 0, cbs[g]),
@@ -639,9 +809,7 @@ def build_colsort2(A, config, interpret: bool = False):
                 kernK,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2, grid=(nb,),
-                    in_specs=[xk_spec] + [
-                        pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
-                                     memory_space=pltpu.VMEM)] * 3,
+                    in_specs=[xk_spec] + entry_specs,
                     out_specs=yk_spec),
                 out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
                 interpret=interpret)
@@ -665,8 +833,9 @@ def build_colsort2(A, config, interpret: bool = False):
         if x.ndim == 1:
             xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
             if nb:
+                extra = (arrs["v2s"],) if perm else ()
                 yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
-                          arrs["v2c"], arrs["v2p"])
+                          arrs["v2c"], arrs["v2p"], *extra)
                 if "v2wm" in arrs:
                     yv = yv * arrs["v2wm"]
                 # identity planes fold as a pure reshape + sum: no gather
@@ -699,8 +868,10 @@ def build_colsort2(A, config, interpret: bool = False):
             xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
             if nb:
                 x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
+                extra = (arrs["v2s"],) if perm else ()
                 yv = make_call_mm(KB)(arrs["v2vb"], arrs["v2cb"], x3t,
-                                      arrs["v2v"], arrs["v2c"], arrs["v2p"])
+                                      arrs["v2v"], arrs["v2c"], arrs["v2p"],
+                                      *extra)
                 if "v2wm" in arrs:
                     yv = yv * arrs["v2wm"]
                 yk = fold(arrs, yv.reshape(KB, -1))

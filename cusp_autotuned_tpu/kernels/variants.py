@@ -315,7 +315,8 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, h: h == 0 or i in ("colsort", "colsort2"))
         space.add_parameter("spmm_kb", (0, 8))
         space.add_constraint(("impl", "spmm_kb"),
-                             lambda i, k: k == 0 or i in ("binned", "colsort"))
+                             lambda i, k: k == 0
+                             or i in ("binned", "colsort", "colsort2"))
         # keep the exhaustive walk tractable: the streaming/packing pair is
         # a real 2x2 surface, but hub_cap and spmm_kb vary one at a time
         # against default settings of the other secondary axes

@@ -83,6 +83,10 @@ def _compile() -> ctypes.CDLL | None:
     lib.color_cells_mixed.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
                                       i32p, ctypes.c_int64, ctypes.c_int64,
                                       i32p, i32p]
+    lib.color_cells_capped.restype = ctypes.c_int64
+    lib.color_cells_capped.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
+                                       i32p, ctypes.c_int64, ctypes.c_int64,
+                                       i32p]
     return lib
 
 
@@ -322,3 +326,23 @@ def color_cells_mixed(cell, cl, vlane, qrel, mix, rsp):
     if rc < 0:
         return None
     return sub.astype(np.int64), mi.astype(np.int64)
+
+
+def color_cells_capped(cell, cl, vlane, qrel, bs, cap):
+    """Capacity-capped coloring (colsort2 mix_chunks='perm'): unique
+    cl/vlane per sublane plus <= cap entries per (bs-sublane block,
+    vlane, qrel).  Entries sorted by cell; returns sub or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell = np.ascontiguousarray(cell, np.int64)
+    cl32 = np.ascontiguousarray(cl, np.int32)
+    vl32 = np.ascontiguousarray(vlane, np.int32)
+    q32 = np.ascontiguousarray(qrel, np.int32)
+    sub = np.empty(cell.size, np.int32)
+    rc = lib.color_cells_capped(cell.size, _ptr_i64(cell), _ptr_i32(cl32),
+                                _ptr_i32(vl32), _ptr_i32(q32), int(bs),
+                                int(cap), _ptr_i32(sub))
+    if rc < 0:
+        return None
+    return sub.astype(np.int64)

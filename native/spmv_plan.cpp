@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -353,6 +354,93 @@ std::int64_t color_cells_mixed(
       }
       sub[e] = (std::int32_t)s;
       mi[e] = slot;
+      cell_max = std::max(cell_max, s + 1);
+    }
+    max_s = std::max(max_s, cell_max);
+    i = j;
+  }
+  return max_s;
+}
+
+extern "C"
+// Capacity-capped edge coloring (kernels/pallas_colsort2,
+// mix_chunks='perm'): cells are RSp-aligned chunk groups x window, a
+// sublane may host entries of ANY chunk of its group (only unique cl and
+// unique vlane per sublane — the best fill any coloring reaches), PLUS
+// the sigma-fold slot capacity: within each window of `bs` sublanes
+// (== one kernel block; block cuts never cross cells) at most `cap`
+// entries may share (vlane, qrel), because the kernel's per-lane sublane
+// permutation has exactly bs/RSp slots per residue class per lane.
+//
+// Inputs: entries SORTED BY CELL; cl/vlane in [0,128); qrel in [0,128).
+// Output: sub[e].  Returns max sublanes per cell, -1 on failure.
+std::int64_t color_cells_capped(
+    std::int64_t nnz, const std::int64_t* cell, const std::int32_t* cl,
+    const std::int32_t* vlane, const std::int32_t* qrel,
+    std::int64_t bs, std::int64_t cap, std::int32_t* sub) {
+  constexpr int L = 128;
+  if (bs < 1 || cap < 1) return -1;
+  std::int64_t max_s = 0, i = 0;
+  std::vector<std::int64_t> order;
+  std::vector<std::int64_t> deg_c(L), deg_v(L);
+  std::vector<std::vector<std::uint64_t>> used_c(L), used_v(L);
+  std::unordered_map<std::int64_t, std::int32_t> cnt;
+  while (i < nnz) {
+    std::int64_t j = i;
+    while (j < nnz && cell[j] == cell[i]) ++j;
+    const std::int64_t E = j - i;
+    std::fill(deg_c.begin(), deg_c.end(), 0);
+    std::fill(deg_v.begin(), deg_v.end(), 0);
+    for (std::int64_t e = i; e < j; ++e) {
+      ++deg_c[cl[e]];
+      ++deg_v[vlane[e]];
+    }
+    order.resize(E);
+    for (std::int64_t t = 0; t < E; ++t) order[t] = i + t;
+    std::sort(order.begin(), order.end(),
+              [&](std::int64_t a, std::int64_t b) {
+                const std::int64_t ka = std::max(deg_c[cl[a]], deg_v[vlane[a]]);
+                const std::int64_t kb = std::max(deg_c[cl[b]], deg_v[vlane[b]]);
+                return ka > kb;
+              });
+    std::int64_t words = (E + 63) / 64 + 1;
+    for (int l = 0; l < L; ++l) {
+      used_c[l].assign(words, 0);
+      used_v[l].assign(words, 0);
+    }
+    cnt.clear();
+    std::int64_t cell_max = 0;
+    for (std::int64_t e : order) {
+      const std::int64_t vq = ((std::int64_t)vlane[e] << 7) | qrel[e];
+      std::int64_t s = -1;
+      for (;;) {
+        const std::uint64_t* uc = used_c[cl[e]].data();
+        const std::uint64_t* uv = used_v[vlane[e]].data();
+        for (std::int64_t w = 0; w < words && s < 0; ++w) {
+          std::uint64_t free_w = ~(uc[w] | uv[w]);
+          while (free_w) {
+            const std::int64_t c0 = w * 64 + __builtin_ctzll(free_w);
+            auto it = cnt.find(((c0 / bs) << 14) | vq);
+            if (it == cnt.end() || it->second < cap) { s = c0; break; }
+            // whole block is full for (vlane, qrel): skip past it
+            const std::int64_t nb0 = (c0 / bs + 1) * bs - w * 64;
+            if (nb0 >= 64) break;
+            free_w &= ~((1ull << nb0) - 1);
+          }
+        }
+        if (s >= 0) break;
+        // every in-range sublane blocked by the cap: extend the range
+        if (words > ((nnz / cap + 2) * bs) / 64 + 2) return -1;
+        words *= 2;
+        for (int l = 0; l < L; ++l) {
+          used_c[l].resize(words, 0);
+          used_v[l].resize(words, 0);
+        }
+      }
+      used_c[cl[e]][s >> 6] |= 1ull << (s & 63);
+      used_v[vlane[e]][s >> 6] |= 1ull << (s & 63);
+      ++cnt[((s / bs) << 14) | vq];
+      sub[e] = (std::int32_t)s;
       cell_max = std::max(cell_max, s + 1);
     }
     max_s = std::max(max_s, cell_max);

@@ -559,6 +559,48 @@ def test_colsort2_mix_chunks(mix):
                   mix_chunks=mix)
 
 
+@pytest.mark.parametrize("span", [8, 32, 64])
+def test_colsort2_perm_sigma_fold(span):
+    # sigma-fold scatter (mix_chunks='perm'): plan-time per-lane sublane
+    # permutation + reshape fold replaces the one-hot dots; the capped
+    # colorer guarantees the per-(block, vlane, qrel) slot capacity
+    S = _powerlaw(800, 8000, seed=6)
+    _check_binned(S, "build_colsort2", vrow_planes=1, hub_cap=8,
+                  mix_chunks="perm", vrow_span=span)
+
+
+def test_colsort2_perm_spmm():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(31)
+    S = sp.random(1200, 900, density=0.004, random_state=rng).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    X = rng.randn(A.num_cols, 5).astype(np.float32)
+    fn = build_colsort2(A, {"mix_chunks": "perm", "vrow_span": 32},
+                        interpret=True)
+    ref = S.astype(np.float64) @ X.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_colsort2_perm_beats_uniform_fill():
+    # dropping the chunk constraint must not use more sublanes than the
+    # uniform plan (it is the same coloring minus one constraint, modulo
+    # the sigma slot capacity)
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(21)
+    S = (sp.random(2000, 2000, density=0.002, random_state=rng)
+         + sp.eye(2000)).tocsr()
+    A = from_scipy(S.tocoo(), "csr")
+    cfg = {"vrow_planes": 1, "hub_cap": 8, "block_entries": 2048}
+    nb1 = build_colsort2(A, cfg, interpret=True) \
+        .planned_arrays["v2v"].shape[0]
+    nbp = build_colsort2(A, dict(cfg, mix_chunks="perm", vrow_span=8),
+                         interpret=True).planned_arrays["v2v"].shape[0]
+    assert nbp <= nb1, (nbp, nb1)
+
+
 def test_colsort2_mix_chunks_raises_fill():
     # on light scatter the mixed plan must place the same entries in
     # fewer sublanes than the uniform plan
