@@ -94,13 +94,15 @@ def _sweep(on_tpu, budget_s: float = 300.0):
     if over_budget():
         out["truncated"] = "budget"
         return out
-    # unstructured SpMM: binned k-loop kernel on poisson9pt (k=16)
-    cfg = ({"impl": "binned", "block_entries": 4096, "col_window": 2048,
-            "row_window": 512} if on_tpu else {"impl": "segsum"})
-    fn = jax.jit(build_spmv(A, cfg))
+    # structured SpMM at k=16: the tuner's via_dia move serves CSR inputs
+    # through the XLA DIA path (measured 913 GF/s marginal — the binned
+    # k-loop rail recorded here in earlier rounds was both CSR-railed and
+    # dispatch-floor-polluted at 10 GF/s)
+    fn = jax.jit(build_spmv(A, {"impl": "via_dia", "dia_impl": "slices"}
+                            if on_tpu else {"impl": "segsum"}))
     Xk = jnp.asarray(np.random.RandomState(3).randn(A.num_cols, 16)
                      .astype(np.float32))
-    put_rate("csr_binned_spmm_k16_gflops", fn, Xk, 2 * A.nnz * 16)
+    put_rate("spmm_p9_k16_via_dia_gflops", fn, Xk, 2 * A.nnz * 16)
 
     if over_budget():
         out["truncated"] = "budget"
@@ -136,7 +138,8 @@ def _sweep(on_tpu, budget_s: float = 300.0):
         put_rate("csr_colsort2_powerlaw_1m_gbps", jax.jit(op2), xp,
                  S.nnz * 8 + S.shape[0] * 8)
         f2s = build_colsort2(Ps, {"plan_budget_bytes": 1 << 33,
-                                  "vrow_planes": 1, "mix_chunks": 8})
+                                  "vrow_planes": 1, "mix_chunks": 4,
+                                  "spmm_kb": 8})
         op2s = PlannedOperator(arrays=f2s.planned_arrays, build=f2s.apply,
                                shape=Ps.shape)
         put_rate("colsort2_spmm_scattered_k16_gflops", jax.jit(op2s), Xp,
