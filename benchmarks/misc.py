@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from benchmarks.harness import time_fn
+from benchmarks.harness import time_fn_marginal
 
 
 def bench_spmm(grid: int = 300, k: int = 32):
@@ -26,9 +26,10 @@ def bench_spmm(grid: int = 300, k: int = 32):
     for fmt in ("dia", "ell", "csr"):
         A = gallery.poisson5pt(grid, grid, format=fmt, dtype=np.float32)
         f = jax.jit(lambda X, A=A: multiply(A, X))
-        t = time_fn(f, X)
+        tm, t = time_fn_marginal(f, X)
         flops = 2 * A.nnz * k
-        print(f"  {fmt:4s} {t*1e3:8.2f} ms  {flops/t/1e9:8.2f} GFLOP/s")
+        print(f"  {fmt:4s} {t*1e3:8.2f} ms (marg {tm*1e3:.3f})  "
+              f"{flops/tm/1e9:8.2f} GFLOP/s marginal")
 
 
 def bench_blas(n: int = 1 << 22):
@@ -44,8 +45,9 @@ def bench_blas(n: int = 1 << 22):
         ("dot", jax.jit(lambda x, y: blas.dot(x, y)), 8 * n),
         ("nrm2", jax.jit(lambda x, y: blas.nrm2(x)), 4 * n),
     ]:
-        t = time_fn(f, x, y)
-        print(f"  {name:5s} {t*1e6:9.1f} us  {bytes_/t/1e9:8.2f} GB/s")
+        tm, t = time_fn_marginal(f, x, y)
+        print(f"  {name:5s} {t*1e6:9.1f} us (marg {tm*1e6:.1f})  "
+              f"{bytes_/tm/1e9:8.2f} GB/s marginal")
 
 
 def bench_overhead(n_calls: int = 50):

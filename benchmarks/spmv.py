@@ -19,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from benchmarks.harness import time_fn, stream_bandwidth_gbps, l2_error
+from benchmarks.harness import (time_fn_marginal, stream_bandwidth_gbps,
+                                l2_error)
 from benchmarks.bytes_per_spmv import bytes_per_spmv, flops_per_spmv
 
 
@@ -75,20 +76,23 @@ def run(tuned: bool = False, small: bool = False, csv_path: str | None = None,
                 continue
             xs = jax.numpy.asarray(x)
             err = l2_error(fn(xs), ref)
-            t = time_fn(fn, xs)
-            gbs = bytes_per_spmv(A) / t / 1e9
-            gflops = flops_per_spmv(A) / t / 1e9
-            rows.append((name, fmt, str(config), t * 1e6, gflops, gbs,
-                         gbs / stream, err))
-            print(f"{name:16s} {fmt:5s} {t*1e6:9.1f}us {gflops:7.2f} GFLOP/s "
+            # marginal (two-point) differences out the fixed ~28 ms
+            # relay dispatch cost; per-call kept for earlier-round parity
+            tm, t = time_fn_marginal(fn, xs)
+            gbs = bytes_per_spmv(A) / tm / 1e9
+            gflops = flops_per_spmv(A) / tm / 1e9
+            rows.append((name, fmt, str(config), t * 1e6, tm * 1e6, gflops,
+                         gbs, gbs / stream, err))
+            print(f"{name:16s} {fmt:5s} {t*1e6:9.1f}us "
+                  f"marg {tm*1e6:8.1f}us {gflops:7.2f} GFLOP/s "
                   f"{gbs:8.2f} GB/s  {gbs/stream:6.1%} roofline  "
                   f"L2err {err:.2e}  {config}")
     if csv_path:
         import csv
         with open(csv_path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["matrix", "format", "config", "us", "gflops",
-                        "gbs", "roofline_frac", "l2_error"])
+            w.writerow(["matrix", "format", "config", "us", "marginal_us",
+                        "gflops", "gbs", "roofline_frac", "l2_error"])
             w.writerows(rows)
     return rows
 

@@ -357,6 +357,8 @@ def build_colsort(A, config, interpret: bool = False):
     counts = np.bincount(row, minlength=m)
     hub = counts[row] > hub_cap
 
+    _stats = dict(impl="colsort", Bs=Bs, W=W, streamed=False,
+                  nnz=int(row.size), n_hub=int(hub.sum()))
     parts = []       # callables composed into one traced fn
     parts_mm = []    # SpMM (2-D x) counterparts of the main pass
     arrays = {}      # planned device arrays (PlannedOperator leaves)
@@ -434,6 +436,9 @@ def build_colsort(A, config, interpret: bool = False):
                        arrs["mp"])
             return y3.reshape(K, m_pad)[:, :m]
         parts_mm.append(main_part_mm)
+        _stats.update(nb_main=int(nb),
+                      fill_main=round(int((~hub).sum())
+                                      / max(nb * Bs * LANE, 1), 4))
 
     if hub.any():
         NR = int(config.get("hub_rows", NR_DEFAULT))
@@ -509,6 +514,9 @@ def build_colsort(A, config, interpret: bool = False):
             return jnp.zeros((K, m), arrs["hv"].dtype).at[
                 :, arrs["hrw"]].add(totals, mode="drop")
         parts_mm.append(hub_part_mm)
+        _stats.update(nb_hub=int(nb_pad),
+                      fill_hub=round(int(hub.sum())
+                                     / max(nb_pad * Bs * LANE, 1), 4))
 
     def apply(arrs, x):
         if x.ndim == 1:
@@ -534,6 +542,11 @@ def build_colsort(A, config, interpret: bool = False):
         return apply(arrays, x)
     fn.planned_arrays = arrays
     fn.apply = apply
+    # kernel-class cost model (see pallas_colsort2.build_colsort2): the
+    # W-pass XLU gathers bound the rate at ~W lane-ops per slot per rhs
+    _stats["xlu_cycles_per_rhs"] = (
+        (_stats.get("nb_main", 0) + _stats.get("nb_hub", 0)) * Bs * W)
+    fn.plan_stats = _stats
     return fn
 
 

@@ -890,4 +890,17 @@ def build_colsort2(A, config, interpret: bool = False):
         return apply(arrays, x)
     fn.planned_arrays = arrays
     fn.apply = apply
+    # diagnostics: the kernel-class cost model is ~W XLU lane-ops per SLOT
+    # per rhs (the W-pass take_along gathers; the one-hot scatter dot rides
+    # the idle MXU), so t_xlu ~= nb*Bs*W cycles bounds this plan's SpMV.
+    # fill = placed entries / slots is the efficiency knob the colorers buy.
+    n_spill = int(srow.size)
+    slots = int(nb) * Bs * LANE
+    fn.plan_stats = dict(
+        impl="colsort2", nb=int(nb), Bs=Bs, W=W, RSp=RSp, K=K, mix=mix,
+        streamed=bool(streamed), slots=slots,
+        nnz=int(row.size), spill=n_spill,
+        fill=round((row.size - n_spill) / max(slots, 1), 4),
+        xlu_cycles_per_rhs=int(nb) * Bs * W,
+        plan_bytes=int(plan_bytes))
     return fn
