@@ -550,6 +550,30 @@ def test_colsort2_rectangular():
                   "build_colsort2")
 
 
+def test_colsort_plan_stats():
+    """Both scattered builders expose the plan diagnostics (nb, W, fill,
+    XLU lane-op bound) used for roofline statements."""
+    from cusp_autotuned_tpu.kernels.pallas_colsort import build_colsort
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    S = _powerlaw(800, 8000, seed=5)
+    A = from_scipy(S.tocoo(), "csr")
+    f1 = build_colsort(A, {"block_entries": 2048, "col_window": 16384,
+                           "row_window": 2048}, interpret=True)
+    st1 = f1.plan_stats
+    assert st1["impl"] == "colsort" and st1["nnz"] == S.nnz
+    assert 0 < st1.get("fill_main", 1) <= 1
+    assert st1["xlu_cycles_per_rhs"] > 0
+    f2 = build_colsort2(A, {}, interpret=True)
+    st2 = f2.plan_stats
+    assert st2["impl"] == "colsort2"
+    assert st2["nnz"] == S.nnz and st2["spill"] >= 0
+    assert 0 < st2["fill"] <= 1
+    # fill is consistent with its definition
+    assert abs(st2["fill"]
+               - (st2["nnz"] - st2["spill"]) / st2["slots"]) < 1e-3
+    assert st2["xlu_cycles_per_rhs"] == st2["nb"] * st2["Bs"] * st2["W"]
+
+
 @pytest.mark.parametrize("mix", [2, 4, 8])
 def test_colsort2_mix_chunks(mix):
     # chunk-mixed sublanes: up to `mix` chunks share a sublane, scattered
