@@ -182,9 +182,11 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             "the hierarchy falls back to the container multiplies",
             RuntimeWarning, stacklevel=2)
 
-    import jax.scipy.linalg as jsl
     dense = to_dense(sa.A)
     dtype = jnp.float64 if "64" in str(dense.dtype) else jnp.float32
-    lu, piv = jsl.lu_factor(jnp.asarray(dense, dtype))
-    return Multilevel(levels=tuple(levels), coarse=CoarseLU(lu=lu, piv=piv),
+    # invert on host in f64: triangular solves don't map to the MXU (see
+    # CoarseLU), and the one-off O(n^3) setup cost is off the hot path
+    inv = np.linalg.inv(np.asarray(dense, np.float64))
+    return Multilevel(levels=tuple(levels),
+                      coarse=CoarseLU(inv=jnp.asarray(inv, dtype)),
                       shape=A.shape)

@@ -58,11 +58,24 @@ class Level:
 @register_matrix
 @dataclasses.dataclass(frozen=True)
 class CoarseLU:
-    lu: jnp.ndarray
-    piv: jnp.ndarray
+    """Coarse-grid direct solve.
+
+    Parity: the reference's default coarse solver is a dense LU with
+    back-substitution (cusp/detail/lu.h:81-152).  On TPU a triangular
+    solve lowers to a length-n sequential substitution loop — pure
+    latency, ~10 ms at n≈1000 inside the V-cycle, dwarfing every sparse
+    kernel in the cycle — so the factorization is inverted ONCE at setup
+    (in f64, off the hot path) and the per-cycle coarse solve is a single
+    dense matvec on the MXU.  The f64-inverse-then-cast application error
+    is O(cond·eps_f32), the same order as an f32 back-substitution."""
+    inv: jnp.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.inv.shape[0]
 
     def __call__(self, b):
-        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+        return self.inv @ b
 
 
 @register_matrix
@@ -110,12 +123,12 @@ class Multilevel(MatrixBase):
 
     def operator_complexity(self) -> float:
         nnz = [lvl.A.num_entries for lvl in self.levels]
-        nnz.append(self.coarse.lu.shape[0] ** 2)
+        nnz.append(self.coarse.n ** 2)
         return float(sum(nnz)) / max(1, self.levels[0].A.num_entries)
 
     def grid_complexity(self) -> float:
         rows = [lvl.A.num_rows for lvl in self.levels]
-        rows.append(self.coarse.lu.shape[0])
+        rows.append(self.coarse.n)
         return float(sum(rows)) / max(1, self.levels[0].A.num_rows)
 
     def print(self, stream=None) -> None:
@@ -126,7 +139,7 @@ class Multilevel(MatrixBase):
         stream.write("  level       rows        entries\n")
         for i, lvl in enumerate(self.levels):
             stream.write(f"  {i:>5} {lvl.A.num_rows:>10} {lvl.A.num_entries:>14}\n")
-        n = self.coarse.lu.shape[0]
+        n = self.coarse.n
         stream.write(f"  {len(self.levels):>5} {n:>10} {n * n:>14} (dense LU)\n")
 
 

@@ -292,5 +292,5 @@ def test_distribute_multilevel_placement():
     fine = Md.levels[0].A
     leaves = jax.tree_util.tree_leaves(fine)
     assert any(not leaf.sharding.is_fully_replicated for leaf in leaves)
-    coarse_lu = Md.coarse.lu
-    assert coarse_lu.sharding.is_fully_replicated
+    coarse_inv = Md.coarse.inv
+    assert coarse_inv.sharding.is_fully_replicated
