@@ -1,6 +1,11 @@
 """Matrix formats and conversion (reference: examples/MatrixFormats,
 examples/MatrixAssembly)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import cusp_autotuned_tpu as ct

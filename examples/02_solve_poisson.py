@@ -1,6 +1,11 @@
 """The reference README's "simple example": load/build a matrix, solve with
 CG, inspect convergence (reference: examples/Algorithms, examples/Monitors)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from cusp_autotuned_tpu import gallery, solvers

@@ -1,6 +1,11 @@
 """Smoothed-aggregation AMG as a CG preconditioner
 (reference: examples/Preconditioners)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from cusp_autotuned_tpu import gallery, precond, solvers

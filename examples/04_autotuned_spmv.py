@@ -1,6 +1,11 @@
 """The KTT layer reborn: dynamic and offline SpMV autotuning
 (reference: the fork's cusp/ktt API, testing/ktt.cu, main.cu)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import cusp_autotuned_tpu as ct

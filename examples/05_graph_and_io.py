@@ -1,6 +1,11 @@
 """Graph algorithms and matrix I/O (reference: examples/Graph,
 examples/InputOutput)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import numpy as np

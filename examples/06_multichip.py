@@ -2,6 +2,11 @@
 extension beyond the single-GPU reference (run with real chips, or
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

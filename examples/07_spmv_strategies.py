@@ -13,6 +13,11 @@ tuning spaces, cusp/system/cuda/ktt/*_multiply.h, reborn as TPU kernels):
 Run me with PYTHONPATH pointing at the repo root.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

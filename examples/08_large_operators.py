@@ -8,6 +8,11 @@ budget the binned kernel switches to its streamed-window rail
 automatically: x and y blocks are pipelined per kernel step, so matrix
 size is bounded only by HBM."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from cusp_autotuned_tpu import gallery, solvers, autotune
