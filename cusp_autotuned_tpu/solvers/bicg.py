@@ -5,6 +5,8 @@ loop runs as one jitted lax.while_loop."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -12,11 +14,16 @@ from cusp_autotuned_tpu.ops import blas
 from cusp_autotuned_tpu.ops.multiply import multiply
 from cusp_autotuned_tpu.ops.transpose import transpose as transpose_op
 from cusp_autotuned_tpu.operators import as_operator, IdentityOperator
-from cusp_autotuned_tpu.solvers.monitor import Monitor, default_monitor, monitor_record
+from cusp_autotuned_tpu.solvers.monitor import (
+    Monitor, default_monitor, monitor_init, monitor_record,
+)
 
 
-@jax.jit
-def _bicg_loop(A, At, M, Mt, b, x0, state0):
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _bicg_loop(A, At, M, Mt, b, x0, limit, rtol, atol):
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    state0 = monitor_init(b, limit, rtol, atol)
     r = b - multiply(A, x0)
     state = monitor_record(state0, blas.nrm2(r))
     r_star = r
@@ -61,8 +68,6 @@ def bicg(A, b, x0=None, monitor: Monitor | None = None, M=None,
     reductions stay shard-local and the dot products become ICI
     all-reduces under GSPMD."""
     b = jnp.asarray(b)
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
     if At is None:
@@ -72,13 +77,15 @@ def bicg(A, b, x0=None, monitor: Monitor | None = None, M=None,
         Mop if isinstance(Mop, IdentityOperator) else as_operator(transpose_op(M)))
     if mesh is not None:
         from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
         A, b, x0 = distribute_for_solve(A, mesh, b, x0)
         At, = distribute_for_solve(At, mesh)
         with mesh:
             x, state = _bicg_loop(A, At, Mop, Mtop, b, jnp.asarray(x0),
-                                  monitor.to_state(b))
+                                  *monitor.spec())
     else:
-        x, state = _bicg_loop(A, At, Mop, Mtop, b, jnp.asarray(x0),
-                              monitor.to_state(b))
+        x0 = None if x0 is None else jnp.asarray(x0)
+        x, state = _bicg_loop(A, At, Mop, Mtop, b, x0, *monitor.spec())
     monitor.absorb_state(state)
     return x, monitor

@@ -9,16 +9,21 @@ jitted lax.while_loop.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from cusp_autotuned_tpu.ops import blas
 from cusp_autotuned_tpu.ops.multiply import multiply
-from cusp_autotuned_tpu.solvers.monitor import Monitor, default_monitor, monitor_record
+from cusp_autotuned_tpu.solvers.monitor import (
+    Monitor, default_monitor, monitor_init, monitor_record,
+)
 
 
-@jax.jit
-def _bicgstab_m_loop(A, b, sigma, state0):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _bicgstab_m_loop(A, b, sigma, limit, rtol, atol):
+    state0 = monitor_init(b, limit, rtol, atol)
     n = b.shape[0]
     ns = sigma.shape[0]
     dtype = b.dtype
@@ -101,6 +106,6 @@ def bicgstab_m(A, b, sigma, monitor: Monitor | None = None, mesh=None):
         from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
         A, b = distribute_for_solve(A, mesh, b)
     with (mesh if mesh is not None else contextlib.nullcontext()):
-        X, state = _bicgstab_m_loop(A, b, sigma, monitor.to_state(b))
+        X, state = _bicgstab_m_loop(A, b, sigma, *monitor.spec())
     monitor.absorb_state(state)
     return X, monitor

@@ -11,6 +11,8 @@ per iteration — no host round-trips until the loop exits.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -18,12 +20,17 @@ from cusp_autotuned_tpu.ops import blas
 from cusp_autotuned_tpu.ops.multiply import multiply
 from cusp_autotuned_tpu.operators import as_operator
 from cusp_autotuned_tpu.solvers.monitor import (
-    Monitor, default_monitor, monitor_record,
+    Monitor, default_monitor, monitor_init, monitor_record,
 )
 
 
-@jax.jit
-def _cg_loop(A, M, b, x0, state0):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _cg_loop(A, M, b, x0, limit, rtol, atol):
+    # x0 default and the monitor state are built INSIDE the jit: each
+    # eager op here would cost a full dispatch round trip per solve call
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    state0 = monitor_init(b, limit, rtol, atol)
     y = multiply(A, x0)
     r = b - y
     z = M(r)
@@ -61,8 +68,6 @@ def cg(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
     all-reduces.  The reference has no distributed path (SURVEY §2.6); this
     is the TPU-native extension."""
     b = jnp.asarray(b)
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
     Mop = as_operator(M)
@@ -72,11 +77,14 @@ def cg(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
         )
         if hasattr(Mop, "levels"):      # AMG hierarchy: shard fine levels
             Mop = distribute_multilevel(Mop, mesh)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
         A, b, x0 = distribute_for_solve(A, mesh, b, x0)
         with mesh:
             x, state = _cg_loop(A, Mop, b, jnp.asarray(x0),
-                                monitor.to_state(b))
+                                *monitor.spec())
     else:
-        x, state = _cg_loop(A, Mop, b, jnp.asarray(x0), monitor.to_state(b))
+        x0 = None if x0 is None else jnp.asarray(x0)
+        x, state = _cg_loop(A, Mop, b, x0, *monitor.spec())
     monitor.absorb_state(state)
     return x, monitor

@@ -3,19 +3,26 @@ including the true-residual recomputation every 8 iterations)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from cusp_autotuned_tpu.ops import blas
 from cusp_autotuned_tpu.ops.multiply import multiply
 from cusp_autotuned_tpu.operators import as_operator
-from cusp_autotuned_tpu.solvers.monitor import Monitor, default_monitor, monitor_record
+from cusp_autotuned_tpu.solvers.monitor import (
+    Monitor, default_monitor, monitor_init, monitor_record,
+)
 
 RECOMPUTE_R = 8
 
 
-@jax.jit
-def _cr_loop(A, M, b, x0, state0):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _cr_loop(A, M, b, x0, limit, rtol, atol):
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    state0 = monitor_init(b, limit, rtol, atol)
     r = b - multiply(A, x0)
     state = monitor_record(state0, blas.nrm2(r))
     z = M(r)
@@ -53,18 +60,18 @@ def _cr_loop(A, M, b, x0, state0):
 
 def cr(A, b, x0=None, monitor: Monitor | None = None, M=None, mesh=None):
     b = jnp.asarray(b)
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     if monitor is None:
         monitor = default_monitor(b)
     if mesh is not None:
         from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
         A, b, x0 = distribute_for_solve(A, mesh, b, x0)
         with mesh:
             x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
-                                monitor.to_state(b))
+                                *monitor.spec())
     else:
-        x, state = _cr_loop(A, as_operator(M), b, jnp.asarray(x0),
-                            monitor.to_state(b))
+        x0 = None if x0 is None else jnp.asarray(x0)
+        x, state = _cr_loop(A, as_operator(M), b, x0, *monitor.spec())
     monitor.absorb_state(state)
     return x, monitor

@@ -132,8 +132,13 @@ def gmres(A, b, x0=None, restart: int = 50, monitor: Monitor | None = None,
     with (mesh if mesh is not None else contextlib.nullcontext()):
         while True:
             x, state = _gmres_cycle(A, Mop, b, x, state, R=R)
-            if bool(state.converged()) \
-                    or int(state.k) >= monitor.iteration_limit():
+            # one batched fetch per restart cycle (converged()/k read
+            # separately would each pay a device round trip)
+            k, r_norm, b_norm = jax.device_get(
+                (state.k, state.r_norm, state.b_norm))
+            tol = (state.absolute_tolerance
+                   + state.relative_tolerance * float(b_norm))
+            if float(r_norm) <= tol or int(k) >= monitor.iteration_limit():
                 break
     monitor.absorb_state(state)
     return x, monitor

@@ -102,10 +102,28 @@ class Monitor:
     def tolerance(self) -> float:
         return self._absolute_tolerance + self._relative_tolerance * self.b_norm
 
+    @property
+    def b_norm(self) -> float:
+        if self._b_norm is None:
+            self._b_norm = float(np.linalg.norm(np.asarray(self._b_ref)))
+        return self._b_norm
+
+    def spec(self) -> Tuple[int, float, float]:
+        """(iteration_limit, rtol, atol) — static arguments for the jitted
+        solver loops, which build the MonitorState ON DEVICE (monitor_init
+        traced inside the jit) instead of paying eager dispatches and a
+        ||b|| round trip on every solve call."""
+        return (self._iteration_limit, self._relative_tolerance,
+                self._absolute_tolerance)
+
     # -- driving (eager use) --------------------------------------------------
 
     def reset(self, b) -> None:
-        self.b_norm = float(np.linalg.norm(np.asarray(b)))
+        # b_norm is computed LAZILY: pulling ||b|| eagerly costs a
+        # device->host round trip per solve call (the jitted solvers
+        # compute it on device and absorb_state hands it back)
+        self._b_ref = b
+        self._b_norm: float | None = None
         self.residuals: list = []
         if self.verbose:
             print(f"Solver will continue until residual norm {self.tolerance():.6g}"
@@ -177,8 +195,12 @@ class Monitor:
 
     def absorb_state(self, state: MonitorState) -> "Monitor":
         """Fill this monitor's history from a solver's final MonitorState."""
-        k = int(state.k)
-        hist = np.asarray(state.residuals)[: k + 1]
+        import jax
+        # one batched fetch instead of three sequential round trips
+        k, b_norm, hist = jax.device_get(
+            (state.k, state.b_norm, state.residuals))
+        self._b_norm = float(b_norm)
+        hist = hist[: int(k) + 1]
         self.residuals = [float(v) for v in hist]
         if self.verbose:
             for i, v in enumerate(self.residuals):
