@@ -55,6 +55,8 @@ def candidate_configs(rect: bool):
     if not rect:
         cfgs.append(("via_dia", {"impl": "via_dia", "dia_impl": "pallas",
                                  "block_rows": 4096}))
+    # plain MXU GEMV for dense-enough patterns (guard skips sparse ones)
+    cfgs.append(("via_dense", {"impl": "via_dense"}))
     return cfgs
 
 

@@ -140,6 +140,34 @@ def _build_via_dia(A, config):
     return build_spmv(D, {**config, "impl": _inner_dia_impl(config)})
 
 
+def _build_via_dense(A, config):
+    """Format-selection move: densify and run the plain MXU GEMV/GEMM
+    (the reference serves dense patterns through array2d multiply,
+    cusp/system/detail/generic/multiply.inl array2d path).  Viable when
+    the dense data volume is comparable to the sparse entry stream —
+    fill >= 1/4 makes m*n*4 B <= 2x the 8 B/entry sparse traffic — and
+    small enough to embed (the relay size-caps compile requests); the
+    guard raises the skippable conversion failure otherwise, exactly
+    like via_dia's fill guard."""
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
+    import numpy as np
+
+    m, n = A.shape
+    itemsize = np.dtype(A.dtype).itemsize
+    dense_bytes = m * n * itemsize
+    fill = A.nnz / max(m * n, 1)
+    if fill < 0.25 or dense_bytes > (32 << 20):
+        raise FormatConversionException(
+            f"via_dense needs fill >= 0.25 and <= 32 MB dense data "
+            f"(fill {fill:.3f}, {dense_bytes >> 20} MB)")
+    D = jnp.asarray(to_scipy(A).toarray().astype(A.dtype))
+
+    def fn(x):
+        return D @ x
+    return fn
+
+
 def _build_rcm_dia(A, config):
     """Format-selection move: symmetric RCM reorder to shrink bandwidth,
     then DIA.  y = P^T (D @ (P x)) with the permutation applied as cheap
@@ -176,6 +204,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
     "ell": {
         "gather": _build_ell_gather,
         "via_dia": _build_via_dia,
+        "via_dense": _build_via_dense,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("ell"),
         "binned": _build_binned,
@@ -187,6 +216,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "gather": _build_ell_gather,
         "rowlen": _build_ellr_rowlen,
         "via_dia": _build_via_dia,
+        "via_dense": _build_via_dense,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("ellr"),
         "binned": _build_binned,
@@ -197,6 +227,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
     "csr": {
         "segsum": _build_csr_segsum,
         "via_dia": _build_via_dia,
+        "via_dense": _build_via_dense,
         "rcm_dia": _build_rcm_dia,
         "pallas": _build_pallas("csr"),
         "binned": _build_binned,
@@ -207,6 +238,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
     "coo": {
         "segsum": _build_coo_segsum,
         "via_dia": _build_via_dia,
+        "via_dense": _build_via_dense,
         "pallas": _build_pallas("coo"),
         "binned": _build_binned,
         "colsort": _build_colsort,
@@ -217,6 +249,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "default": _build_hyb,
         "pallas": _build_pallas("hyb"),
         "via_dia": _build_via_dia,
+        "via_dense": _build_via_dense,
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
@@ -259,14 +292,14 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, b: (b > 0) == (i == "pallas"))
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
-            "ell": ("gather", "via_dia", "rcm_dia", "pallas", "binned",
+            "ell": ("gather", "via_dia", "via_dense", "rcm_dia", "pallas",
+                    "binned", "colsort", "colsort2"),
+            "ellr": ("gather", "rowlen", "via_dia", "via_dense", "rcm_dia",
+                     "pallas", "binned", "colsort", "colsort2"),
+            "csr": ("segsum", "via_dia", "via_dense", "rcm_dia", "pallas",
+                    "binned", "colsort", "colsort2"),
+            "coo": ("segsum", "via_dia", "via_dense", "pallas", "binned",
                     "colsort", "colsort2"),
-            "ellr": ("gather", "rowlen", "via_dia", "rcm_dia", "pallas",
-                     "binned", "colsort", "colsort2"),
-            "csr": ("segsum", "via_dia", "rcm_dia", "pallas", "binned",
-                    "colsort", "colsort2"),
-            "coo": ("segsum", "via_dia", "pallas", "binned", "colsort",
-                    "colsort2"),
         }[fmt]
         space.add_parameter("impl", impls)
         space.add_parameter("dia_impl", ("none", "slices", "pallas"))

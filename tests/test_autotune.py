@@ -159,6 +159,26 @@ def test_format_selection_moves():
     assert {"segsum", "via_dia", "rcm_dia"} <= ok_impls
 
 
+def test_via_dense_validates_on_dense_pattern():
+    """via_dense (plain MXU GEMV) must validate on a dense-enough matrix
+    and be the skippable conversion failure on a sparse one."""
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.variants import build_spmv
+    from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
+    rng = np.random.RandomState(3)
+    S = sp.csr_matrix(rng.randn(60, 60).astype(np.float32))
+    A = build(S.tocoo(), "csr")
+    x = np.linspace(-1, 1, 60).astype(np.float32)
+    fn = build_spmv(A, {"impl": "via_dense"})
+    np.testing.assert_allclose(np.asarray(fn(x)), reference_spmv(A, x),
+                               rtol=1e-4, atol=1e-5)
+    Sp = sp.random(2000, 2000, density=0.001, random_state=rng,
+                   dtype=np.float32) + sp.eye(2000, dtype=np.float32)
+    Asp = build(Sp.tocoo(), "csr")
+    with pytest.raises(FormatConversionException):
+        build_spmv(Asp, {"impl": "via_dense"})
+
+
 def test_via_dia_fill_guard_is_skippable():
     """On a pattern with catastrophic diagonal fill, via_dia must be
     recorded DeviceLimitsExceeded (skippable), not crash the tune."""
