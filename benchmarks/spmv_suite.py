@@ -51,6 +51,11 @@ def candidate_configs(rect: bool):
                            "mix_chunks": 4}),
         ("colsort2-mix8-hub8", {"impl": "colsort2", "vrow_planes": 1,
                                 "mix_chunks": 8, "hub_cap": 8}),
+        ("routed", {"impl": "routed"}),
+        ("routed-r128", {"impl": "routed", "vrow_span": 128}),
+        ("routed-w2", {"impl": "routed", "win_group": 2}),
+        ("routed-r128-hub8", {"impl": "routed", "vrow_span": 128,
+                              "hub_cap": 8}),
     ]
     if not rect:
         cfgs.append(("via_dia", {"impl": "via_dia", "dia_impl": "pallas",
@@ -69,6 +74,10 @@ def main():
     ap.add_argument("--configs", type=str, default=None,
                     help="comma-separated config-label filter (exact match)")
     ap.add_argument("--no-stencil", action="store_true")
+    ap.add_argument("--tuned", action="store_true",
+                    help="also run the offline tuner per matrix and report "
+                         "its pick (persistent cache reused) — shows the "
+                         "search finds the winner without hand-curation")
     ap.add_argument("--out", type=str, default="/tmp/spmv_suite_results.json")
     args = ap.parse_args()
 
@@ -152,6 +161,32 @@ def main():
             "all": {k: (round(v[2] * 1e3, 3) if isinstance(v[0], float)
                         else v[0]) for k, v in results.items()},
         }
+        if args.tuned:
+            # the real search (testing/ktt.cu spirit): exhaustive walk with
+            # oracle validation; its pick is then timed with the same
+            # marginal methodology as the curated rows above
+            try:
+                from cusp_autotuned_tpu.autotune.tuner import Tuner
+                from cusp_autotuned_tpu.backend.reference import (
+                    reference_spmv,
+                )
+                tuner = Tuner()
+                tuner.tune(A, np.asarray(x),
+                           reference_computation=reference_spmv)
+                cfg_t = tuner.best_configuration(A, np.asarray(x))
+                fn_t = jax.jit(build_spmv(A, cfg_t))
+                jax.block_until_ready(fn_t(x))
+                tm_t, t_t = time_fn_marginal(fn_t, x)
+                row["tuned"] = {
+                    "config": cfg_t,
+                    "marginal_ms": round(max(tm_t, 1e-9) * 1e3, 3),
+                    "marginal_gbps": round(useful / max(tm_t, 1e-9) / 1e9,
+                                           2),
+                    "vs_curated_best": round(max(tm_t, 1e-9) / t_marg, 2),
+                }
+            except Exception as e:  # noqa: BLE001
+                row["tuned"] = {"error": str(e)[:120]}
+            print(json.dumps({"matrix": name, "tuned": row["tuned"]}))
         rows_out.append(row)
         print(json.dumps(row))
 

@@ -640,10 +640,12 @@ def build_colsort2(A, config, interpret: bool = False):
             "block_entries above 16384 exceed the transposed-gather tile")
     W = max(1, -(-int(config.get("col_window", n)) // (LANE * LANE)))
     CW = W * LANE
-    K = int(config.get("vrow_planes", K_DEFAULT))
+    # 0 means "default" for the shared tuning-space axes (a walk config
+    # carries every axis; 0 is the not-applicable/default marker)
+    K = int(config.get("vrow_planes", 0)) or K_DEFAULT
     lane_cap = int(config.get("lane_cap", 0))
     hub_cap = int(config.get("hub_cap", 0))
-    RSp = int(config.get("vrow_span", RSP_DEFAULT))
+    RSp = int(config.get("vrow_span", 0)) or RSP_DEFAULT
     if RSp % 8 != 0:
         raise NotImplementedException("vrow_span must be a multiple of 8")
     mix_raw = config.get("mix_chunks", 0)

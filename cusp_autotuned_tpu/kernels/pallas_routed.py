@@ -1,0 +1,548 @@
+"""Pallas TPU SpMV v3 for scattered patterns: the ROUTED rail.
+
+Third-generation scattered-pattern kernel (rebuild target: the fork's COO
+strategy family, cusp/system/cuda/ktt/kernels/coo_kernel.h:64-369), built
+on the round-3 cost model (docs/roadmap.md): colsort2 is bound by its
+W+1 take_along_axis passes per block per rhs (~136 ns each on a 128x128
+tile), W growing with the column span, and its one-hot scatter dot stops
+being free once the virtual-row band widens (RSp*mix*128*128*6 MACs).
+This rail needs W_r + 2 takes and NO matmul:
+
+    xw_w = x-window tiles (128, 128)      # W_r x 16384 consecutive elems
+    t1   = select_w take(xw_w, g1)        # W_r takes: source lane + window
+    rt   = transpose(take(transpose(t1), g2))  # 1 take: source sublane
+    pr   = take(vals * rt, perm)          # 1 take: virtual-lane layout
+    y[vb:vb+RSp] += pr.reshape(F, RSp, 128).sum(0)   # F = 128 // RSp
+
+Two lane-gathers sandwiching a transpose realize an ARBITRARY 2-D
+rearrangement — dest (s, l) reads source (r, lam) of window w provided
+g2[l, s] = r and g1[r, l] = (w, lam) — so the gather cost is W_r + 1
+passes for a W_r * 16384-column pool instead of colsort2's per-slot
+window sweep.  The scatter costs NOTHING beyond the virtual-lane
+permutation: each sublane's output chunk is fixed AT PLAN TIME as
+qrel(s) = s mod RSp, so summing the F sublanes that share a chunk is a
+sublane-split reshape + sum (measured 0.8 ns/elem vs 7-9 ns for any XLA
+gather/scatter — the round-3 design rule).
+
+Planner constraints per block (native.route_cells / _route_cells_py):
+
+  C1  lane l hosts <= 1 distinct (window, column) per residue class
+      r = col % 128 (duplicates of one column share the route — heavy
+      columns cost nothing)
+  C2  sublane s hosts <= 1 entry per virtual lane (the perm take)
+  C3  sublane s hosts only chunk vb + (s mod RSp) — so a virtual row has
+      F = 128/RSp slots per block (multi-entry rows need F > 1 or the
+      hub; the Poisson tail at F == 1 collapses fill)
+  C4  one entry per (s, l) slot
+
+Virtual rows live in K chunk-interleaved identity planes (fold =
+reshape-sum, no gather).  Hub rows (deg > hub_cap) and the Poisson tail
+of row multiplicities beyond the per-row slot capacity go to a
+capacity-128 colsort2 SUB-PLAN (its one-hot dot sums what takes cannot);
+y = routed_main(x) + colsort2_tail(x), one composed operator.
+
+Patterns that cannot be planned — including a tail above half the
+entries, where plain colsort2 is the right kernel — raise
+FormatConversionException (skippable autotuner results, KTT ResultStatus
+semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cusp_autotuned_tpu.utils.exceptions import (
+    FormatConversionException, NotImplementedException,
+)
+from cusp_autotuned_tpu.utils.padding import LANE, round_up
+
+WIN = LANE * LANE                  # x-window: 16384 consecutive elements
+HUB_SPLIT = 128
+
+
+def MAX_VMEM_BYTES():
+    from cusp_autotuned_tpu.utils.config import get_config
+    return get_config().vmem_budget_bytes
+
+
+def _plan_budget(config):
+    from cusp_autotuned_tpu.utils.config import plan_budget
+    return plan_budget(config)
+
+
+def _virtual_rows(row, col, val, shape, K, Wr, hub_cap):
+    """Interleaved identity-plane virtual-row ids.  Row i's k-th entry
+    WITHIN ONE WINDOW GROUP goes to plane k = rank % K, and planes
+    interleave at chunk level (vchunk = (i >> 7)*K + k), so one block's
+    RSp-chunk band covers RSp*128/K consecutive rows with K slots per row
+    — the first K same-row entries of a window group get DISTINCT virtual
+    rows by construction (rank-based, not the global idx%K round-robin,
+    which lets same-window entries collide).  The fold stays a pure
+    reshape-sum.
+
+    Rows with more than hub_cap entries are NOT planned here: a take can
+    place but never SUM, so a hub row would burn one F-slot per entry and
+    cascade blocks.  They return in the is_hub mask and go to the
+    colsort2 tail, whose one-hot dot and hub region sum them natively."""
+    m, n = shape
+    nnz = row.size
+    m_pad = round_up(max(m, 1), LANE)
+    nch_plane = m_pad // LANE
+
+    wg = col // (WIN * Wr)
+    order = np.lexsort((col, wg, row))
+    r, c, v = row[order], col[order], val[order]
+    wg = wg[order]
+    counts = np.bincount(r, minlength=m)
+    if hub_cap <= 0:
+        hub_cap = int(max(64, 4 * nnz // max(1, m)))
+    is_hub = counts[r] > hub_cap
+
+    # rank within (row, window group): entries arrive sorted by (row, wg)
+    gkey = r * (np.int64(wg.max(initial=0)) + 1) + wg
+    gstart = np.ones(nnz, bool)
+    gstart[1:] = gkey[1:] != gkey[:-1]
+    idx = np.arange(nnz)
+    rank = idx - np.maximum.accumulate(np.where(gstart, idx, 0))
+
+    vid = ((r >> 7) * K + rank % K) * LANE + (r & (LANE - 1))
+    nch_main = K * nch_plane
+    return r, c, v, vid, is_hub, m_pad, nch_main
+
+
+def _route_cells_py(cell, res, wlam, vlane, qrel, RSp):
+    """Greedy hardest-first slot assignment under C1-C4 (python reference;
+    native.route_cells mirrors it).  Entries must arrive SORTED BY CELL;
+    wlam = (window_in_group << 7) | source_lane identifies the column
+    within its residue class.  Returns (blk, sub, lane) with blk a
+    PER-CELL block ordinal."""
+    nnz = cell.size
+    F = LANE // RSp
+    blk = np.empty(nnz, np.int64)
+    sub = np.empty(nnz, np.int64)
+    lane = np.empty(nnz, np.int64)
+
+    i = 0
+    while i < nnz:
+        j = i
+        while j < nnz and cell[j] == cell[i]:
+            j += 1
+        e_idx = np.arange(i, j)
+        rc = np.bincount(res[e_idx], minlength=LANE)
+        vc = np.bincount(vlane[e_idx], minlength=LANE)
+        qc = np.bincount(qrel[e_idx], minlength=LANE)
+        hard = np.maximum(np.maximum(rc[res[e_idx]], vc[vlane[e_idx]]),
+                          qc[qrel[e_idx]])
+        e_order = e_idx[np.argsort(-hard, kind="stable")]
+
+        states: list = []
+        for e in e_order:
+            cand_subs = qrel[e] + RSp * np.arange(F)          # C3
+            placed = False
+            for b, st in enumerate(states):
+                cand_l = (st["lcol"][:, res[e]] == wlam[e]) \
+                    | (st["lcol"][:, res[e]] < 0)              # C1
+                if not cand_l.any():
+                    continue
+                for s in cand_subs:
+                    if st["vused"][s, vlane[e]]:               # C2
+                        continue
+                    avail = st["free"][s] & cand_l             # C4
+                    if not avail.any():
+                        continue
+                    ll = int(np.argmax(avail))
+                    st["free"][s, ll] = False
+                    st["vused"][s, vlane[e]] = True
+                    st["lcol"][ll, res[e]] = wlam[e]
+                    blk[e], sub[e], lane[e] = b, s, ll
+                    placed = True
+                    break
+                if placed:
+                    break
+            if not placed:
+                st = dict(
+                    free=np.ones((LANE, LANE), bool),
+                    vused=np.zeros((LANE, LANE), bool),
+                    lcol=np.full((LANE, LANE), -1, np.int64),
+                )
+                s = int(cand_subs[0])
+                st["free"][s, 0] = False
+                st["vused"][s, vlane[e]] = True
+                st["lcol"][0, res[e]] = wlam[e]
+                blk[e], sub[e], lane[e] = len(states), s, 0
+                states.append(st)
+        i = j
+    return blk, sub, lane
+
+
+def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
+                 tail_min_fill=0.25):
+    """Returns (vals, g1, g2, perm, vbs, cbs, m_pad, nch_main, tail):
+    per-block (128, 128) tiles — values, the gather routes g1[r, l] =
+    (window << 7) | source_lane and g2[l, s] = source_sublane, the
+    virtual-lane permutation perm[s, vl] = lane — plus per-block
+    virtual-chunk bases (chunk units, RSp-aligned) and x-window LANE
+    offsets (the block's W_r windows start there).
+
+    Hub rows (deg > hub_cap) and blocks filled below tail_min_fill — the
+    Poisson tail of row multiplicities beyond the K * 128/RSp per-row
+    slot capacity — return as the `tail` COO triplets, to be served by a
+    capacity-128 colsort2 sub-plan instead of cascading into near-empty
+    routed blocks (each of which would cost full passes)."""
+    r, c, v, vid, is_hub, m_pad, nch_main = _virtual_rows(
+        row, col, val, shape, K, Wr, hub_cap)
+    hub_tail = (r[is_hub], c[is_hub], v[is_hub])
+    if is_hub.any():
+        keep0 = ~is_hub
+        r, c, v, vid = r[keep0], c[keep0], v[keep0], vid[keep0]
+    nnz = r.size
+    chunk = vid >> 7
+    vlane = (vid & (LANE - 1)).astype(np.int64)
+    grp = chunk // RSp
+    qrel = chunk - grp * RSp
+    wgrp = c // (WIN * Wr)
+    win_in = (c // WIN) % Wr
+    res = (c & (LANE - 1)).astype(np.int64)
+    lam = ((c // LANE) & (LANE - 1)).astype(np.int64)
+    wlam = (win_in << 7) | lam
+    n_wg = int(wgrp.max()) + 1 if nnz else 1
+    cell = grp * n_wg + wgrp
+
+    o = np.argsort(cell, kind="stable")
+    (r, c, v, chunk, vlane, qrel, wgrp, res, lam, wlam, cell) = (
+        arr[o] for arr in (r, c, v, chunk, vlane, qrel, wgrp, res, lam,
+                           wlam, cell))
+
+    from cusp_autotuned_tpu import native
+    nat = getattr(native, "route_cells", lambda *a: None)(
+        cell, res, wlam, vlane, qrel, RSp)
+    if nat is not None:
+        blk_in_cell, sub, lane = nat
+    else:
+        if nnz > 150_000:
+            raise FormatConversionException(
+                "routed python-fallback planner is too slow — build the "
+                "native planner (g++) for matrices this large")
+        blk_in_cell, sub, lane = _route_cells_py(cell, res, wlam, vlane,
+                                                 qrel, RSp)
+
+    if blk_in_cell.size and blk_in_cell.max() >= 4096:
+        raise FormatConversionException("routed plan exceeded 4096 blocks "
+                                        "per cell")
+    bkey = cell * 4096 + blk_in_cell
+    uniq, blk = np.unique(bkey, return_inverse=True)
+
+    # drop underfull blocks: their entries go to the colsort2 tail.  The
+    # bar is also relative to the fullest block so small matrices (whose
+    # pool can never reach an absolute fill) keep their main blocks.
+    bcount = np.bincount(blk, minlength=uniq.size)
+    thr = min(int(tail_min_fill * WIN),
+              int(0.5 * bcount.max()) if bcount.size else 0)
+    keep_b = bcount >= max(thr, 1)
+    tail_mask = ~keep_b[blk]
+    tail = (np.concatenate([hub_tail[0], r[tail_mask]]),
+            np.concatenate([hub_tail[1], c[tail_mask]]),
+            np.concatenate([hub_tail[2], v[tail_mask]]))
+    if tail_mask.any():
+        keep = ~tail_mask
+        (r, c, v, vlane, qrel, res, lam, wlam, cell) = (
+            arr[keep] for arr in (r, c, v, vlane, qrel, res, lam, wlam,
+                                  cell))
+        blk = blk[keep]
+        sub, lane = sub[keep], lane[keep]
+        uniq_kept = np.nonzero(keep_b)[0]
+        remap = np.full(keep_b.size, -1, np.int64)
+        remap[uniq_kept] = np.arange(uniq_kept.size)
+        blk = remap[blk]
+        uniq = uniq[uniq_kept]
+    nb = uniq.size
+    vbs = ((uniq // 4096) // n_wg * RSp).astype(np.int64)
+    cbs = ((uniq // 4096) % n_wg * (LANE * Wr)).astype(np.int64)
+
+    vals2d = np.zeros((nb, LANE, LANE), np.float64)
+    g1 = np.zeros((nb, LANE, LANE), np.int64)       # (r, l)  -> (w, lam)
+    g2 = np.zeros((nb, LANE, LANE), np.int64)       # (l, s)  -> r
+    perm = np.zeros((nb, LANE, LANE), np.int64)     # (s, vl) -> lane
+    vals2d[blk, sub, lane] = v
+    g1[blk, res, lane] = wlam
+    g2[blk, lane, sub] = res
+    perm[blk, sub, vlane] = lane
+
+    # perm spares: free virtual lanes of a sublane point at its free
+    # (zero-value) lanes, so every take reads a defined zero product
+    used_v = np.zeros((nb, LANE, LANE), bool)
+    used_v[blk, sub, vlane] = True
+    used_l = np.zeros((nb, LANE, LANE), bool)
+    used_l[blk, sub, lane] = True
+    fv = np.argsort(used_v, axis=2, kind="stable")
+    fl = np.argsort(used_l, axis=2, kind="stable")
+    n_free = LANE - used_v.sum(axis=2)
+    lane_i = np.arange(LANE)[None, None, :]
+    cur = np.take_along_axis(perm, fv, axis=2)
+    np.put_along_axis(perm, fv,
+                      np.where(lane_i < n_free[:, :, None], fl, cur),
+                      axis=2)
+
+    return (vals2d.astype(np.float32), g1.astype(np.int32),
+            g2.astype(np.int32), perm.astype(np.int32),
+            vbs.astype(np.int32), cbs.astype(np.int32),
+            m_pad, nch_main, tail)
+
+
+def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
+                   y_ref, *, RSp, Wr, K=0):
+    """Resident routed kernel: x pre-transposed to (128, x_rows)
+    lane-major (element j at sublane j%128, lane j//128 — a window is a
+    contiguous 128-lane slice), virtual y whole in VMEM.  W_r + 2 take
+    passes + two transposes per block per rhs; the scatter is a
+    sublane-split reshape-sum (no matmul, no gather)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    F = LANE // RSp
+    vals = val_ref[0]
+    g1 = g1_ref[0].astype(jnp.int32)
+    g2 = g2_ref[0].astype(jnp.int32)
+    perm = pq_ref[0].astype(jnp.int32)
+    lam = jnp.bitwise_and(g1, jnp.int32(LANE - 1))
+    wsel = jax.lax.shift_right_logical(g1, jnp.int32(7))
+    dtype = y_ref.dtype
+
+    cb = cbs[g]
+    vb = vbs[g]
+
+    def run_rhs(xt_at, y_get, y_put):
+        t1 = jnp.zeros((LANE, LANE), dtype)
+        for w in range(Wr):
+            xw = xt_at(pl.ds(pl.multiple_of(cb + w * LANE, LANE), LANE))
+            g_w = jnp.take_along_axis(xw, lam, axis=1)
+            t1 = jnp.where(wsel == w, g_w, t1) if Wr > 1 else g_w
+        rt = jnp.swapaxes(jnp.take_along_axis(jnp.swapaxes(t1, 0, 1),
+                                              g2, axis=1), 0, 1)
+        pr = jnp.take_along_axis(vals * rt, perm, axis=1)     # (s, vl)
+        upd = pr.reshape(F, RSp, LANE).sum(0) if F > 1 else pr
+        y_put(y_get() + upd)
+
+    if K == 0:
+        run_rhs(lambda sl: xt_ref[:, sl],
+                lambda: y_ref[pl.ds(vb, RSp), :],
+                lambda v: y_ref.__setitem__((pl.ds(vb, RSp), slice(None)),
+                                            v))
+    else:
+        def body(kk, carry):
+            run_rhs(lambda sl: xt_ref[kk, :, sl],
+                    lambda: y_ref[kk, pl.ds(vb, RSp), :],
+                    lambda v: y_ref.__setitem__(
+                        (kk, pl.ds(vb, RSp), slice(None)), v))
+            return carry
+        jax.lax.fori_loop(0, K, body, 0)
+
+
+def build_routed(A, config, interpret: bool = False):
+    """Routed scattered-pattern SpMV/SpMM; see module docstring.
+
+    Config keys: vrow_planes (K identity planes), vrow_span (RSp chunks
+    per block band: 128/RSp slots per virtual row), win_group (W_r
+    16384-column windows per block — pool width), hub_cap, spmm_kb."""
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    _reject_x64(A, interpret)
+    if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
+        raise NotImplementedException(
+            "routed kernel supports real dtypes only")
+    row, col, val, shape = _coo_arrays(A)
+    if row.size == 0:
+        raise FormatConversionException("empty matrix — use the default path")
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float64)
+    m, n = shape
+    dtype = np.dtype(A.dtype)
+
+    # 0 means "default" for the shared tuning-space axes (a walk config
+    # carries every axis; 0 is the not-applicable/default marker)
+    K = int(config.get("vrow_planes", 0)) or 1
+    RSp = int(config.get("vrow_span", 0)) or 64
+    Wr = int(config.get("win_group", 0))
+    if Wr <= 0:
+        # auto: widen the window group until the per-block candidate pool
+        # (rows_covered * expected entries per row per group) can fill
+        # most of the 16384 slots — a pool below the tail bar would dump
+        # every block to the tail
+        lam1 = (row.size / max(m, 1)) * (WIN / max(n, 1))
+        pool1 = (RSp * LANE / K) * lam1
+        Wr = int(min(8, max(1, round(0.55 * WIN / max(pool1, 1.0)))))
+    hub_cap = int(config.get("hub_cap", 0))
+    tail_min_fill = float(config.get("tail_min_fill", 0.25))
+    if K < 1 or K > 8:
+        raise NotImplementedException("vrow_planes must be in 1..8")
+    if RSp not in (8, 16, 32, 64, 128):
+        raise NotImplementedException(
+            "vrow_span must be a power of two in 8..128")
+    if not 1 <= Wr <= 8:
+        raise NotImplementedException("win_group must be in 1..8")
+
+    n_pad = round_up(max(n, 1), WIN * Wr)
+    x_rows = n_pad // LANE
+    if x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+        raise NotImplementedException(
+            "x too large for the VMEM-resident routed kernel "
+            "(streamed rail not yet implemented)")
+
+    (vals_, g1_, g2_, perm_, vbs_, cbs_, m_pad, nch_main, tail) = \
+        _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap,
+                     tail_min_fill=tail_min_fill)
+    nb = vals_.shape[0]
+
+    # the Poisson tail beyond the K*128/RSp per-row capacity is served by
+    # a capacity-128 colsort2 sub-plan (one-hot dot scatter) — cascading
+    # it through near-empty routed blocks would cost full passes each
+    n_tail = tail[0].size
+    if n_tail > 0.5 * row.size:
+        raise FormatConversionException(
+            f"routed plan left {n_tail}/{row.size} entries in the tail — "
+            "pattern unsuited to the routed rail (use colsort2)")
+    tail_fn = None
+    if n_tail:
+        import scipy.sparse as _sp
+        from cusp_autotuned_tpu.backend.reference import from_scipy
+        from cusp_autotuned_tpu.kernels.pallas_colsort2 import \
+            build_colsort2
+        St = _sp.coo_matrix((tail[2], (tail[0], tail[1])), shape=shape)
+        At = from_scipy(St.astype(dtype), "coo")
+        tail_cfg = {"vrow_planes": 1, "mix_chunks": 4}
+        if "plan_budget_bytes" in config:
+            tail_cfg["plan_budget_bytes"] = config["plan_budget_bytes"]
+        if "tail_hub_cap" in config:
+            tail_cfg["hub_cap"] = config["tail_hub_cap"]
+        tail_fn = build_colsort2(At, tail_cfg, interpret=interpret)
+
+    VRs = round_up(nch_main + RSp, 8)
+    if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+        raise NotImplementedException(
+            "virtual rows exceed the VMEM budget for the routed kernel")
+
+    pack16 = bool(config.get("pack16", True))
+    if pack16:
+        g1_, g2_ = g1_.astype(np.int16), g2_.astype(np.int16)
+        perm_ = perm_.astype(np.int16)
+    plan_bytes = vals_.nbytes + g1_.nbytes + g2_.nbytes + perm_.nbytes
+    if plan_bytes > _plan_budget(config):
+        raise NotImplementedException(
+            "planned arrays exceed the compile-request budget")
+
+    kern = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr)
+    entry_specs = [pl.BlockSpec((1, LANE, LANE), lambda g, *_: (g, 0, 0),
+                                memory_space=pltpu.VMEM)] * 4
+    call = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + entry_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * LANE * LANE,
+            bytes_accessed=(plan_bytes
+                            + (x_rows + VRs) * LANE * dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret)
+
+    arrays = dict(
+        rv=jnp.asarray(vals_.astype(dtype)), rg1=jnp.asarray(g1_),
+        rg2=jnp.asarray(g2_), rpq=jnp.asarray(perm_),
+        rvb=jnp.asarray(vbs_), rcb=jnp.asarray(cbs_))
+    if tail_fn is not None:
+        arrays.update(tail_fn.planned_arrays)
+    nch_plane = m_pad // LANE
+
+    def fold(arrs, yv_flat):
+        planes = yv_flat[..., : nch_main * LANE]
+        shp = planes.shape[:-1]
+        # planes interleave at chunk level (vchunk = (i>>7)*K + k):
+        # still a pure reshape + sum, no gather
+        return planes.reshape(shp + (nch_plane, K, LANE)).sum(-2) \
+            .reshape(shp + (m_pad,))[..., :m]
+
+    def make_call_mm(KK, _cache={}):
+        callK = _cache.get(KK)
+        if callK is None:
+            kernK = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr, K=KK)
+            callK = _cache[KK] = pl.pallas_call(
+                kernK,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2, grid=(nb,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    + entry_specs,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
+                interpret=interpret)
+        return callK
+
+    def apply(arrs, x):
+        if x.ndim == 1:
+            xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
+            if nb:
+                yv = call(arrs["rvb"], arrs["rcb"], xt, arrs["rv"],
+                          arrs["rg1"], arrs["rg2"], arrs["rpq"])
+                y = fold(arrs, yv.reshape(-1))
+            else:
+                y = jnp.zeros(m, dtype)
+            if tail_fn is not None:
+                y = y + tail_fn.apply(arrs, x)
+            return y
+        if x.ndim != 2:
+            raise NotImplementedException("routed kernel takes 1-D/2-D x")
+        KK = x.shape[1]
+        if KK == 0:
+            return jnp.zeros((m, 0), dtype)
+        per_k = (x_rows + VRs) * LANE * dtype.itemsize
+        KB = max(1, int(1.5 * MAX_VMEM_BYTES() // (2 * per_k)))
+        if KB > 8:
+            KB -= KB % 8
+        KB = int(config.get("spmm_kb", 0)) or KB
+        KB = min(KB, KK)
+        xT = jnp.pad(x, ((0, n_pad - n), (0, 0))).T
+        xTp = jnp.pad(xT, ((0, (-KK) % KB), (0, 0)))
+        outs = []
+        for s0 in range(0, KK, KB):
+            xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
+            if nb:
+                x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
+                yv = make_call_mm(KB)(arrs["rvb"], arrs["rcb"], x3t,
+                                      arrs["rv"], arrs["rg1"],
+                                      arrs["rg2"], arrs["rpq"])
+                yk = fold(arrs, yv.reshape(KB, -1))
+            else:
+                yk = jnp.zeros((KB, m), dtype)
+            outs.append(yk)
+        y = jnp.concatenate(outs, axis=0)[:KK].T
+        if tail_fn is not None:
+            y = y + tail_fn.apply(arrs, x)
+        return y
+
+    def fn(x):
+        return apply(arrays, x)
+    fn.planned_arrays = arrays
+    fn.apply = apply
+    slots = int(nb) * LANE * LANE
+    n_main = int(row.size) - int(n_tail)
+    fn.plan_stats = dict(
+        impl="routed", nb=int(nb), RSp=RSp, Wr=Wr, K=K, slots=slots,
+        nnz=int(row.size), tail=int(n_tail),
+        fill=round(n_main / max(slots, 1), 4),
+        xlu_passes_per_rhs=int(nb) * (Wr + 2),
+        plan_bytes=int(plan_bytes),
+        tail_stats=(None if tail_fn is None
+                    else {k: v for k, v in tail_fn.plan_stats.items()
+                          if k in ("nb", "fill", "W", "Bs")}))
+    return fn

@@ -44,3 +44,10 @@ def build_colsort2(A, config):
         build_colsort2 as bc2,
     )
     return bc2(A, config, interpret=_interpret())
+
+
+def build_routed(A, config):
+    from cusp_autotuned_tpu.kernels.pallas_routed import (
+        build_routed as br,
+    )
+    return br(A, config, interpret=_interpret())

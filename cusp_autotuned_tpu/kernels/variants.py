@@ -102,6 +102,14 @@ def _build_colsort2(A, config):
     return pallas_spmv.build_colsort2(A, config)
 
 
+def _build_routed(A, config):
+    """Routed-gather rail v3 (fixed 3-take gather via the
+    take/transpose/take sandwich + reshape-sum scatter; the Poisson/hub
+    tail rides a colsort2 sub-plan)."""
+    from cusp_autotuned_tpu.kernels import pallas_spmv
+    return pallas_spmv.build_routed(A, config)
+
+
 def _build_bcoo(A, config):
     """Vendor-library baseline (jax.experimental.sparse BCOO — the
     reference's cusparse-adapter analogue).  Explicit-config only; not
@@ -210,6 +218,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "routed": _build_routed,
         "bcoo": _build_bcoo,
     },
     "ellr": {
@@ -222,6 +231,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "routed": _build_routed,
         "bcoo": _build_bcoo,
     },
     "csr": {
@@ -233,6 +243,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "routed": _build_routed,
         "bcoo": _build_bcoo,
     },
     "coo": {
@@ -243,6 +254,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "routed": _build_routed,
         "bcoo": _build_bcoo,
     },
     "hyb": {
@@ -253,6 +265,7 @@ VARIANTS: Dict[str, Dict[str, Callable]] = {
         "binned": _build_binned,
         "colsort": _build_colsort,
         "colsort2": _build_colsort2,
+        "routed": _build_routed,
         "bcoo": _build_bcoo,
     },
 }
@@ -293,13 +306,13 @@ def tuning_space(A) -> TuningSpace:
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
             "ell": ("gather", "via_dia", "via_dense", "rcm_dia", "pallas",
-                    "binned", "colsort", "colsort2"),
+                    "binned", "colsort", "colsort2", "routed"),
             "ellr": ("gather", "rowlen", "via_dia", "via_dense", "rcm_dia",
-                     "pallas", "binned", "colsort", "colsort2"),
+                     "pallas", "binned", "colsort", "colsort2", "routed"),
             "csr": ("segsum", "via_dia", "via_dense", "rcm_dia", "pallas",
-                    "binned", "colsort", "colsort2"),
+                    "binned", "colsort", "colsort2", "routed"),
             "coo": ("segsum", "via_dia", "via_dense", "pallas", "binned",
-                    "colsort", "colsort2"),
+                    "colsort", "colsort2", "routed"),
         }[fmt]
         space.add_parameter("impl", impls)
         space.add_parameter("dia_impl", ("none", "slices", "pallas"))
@@ -345,11 +358,13 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, p: p == "auto" or i in ("binned", "colsort", "colsort2"))
         space.add_parameter("hub_cap", (0, 8, 64))
         space.add_constraint(("impl", "hub_cap"),
-                             lambda i, h: h == 0 or i in ("colsort", "colsort2"))
+                             lambda i, h: h == 0
+                             or i in ("colsort", "colsort2", "routed"))
         space.add_parameter("spmm_kb", (0, 8))
         space.add_constraint(("impl", "spmm_kb"),
                              lambda i, k: k == 0
-                             or i in ("binned", "colsort", "colsort2"))
+                             or i in ("binned", "colsort", "colsort2",
+                                      "routed"))
         # keep the exhaustive walk tractable: the streaming/packing pair is
         # a real 2x2 surface, but hub_cap and spmm_kb vary one at a time
         # against default settings of the other secondary axes
@@ -359,7 +374,8 @@ def tuning_space(A) -> TuningSpace:
             or (s == 0 and p == "auto" and (h == 0 or k == 0)))
         space.add_parameter("vrow_planes", (0, 1, 2, 4))
         space.add_constraint(("impl", "vrow_planes"),
-                             lambda i, v: (v > 0) == (i == "colsort2"))
+                             lambda i, v: (v > 0) == (i in ("colsort2",
+                                                            "routed")))
         # chunk-mixed sublanes (colsort2): 0 = uniform; 4/8 = up to that
         # many chunks per sublane (mix one-hot dots); varied one at a time
         # against the default vrow_planes to keep the walk tractable
@@ -368,6 +384,17 @@ def tuning_space(A) -> TuningSpace:
                              lambda i, x: x == 0 or i == "colsort2")
         space.add_constraint(("vrow_planes", "mix_chunks"),
                              lambda v, x: x == 0 or v == 1)
+        # routed rail: the virtual-chunk band per block (128/vrow_span
+        # slots per virtual row); win_group stays auto-derived.  Varied
+        # against vrow_planes == 1 only, like mix_chunks above.
+        space.add_parameter("vrow_span", (0, 64, 128))
+        space.add_constraint(("impl", "vrow_span"),
+                             lambda i, v: (v > 0) == (i == "routed"))
+        space.add_constraint(("vrow_planes", "vrow_span"),
+                             lambda v, s: s == 0 or v == 1)
+        space.add_constraint(("vrow_span", "hub_cap", "spmm_kb"),
+                             lambda s, h, k: s in (0, 64)
+                             or (h == 0 and k == 0))
     elif fmt == "hyb":
         space.add_parameter("impl", ("default", "via_dia", "pallas", "binned"))
         space.add_parameter("dia_impl", ("none", "slices"))

@@ -87,6 +87,9 @@ def _compile() -> ctypes.CDLL | None:
     lib.color_cells_capped.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
                                        i32p, ctypes.c_int64, ctypes.c_int64,
                                        i32p]
+    lib.route_cells.restype = ctypes.c_int64
+    lib.route_cells.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i32p,
+                                i32p, ctypes.c_int64, i32p, i32p, i32p]
     return lib
 
 
@@ -326,6 +329,32 @@ def color_cells_mixed(cell, cl, vlane, qrel, mix, rsp):
     if rc < 0:
         return None
     return sub.astype(np.int64), mi.astype(np.int64)
+
+
+def route_cells(cell, res, wlam, vlane, qrel, rsp):
+    """Routed-rail slot assignment (kernels/pallas_routed): entries sorted
+    by cell; returns (blk, sub, lane) with blk a per-cell block ordinal,
+    or None when the native library is unavailable.  wlam = (window << 7)
+    | source_lane identifies the column within its residue class."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell = np.ascontiguousarray(cell, np.int64)
+    r32 = np.ascontiguousarray(res, np.int32)
+    wl32 = np.ascontiguousarray(wlam, np.int32)
+    vl32 = np.ascontiguousarray(vlane, np.int32)
+    q32 = np.ascontiguousarray(qrel, np.int32)
+    blk = np.empty(cell.size, np.int32)
+    sub = np.empty(cell.size, np.int32)
+    lane = np.empty(cell.size, np.int32)
+    rc = lib.route_cells(cell.size, _ptr_i64(cell), _ptr_i32(r32),
+                         _ptr_i32(wl32), _ptr_i32(vl32), _ptr_i32(q32),
+                         int(rsp), _ptr_i32(blk), _ptr_i32(sub),
+                         _ptr_i32(lane))
+    if rc < 0:
+        return None
+    return (blk.astype(np.int64), sub.astype(np.int64),
+            lane.astype(np.int64))
 
 
 def color_cells_capped(cell, cl, vlane, qrel, bs, cap):

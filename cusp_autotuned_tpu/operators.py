@@ -70,7 +70,7 @@ def planned_operator(A, config=None):
     # compile-request budget doesn't apply — lift it, but only for the
     # builders that expose planned arrays (a closure-only variant would
     # otherwise embed an unbounded plan as jit constants)
-    if cfg.get("impl") in ("binned", "colsort", "colsort2"):
+    if cfg.get("impl") in ("binned", "colsort", "colsort2", "routed"):
         cfg.setdefault("plan_budget_bytes", 1 << 33)
     fn = build_spmv(A, cfg)
     if hasattr(fn, "planned_arrays"):

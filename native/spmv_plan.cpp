@@ -448,3 +448,117 @@ std::int64_t color_cells_capped(
   }
   return max_s;
 }
+
+extern "C"
+// Routed-rail slot assignment (kernels/pallas_routed._route_cells_py):
+// entries of one (RSp-chunk band x W_r-window group) cell pack into
+// 128x128 slot tiles under
+//   C1: a lane hosts <= 1 distinct (window, column) per residue class
+//       r = col%128 (duplicates of a column share the g1 route),
+//   C2: a sublane hosts <= 1 entry per virtual lane (the perm take),
+//   C3: sublane s hosts only chunk residual s % RSp (the reshape-sum
+//       scatter) — a virtual row has 128/RSp slots per block,
+//   C4: one entry per slot.
+// Hardest-first (max of residue-class / vlane / chunk-residual degree)
+// first-fit over the cell's open blocks.  wlam = (window << 7) | lam
+// identifies the column within its residue class.
+//
+// Inputs: entries SORTED BY CELL; res/vlane/qrel in [0,128), wlam in
+// [0,1024).  Outputs: blk (per-cell block ordinal), sub, lane.  Returns
+// the max block count over cells (never fails: a fresh block fits).
+std::int64_t route_cells(
+    std::int64_t nnz, const std::int64_t* cell, const std::int32_t* res,
+    const std::int32_t* wlam, const std::int32_t* vlane,
+    const std::int32_t* qrel, std::int64_t RSp, std::int32_t* blk,
+    std::int32_t* sub, std::int32_t* lane) {
+  constexpr int L = 128;
+  const int F = L / (int)RSp;
+  struct Block {
+    // free_[s]: bitset over lanes; vfree[vl]: bitset over sublanes;
+    // lfree[r]: lanes with no column of residue r; dup[(r<<10)|wlam]:
+    // lanes hosting that (window, column).
+    std::uint64_t free_[L][2], vfree[L][2], lfree[L][2];
+    std::unordered_map<std::int32_t, std::uint64_t[2]> dup;
+    Block() {
+      std::memset(free_, 0xff, sizeof free_);
+      std::memset(vfree, 0xff, sizeof vfree);
+      std::memset(lfree, 0xff, sizeof lfree);
+    }
+  };
+  std::int64_t max_b = 0, i = 0;
+  std::vector<std::int64_t> order;
+  std::vector<std::int64_t> deg_r(L), deg_v(L), deg_q(L);
+  while (i < nnz) {
+    std::int64_t j = i;
+    while (j < nnz && cell[j] == cell[i]) ++j;
+    const std::int64_t E = j - i;
+    std::fill(deg_r.begin(), deg_r.end(), 0);
+    std::fill(deg_v.begin(), deg_v.end(), 0);
+    std::fill(deg_q.begin(), deg_q.end(), 0);
+    for (std::int64_t e = i; e < j; ++e) {
+      ++deg_r[res[e]];
+      ++deg_v[vlane[e]];
+      ++deg_q[qrel[e]];
+    }
+    order.resize(E);
+    for (std::int64_t t = 0; t < E; ++t) order[t] = i + t;
+    std::sort(order.begin(), order.end(),
+              [&](std::int64_t a, std::int64_t b) {
+                const std::int64_t ka = std::max(
+                    std::max(deg_r[res[a]], deg_v[vlane[a]]),
+                    deg_q[qrel[a]]);
+                const std::int64_t kb = std::max(
+                    std::max(deg_r[res[b]], deg_v[vlane[b]]),
+                    deg_q[qrel[b]]);
+                return ka > kb;
+              });
+    std::vector<Block*> blocks;
+    for (std::int64_t e : order) {
+      const std::int32_t rk = (res[e] << 10) | wlam[e];
+      bool placed = false;
+      for (std::size_t b = 0; b < blocks.size() && !placed; ++b) {
+        Block& B = *blocks[b];
+        std::uint64_t cl[2] = {B.lfree[res[e]][0], B.lfree[res[e]][1]};
+        auto it = B.dup.find(rk);
+        if (it != B.dup.end()) {
+          cl[0] |= it->second[0];
+          cl[1] |= it->second[1];
+        }
+        if (!(cl[0] | cl[1])) continue;
+        for (int t = 0; t < F && !placed; ++t) {
+          const int s = qrel[e] + t * (int)RSp;                // C3
+          if (!(B.vfree[vlane[e]][s >> 6] >> (s & 63) & 1)) continue;
+          const std::uint64_t a0 = B.free_[s][0] & cl[0];
+          const std::uint64_t a1 = B.free_[s][1] & cl[1];
+          if (!(a0 | a1)) continue;
+          const int l = a0 ? __builtin_ctzll(a0)
+                           : 64 + __builtin_ctzll(a1);
+          B.free_[s][l >> 6] &= ~(1ull << (l & 63));
+          B.vfree[vlane[e]][s >> 6] &= ~(1ull << (s & 63));
+          B.lfree[res[e]][l >> 6] &= ~(1ull << (l & 63));
+          B.dup[rk][l >> 6] |= 1ull << (l & 63);
+          blk[e] = (std::int32_t)b;
+          sub[e] = s;
+          lane[e] = l;
+          placed = true;
+        }
+      }
+      if (!placed) {
+        blocks.push_back(new Block());
+        Block& B = *blocks.back();
+        const int s = qrel[e];
+        B.free_[s][0] &= ~1ull;
+        B.vfree[vlane[e]][s >> 6] &= ~(1ull << (s & 63));
+        B.lfree[res[e]][0] &= ~1ull;
+        B.dup[rk][0] |= 1ull;
+        blk[e] = (std::int32_t)(blocks.size() - 1);
+        sub[e] = s;
+        lane[e] = 0;
+      }
+    }
+    max_b = std::max(max_b, (std::int64_t)blocks.size());
+    for (Block* p : blocks) delete p;
+    i = j;
+  }
+  return max_b;
+}

@@ -120,13 +120,14 @@ def test_onehot_wide_scatter_pattern_is_skippable():
 
 def _check_binned(S, builder_name, fmt="csr", **cfg):
     from cusp_autotuned_tpu.kernels import (
-        pallas_binned, pallas_colsort, pallas_colsort2,
+        pallas_binned, pallas_colsort, pallas_colsort2, pallas_routed,
     )
     A = from_scipy(S.tocoo(), fmt)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(A.num_cols).astype(np.float32))
     mod = {"build_binned": pallas_binned, "build_colsort": pallas_colsort,
-           "build_colsort2": pallas_colsort2}[builder_name]
+           "build_colsort2": pallas_colsort2,
+           "build_routed": pallas_routed}[builder_name]
     build = getattr(mod, builder_name)
     fn = build(A, cfg, interpret=True)
     y = np.asarray(jax.jit(fn)(x))
@@ -745,3 +746,120 @@ def test_colsort2_auto_streams_past_vmem_budget():
     x = rng.randn(A.num_cols).astype(np.float32)
     np.testing.assert_allclose(np.asarray(fn(x)), S @ x, rtol=1e-4,
                                atol=1e-4)
+
+
+# -- routed rail (take/transpose/take gather, reshape-sum scatter) ------------
+
+def test_routed_random_scatter():
+    import scipy.sparse as sp
+    rng = np.random.RandomState(11)
+    S = sp.random(4000, 4000, density=6e-4, random_state=rng,
+                  dtype=np.float32) + sp.eye(4000, dtype=np.float32)
+    _check_binned(S, "build_routed")
+
+
+def test_routed_hub_rows_go_to_tail():
+    """Hub rows cannot ride the routed blocks (a take cannot sum) — they
+    must come back through the colsort2 tail sub-plan, correctly."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(3)
+    S = sp.random(3000, 3000, density=8e-4, random_state=rng,
+                  dtype=np.float32)
+    hub = sp.coo_matrix(
+        (rng.randn(400).astype(np.float32),
+         (np.full(400, 7), rng.choice(3000, 400, replace=False))),
+        shape=(3000, 3000))
+    _check_binned((S + hub).tocsr(), "build_routed", hub_cap=32)
+
+
+@pytest.mark.parametrize("cfg", [{"vrow_span": 128},
+                                 {"vrow_planes": 2, "vrow_span": 64},
+                                 {"win_group": 2}])
+def test_routed_axes(cfg):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(5)
+    S = sp.random(5000, 5000, density=5e-4, random_state=rng,
+                  dtype=np.float32) + sp.eye(5000, dtype=np.float32)
+    _check_binned(S, "build_routed", **cfg)
+
+
+def test_routed_rectangular_and_spmm():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    rng = np.random.RandomState(9)
+    S = sp.random(3000, 5000, density=5e-4, random_state=rng,
+                  dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_routed(A, {}, interpret=True)
+    x = rng.randn(5000).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))),
+                               reference_spmv(A, x), rtol=1e-4, atol=1e-4)
+    X = rng.randn(5000, 5).astype(np.float32)
+    ref = (S.astype(np.float64) @ X.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_routed_tail_dominant_is_skippable():
+    """A pattern whose plan is mostly tail (extreme power law at small n)
+    raises the skippable conversion failure — plain colsort2 serves it."""
+    from cusp_autotuned_tpu.utils.exceptions import FormatConversionException
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    S = _powerlaw(3000, 15000, seed=1)
+    A = from_scipy(S.tocoo().astype(np.float32), "csr")
+    with pytest.raises(FormatConversionException):
+        build_routed(A, {}, interpret=True)
+
+
+def test_routed_python_fallback_matches_native():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu import native
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    rng = np.random.RandomState(13)
+    S = sp.random(2000, 2000, density=1e-3, random_state=rng,
+                  dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    x = jnp.asarray(rng.randn(2000).astype(np.float32))
+    ref = reference_spmv(A, np.asarray(x))
+    y_nat = np.asarray(build_routed(A, {}, interpret=True)(x))
+    orig = native.route_cells
+    native.route_cells = lambda *a: None
+    try:
+        y_py = np.asarray(build_routed(A, {}, interpret=True)(x))
+    finally:
+        native.route_cells = orig
+    np.testing.assert_allclose(y_nat, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y_py, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_routed_plan_stats():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    rng = np.random.RandomState(17)
+    S = sp.random(4000, 4000, density=8e-4, random_state=rng,
+                  dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_routed(A, {}, interpret=True)
+    st = fn.plan_stats
+    assert st["impl"] == "routed"
+    assert st["nb"] >= 1 and 0 < st["fill"] <= 1
+    assert st["xlu_passes_per_rhs"] == st["nb"] * (st["Wr"] + 2)
+    # fill is rounded to 4 decimals: consistency within rounding error
+    assert abs(st["tail"] + st["fill"] * st["slots"] - st["nnz"]) \
+        <= 1e-4 * st["slots"] + 1
+
+
+def test_routed_via_variants_and_tuner_config():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.variants import build_spmv, tuning_space
+    rng = np.random.RandomState(19)
+    S = sp.random(3000, 3000, density=8e-4, random_state=rng,
+                  dtype=np.float32) + sp.eye(3000, dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    x = jnp.asarray(rng.randn(3000).astype(np.float32))
+    fn = build_spmv(A, {"impl": "routed", "vrow_span": 64})
+    np.testing.assert_allclose(np.asarray(fn(x)),
+                               reference_spmv(A, np.asarray(x)),
+                               rtol=1e-4, atol=1e-4)
+    cfgs = list(tuning_space(A).configurations())
+    assert any(c["impl"] == "routed" for c in cfgs)
