@@ -318,7 +318,9 @@ def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
     dtype = y_ref.dtype
 
     cb = cbs[g]
-    vb = vbs[g]
+    # vbs entries are RSp-aligned by construction (grp * RSp); tell Mosaic
+    # so the dynamic sublane-dim y slice lowers without a runtime align check
+    vb = pl.multiple_of(vbs[g], RSp)
 
     def run_rhs(xt_at, y_get, y_put):
         t1 = jnp.zeros((LANE, LANE), dtype)
