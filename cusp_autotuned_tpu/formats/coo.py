@@ -61,9 +61,15 @@ class COO(MatrixBase):
 
 
 def coo_matrix(row, col, val, shape, *, sort: bool = True, dtype=None,
-               pad_to_len: int | None = None) -> COO:
+               pad_to_len: int | None = None,
+               sum_duplicates: bool = False) -> COO:
     """Build a COO container from host or device arrays, canonicalizing
-    (sort by row then column) and padding to a lane-aligned length."""
+    (sort by row then column) and padding to a lane-aligned length.
+
+    sum_duplicates=True merges repeated (i, j) triplets by addition — the
+    unordered-assembly idiom (reference:
+    examples/MatrixAssembly/unordered_triplets.cu, sort + reduce_by_key).
+    Requires sort=True."""
     row = as_index_array(row)
     col = as_index_array(col)
     val = as_value_array(val, dtype)
@@ -75,6 +81,15 @@ def coo_matrix(row, col, val, shape, *, sort: bool = True, dtype=None,
         key = row.astype(np.int64) * (n + 1) + col
         order = np.argsort(key, kind="stable")
         row, col, val = row[order], col[order], val[order]
+        if sum_duplicates:
+            key = key[order]
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            if starts.size < nnz:
+                val = np.add.reduceat(val, starts)
+                row, col = row[starts], col[starts]
+                nnz = int(starts.size)
+    elif sum_duplicates and nnz > 1:
+        raise ValueError("sum_duplicates requires sort=True")
     npad = pad_to_len if pad_to_len is not None else max(LANE, round_up(nnz, LANE))
     M = COO(
         row=jnp.asarray(pad_to(row, npad, fill=m)),

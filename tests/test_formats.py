@@ -41,6 +41,21 @@ def test_coo_padding_and_sort():
     assert np.all(r[A.nnz:] == 4)  # padding = num_rows
 
 
+def test_coo_sum_duplicates():
+    # reference idiom: examples/MatrixAssembly/unordered_triplets.cu
+    I = [2, 0, 1, 2, 1, 0, 2, 0, 1, 0]
+    J = [0, 2, 1, 0, 1, 0, 2, 0, 0, 0]
+    V = [10.0] * 10
+    A = F.coo_matrix(I, J, V, (3, 3), sum_duplicates=True)
+    assert A.nnz == 6
+    D = np.zeros((3, 3))
+    for i, j, v in zip(I, J, V):
+        D[i, j] += v
+    np.testing.assert_array_equal(dense_of(A), D)
+    with pytest.raises(ValueError):
+        F.coo_matrix(I, J, V, (3, 3), sort=False, sum_duplicates=True)
+
+
 def test_ell_layout():
     S = example_matrices()["tri37"]
     A = build(S, "ell")
