@@ -296,15 +296,25 @@ def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
 
 
 def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
-                   y_ref, *, RSp, Wr, K=0):
-    """Resident routed kernel: x pre-transposed to (128, x_rows)
+                   y_ref, *, RSp, Wr, K=0, streamed=False):
+    """Routed kernel.  Resident: x pre-transposed to (128, x_rows)
     lane-major (element j at sublane j%128, lane j//128 — a window is a
-    contiguous 128-lane slice), virtual y whole in VMEM.  W_r + 2 take
-    passes + two transposes per block per rhs; the scatter is a
+    contiguous 128-lane slice), virtual y whole in VMEM.  STREAMED:
+    xt_ref IS the (128, Wr*128) window-group x slice and y_ref the
+    (RSp, 128) virtual band, pipelined by index maps — the plan is
+    naturally aligned (cbs on the window-group grid, vbs on the RSp
+    grid, same-band blocks contiguous by plan order), so n/m are bounded
+    only by HBM; y zeroes on first visit of a band.  Either way: W_r + 2
+    take passes + two transposes per block per rhs; the scatter is a
     sublane-split reshape-sum (no matmul, no gather)."""
     g = pl.program_id(0)
 
-    @pl.when(g == 0)
+    if streamed:
+        first = jnp.logical_or(g == 0, vbs[g] != vbs[jnp.maximum(g - 1, 0)])
+    else:
+        first = g == 0
+
+    @pl.when(first)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -320,13 +330,17 @@ def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
     cb = cbs[g]
     # vbs entries are RSp-aligned by construction (grp * RSp); tell Mosaic
     # so the dynamic sublane-dim y slice lowers without a runtime align check
-    vb = pl.multiple_of(vbs[g], RSp)
+    vb = None if streamed else pl.multiple_of(vbs[g], RSp)
+
+    def wslice(w):
+        if streamed:
+            return slice(w * LANE, (w + 1) * LANE)   # window IS the block
+        return pl.ds(pl.multiple_of(cb + w * LANE, LANE), LANE)
 
     def run_rhs(xt_at, y_get, y_put):
         t1 = jnp.zeros((LANE, LANE), dtype)
         for w in range(Wr):
-            xw = xt_at(pl.ds(pl.multiple_of(cb + w * LANE, LANE), LANE))
-            g_w = jnp.take_along_axis(xw, lam, axis=1)
+            g_w = jnp.take_along_axis(xt_at(wslice(w)), lam, axis=1)
             t1 = jnp.where(wsel == w, g_w, t1) if Wr > 1 else g_w
         rt = jnp.swapaxes(jnp.take_along_axis(jnp.swapaxes(t1, 0, 1),
                                               g2, axis=1), 0, 1)
@@ -334,7 +348,19 @@ def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
         upd = pr.reshape(F, RSp, LANE).sum(0) if F > 1 else pr
         y_put(y_get() + upd)
 
-    if K == 0:
+    if streamed:
+        if K == 0:
+            run_rhs(lambda sl: xt_ref[:, sl],
+                    lambda: y_ref[...],
+                    lambda v: y_ref.__setitem__(Ellipsis, v))
+        else:
+            def body(kk, carry):
+                run_rhs(lambda sl: xt_ref[kk, :, sl],
+                        lambda: y_ref[kk],
+                        lambda v: y_ref.__setitem__(kk, v))
+                return carry
+            jax.lax.fori_loop(0, K, body, 0)
+    elif K == 0:
         run_rhs(lambda sl: xt_ref[:, sl],
                 lambda: y_ref[pl.ds(vb, RSp), :],
                 lambda v: y_ref.__setitem__((pl.ds(vb, RSp), slice(None)),
@@ -395,10 +421,24 @@ def build_routed(A, config, interpret: bool = False):
 
     n_pad = round_up(max(n, 1), WIN * Wr)
     x_rows = n_pad // LANE
-    if x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+    CW = Wr * LANE
+    m_pad_est = round_up(max(m, 1), LANE)
+    yv_est = (K * (m_pad_est // LANE) + RSp) * LANE * dtype.itemsize
+    stream = config.get("stream_x", "auto")
+    if stream in (1, True, "1"):
+        streamed = True
+    elif stream == "auto":
+        # stream when resident x or the virtual-y estimate would exceed
+        # the VMEM budget (the plan is aligned either way — streaming
+        # only changes the BlockSpec pipelining)
+        streamed = max(x_rows * LANE * dtype.itemsize,
+                       yv_est) > MAX_VMEM_BYTES()
+    else:
+        streamed = False
+    if not streamed and x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
-            "x too large for the VMEM-resident routed kernel "
-            "(streamed rail not yet implemented)")
+            "x too large for the VMEM-resident routed kernel — "
+            "use stream_x=1")
 
     (vals_, g1_, g2_, perm_, vbs_, cbs_, m_pad, nch_main, tail) = \
         _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap,
@@ -428,10 +468,10 @@ def build_routed(A, config, interpret: bool = False):
             tail_cfg["hub_cap"] = config["tail_hub_cap"]
         tail_fn = build_colsort2(At, tail_cfg, interpret=interpret)
 
-    VRs = round_up(nch_main + RSp, 8)
-    if VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
+    VRs = round_up(nch_main + RSp, RSp if streamed else 8)
+    if not streamed and VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
-            "virtual rows exceed the VMEM budget for the routed kernel")
+            "virtual rows exceed the VMEM budget — use stream_x=1")
 
     pack16 = bool(config.get("pack16", True))
     if pack16:
@@ -442,15 +482,27 @@ def build_routed(A, config, interpret: bool = False):
         raise NotImplementedException(
             "planned arrays exceed the compile-request budget")
 
-    kern = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr)
+    if streamed:
+        vbs_ = vbs_ // RSp                    # y band index
+        cbs_ = cbs_ // CW                     # x window-group index
+    kern = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr,
+                             streamed=streamed)
     entry_specs = [pl.BlockSpec((1, LANE, LANE), lambda g, *_: (g, 0, 0),
                                 memory_space=pltpu.VMEM)] * 4
+    if streamed:
+        x_spec = pl.BlockSpec((LANE, CW), lambda g, vbs, cbs: (0, cbs[g]),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((RSp, LANE), lambda g, vbs, cbs: (vbs[g], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + entry_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+            in_specs=[x_spec] + entry_specs,
+            out_specs=y_spec),
         out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * LANE * LANE,
@@ -463,6 +515,11 @@ def build_routed(A, config, interpret: bool = False):
         rv=jnp.asarray(vals_.astype(dtype)), rg1=jnp.asarray(g1_),
         rg2=jnp.asarray(g2_), rpq=jnp.asarray(perm_),
         rvb=jnp.asarray(vbs_), rcb=jnp.asarray(cbs_))
+    if streamed:
+        # bands no block visits keep garbage: mask them out of the fold
+        band_mask = np.zeros(VRs // RSp, dtype)
+        band_mask[np.unique(np.asarray(vbs_))] = 1
+        arrays["rwm"] = jnp.asarray(np.repeat(band_mask, RSp)[:, None])
     if tail_fn is not None:
         arrays.update(tail_fn.planned_arrays)
     nch_plane = m_pad // LANE
@@ -478,14 +535,24 @@ def build_routed(A, config, interpret: bool = False):
     def make_call_mm(KK, _cache={}):
         callK = _cache.get(KK)
         if callK is None:
-            kernK = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr, K=KK)
+            kernK = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr, K=KK,
+                                      streamed=streamed)
+            if streamed:
+                xk_spec = pl.BlockSpec(
+                    (KK, LANE, CW), lambda g, vbs, cbs: (0, 0, cbs[g]),
+                    memory_space=pltpu.VMEM)
+                yk_spec = pl.BlockSpec(
+                    (KK, RSp, LANE), lambda g, vbs, cbs: (0, vbs[g], 0),
+                    memory_space=pltpu.VMEM)
+            else:
+                xk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+                yk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
             callK = _cache[KK] = pl.pallas_call(
                 kernK,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2, grid=(nb,),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-                    + entry_specs,
-                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),
+                    in_specs=[xk_spec] + entry_specs,
+                    out_specs=yk_spec),
                 out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
                 interpret=interpret)
         return callK
@@ -496,6 +563,8 @@ def build_routed(A, config, interpret: bool = False):
             if nb:
                 yv = call(arrs["rvb"], arrs["rcb"], xt, arrs["rv"],
                           arrs["rg1"], arrs["rg2"], arrs["rpq"])
+                if streamed:
+                    yv = yv * arrs["rwm"]
                 y = fold(arrs, yv.reshape(-1))
             else:
                 y = jnp.zeros(m, dtype)
@@ -507,7 +576,8 @@ def build_routed(A, config, interpret: bool = False):
         KK = x.shape[1]
         if KK == 0:
             return jnp.zeros((m, 0), dtype)
-        per_k = (x_rows + VRs) * LANE * dtype.itemsize
+        per_k = ((CW + RSp) if streamed else (x_rows + VRs)) \
+            * LANE * dtype.itemsize
         KB = max(1, int(1.5 * MAX_VMEM_BYTES() // (2 * per_k)))
         if KB > 8:
             KB -= KB % 8
@@ -523,6 +593,8 @@ def build_routed(A, config, interpret: bool = False):
                 yv = make_call_mm(KB)(arrs["rvb"], arrs["rcb"], x3t,
                                       arrs["rv"], arrs["rg1"],
                                       arrs["rg2"], arrs["rpq"])
+                if streamed:
+                    yv = yv * arrs["rwm"]
                 yk = fold(arrs, yv.reshape(KB, -1))
             else:
                 yk = jnp.zeros((KB, m), dtype)
@@ -540,6 +612,7 @@ def build_routed(A, config, interpret: bool = False):
     n_main = int(row.size) - int(n_tail)
     fn.plan_stats = dict(
         impl="routed", nb=int(nb), RSp=RSp, Wr=Wr, K=K, slots=slots,
+        streamed=bool(streamed),
         nnz=int(row.size), tail=int(n_tail),
         fill=round(n_main / max(slots, 1), 4),
         xlu_passes_per_rhs=int(nb) * (Wr + 2),

@@ -352,7 +352,8 @@ def tuning_space(A) -> TuningSpace:
         # and colsort2's virtual planes are tuned, not auto-only
         space.add_parameter("stream_x", (0, 1))
         space.add_constraint(("impl", "stream_x"),
-                             lambda i, s: s == 0 or i in ("binned", "colsort"))
+                             lambda i, s: s == 0
+                             or i in ("binned", "colsort", "routed"))
         space.add_parameter("pack16", ("auto", 0))
         space.add_constraint(("impl", "pack16"),
                              lambda i, p: p == "auto" or i in ("binned", "colsort", "colsort2"))

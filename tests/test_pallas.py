@@ -849,6 +849,46 @@ def test_routed_plan_stats():
         <= 1e-4 * st["slots"] + 1
 
 
+def test_routed_streamed_rail():
+    """stream_x=1: index-mapped x window-group / y band BlockSpecs over
+    the naturally aligned plan; SpMV + SpMM match, fold mask present."""
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    rng = np.random.RandomState(23)
+    S = sp.random(5000, 5000, density=5e-4, random_state=rng,
+                  dtype=np.float32) + sp.eye(5000, dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_routed(A, {"stream_x": 1}, interpret=True)
+    assert fn.plan_stats["streamed"]
+    assert "rwm" in fn.planned_arrays
+    x = rng.randn(A.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))), S @ x,
+                               rtol=1e-4, atol=1e-4)
+    X = rng.randn(A.num_cols, 4).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), S @ X,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_routed_auto_streams_past_vmem_budget():
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+    from cusp_autotuned_tpu.utils import config as C
+    rng = np.random.RandomState(29)
+    S = sp.random(4000, 4000, density=6e-4, random_state=rng,
+                  dtype=np.float32) + sp.eye(4000, dtype=np.float32)
+    A = from_scipy(S.tocoo(), "csr")
+    old = C.get_config().vmem_budget_bytes
+    C.configure(vmem_budget_bytes=10_000)
+    try:
+        fn = build_routed(A, {}, interpret=True)
+    finally:
+        C.configure(vmem_budget_bytes=old)
+    assert fn.plan_stats["streamed"]          # auto chose the streamed rail
+    x = rng.randn(A.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))), S @ x,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_routed_via_variants_and_tuner_config():
     import scipy.sparse as sp
     from cusp_autotuned_tpu.kernels.variants import build_spmv, tuning_space
