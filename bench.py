@@ -150,6 +150,27 @@ def _sweep(on_tpu, budget_s: float = 300.0):
     if over_budget():
         out["truncated"] = "budget"
         return out
+    # routed rail (fixed-cost take/transpose/take gather + reshape-sum
+    # scatter) SpMV on the scattered pattern; the CPU plan model
+    # (benchmarks/plan_model.py) predicts ~1.4x over colsort2-mix4 here
+    try:
+        if not on_tpu:
+            raise RuntimeError("skip: interpret mode too slow at 720k nnz")
+        from cusp_autotuned_tpu.kernels.pallas_routed import build_routed
+        fr = build_routed(Ps, {"vrow_span": 128,
+                               "plan_budget_bytes": 1 << 33})
+        opr = PlannedOperator(arrays=fr.planned_arrays, build=fr.apply,
+                              shape=Ps.shape)
+        xs = jnp.asarray(np.random.RandomState(5).randn(Ps.num_cols)
+                         .astype(np.float32))
+        put_rate("routed_spmv_scattered_gbps", jax.jit(opr), xs,
+                 Ss.nnz * 8 + Ss.shape[0] * 8)
+    except Exception as e:  # noqa: BLE001
+        out["routed_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # on-chip exhaustive-walk summary (VERDICT r2 item 8): every DIA-space
     # configuration validated against the host oracle, on the real chip
     try:
