@@ -40,6 +40,9 @@ for name in ("FEM/Cantilever", "Webbase"):
                     "col_window": 2048, "row_window": 512}),
         ("colsort", {"impl": "colsort", "block_entries": 2048,
                      "col_window": 16384, "row_window": 2048}),
+        ("colsort2", {"impl": "colsort2", "vrow_planes": 1,
+                      "mix_chunks": 4}),
+        ("routed", {"impl": "routed"}),
     ]:
         try:
             y = np.asarray(jax.jit(build_spmv(A, cfg))(jnp.asarray(x)))
