@@ -22,11 +22,20 @@ class LanczosOptions:
     seed: int = 0
 
 
-def lanczos(A, options: LanczosOptions | None = None, *, return_eigvecs=False):
+def lanczos(A, options: LanczosOptions | None = None, *, return_eigvecs=False,
+            mesh=None):
     """Returns eigenvalues (and optionally eigenvectors) of symmetric A via
-    Lanczos tridiagonalization + host tridiagonal eig (lapack stev path)."""
+    Lanczos tridiagonalization + host tridiagonal eig (lapack stev path).
+
+    mesh: distribute over a jax.sharding.Mesh — A row-sharded, the Lanczos
+    vectors replicated; the per-step matvec runs shard-local and every dot
+    product becomes an ICI all-reduce inserted by GSPMD (TPU-native
+    extension beyond the single-GPU reference, SURVEY §2.6)."""
     options = options or LanczosOptions()
     k = min(options.iteration_limit, A.num_rows)
+    if mesh is not None:
+        from cusp_autotuned_tpu.parallel.sharded import distribute_for_solve
+        A = distribute_for_solve(A, mesh)[0]
     alphas, betas, V = _lanczos_tridiag(A, k, options.seed)
     m = len(alphas)
     import scipy.linalg as sla

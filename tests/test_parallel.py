@@ -294,3 +294,14 @@ def test_distribute_multilevel_placement():
     assert any(not leaf.sharding.is_fully_replicated for leaf in leaves)
     coarse_inv = Md.coarse.inv
     assert coarse_inv.sharding.is_fully_replicated
+
+
+def test_lanczos_mesh_matches_single_device():
+    from cusp_autotuned_tpu.eigen import lanczos
+    from cusp_autotuned_tpu.eigen.lanczos import LanczosOptions
+    A = gallery.poisson5pt(24, 24, format="csr", dtype=np.float32)
+    opts = LanczosOptions(iteration_limit=40, seed=3)
+    ev1 = np.asarray(lanczos(A, opts))
+    mesh = make_row_mesh(jax.devices())
+    ev2 = np.asarray(lanczos(A, opts, mesh=mesh))
+    np.testing.assert_allclose(ev2, ev1, rtol=1e-4, atol=1e-5)
