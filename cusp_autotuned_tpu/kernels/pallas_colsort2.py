@@ -663,16 +663,12 @@ def build_colsort2(A, config, interpret: bool = False):
     x_rows = n_pad // LANE
     m_pad_est = round_up(max(m, 1), LANE)
     yv_est = (K * (m_pad_est // LANE) + RSp) * LANE * dtype.itemsize
-    stream = config.get("stream_x", "auto")
-    if stream in (1, True, "1"):
-        streamed = True
-    elif stream == "auto":
-        # stream when resident x or the virtual-y estimate would exceed
-        # the VMEM budget (hub chunks only shrink the resident margin)
-        streamed = max(x_rows * LANE * dtype.itemsize,
-                       yv_est) > MAX_VMEM_BYTES()
-    else:
-        streamed = False
+    # policy shared with the routed rail (hub chunks only shrink the
+    # resident margin)
+    from cusp_autotuned_tpu.kernels.streaming import (
+        resolve_stream, band_mask, apply_band_mask)
+    streamed = resolve_stream(config, x_rows * LANE * dtype.itemsize,
+                              yv_est, MAX_VMEM_BYTES())
     if not streamed and x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
             "x too large for the VMEM-resident colsort2 kernel")
@@ -777,9 +773,7 @@ def build_colsort2(A, config, interpret: bool = False):
         arrays["v2s"] = jnp.asarray(sigma)
     if streamed:
         # windows no block visits keep garbage: mask them out of the fold
-        win_mask = np.zeros(VRs // RSp, dtype)
-        win_mask[np.unique(np.asarray(vbs_))] = 1
-        arrays["v2wm"] = jnp.asarray(np.repeat(win_mask, RSp)[:, None])
+        arrays["v2wm"] = band_mask(vbs_, VRs // RSp, RSp, dtype)
     has_hub = nch_hub > 0
     if has_hub:
         arrays["v2hub"] = jnp.asarray(hub_rows)
@@ -839,7 +833,7 @@ def build_colsort2(A, config, interpret: bool = False):
                 yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
                           arrs["v2c"], arrs["v2p"], *extra)
                 if "v2wm" in arrs:
-                    yv = yv * arrs["v2wm"]
+                    yv = apply_band_mask(yv, arrs["v2wm"])
                 # identity planes fold as a pure reshape + sum: no gather
                 y = fold(arrs, yv.reshape(-1))
             else:
@@ -875,7 +869,7 @@ def build_colsort2(A, config, interpret: bool = False):
                                       arrs["v2v"], arrs["v2c"], arrs["v2p"],
                                       *extra)
                 if "v2wm" in arrs:
-                    yv = yv * arrs["v2wm"]
+                    yv = apply_band_mask(yv, arrs["v2wm"])
                 yk = fold(arrs, yv.reshape(KB, -1))
             else:
                 yk = jnp.zeros((KB, m), dtype)

@@ -424,17 +424,12 @@ def build_routed(A, config, interpret: bool = False):
     CW = Wr * LANE
     m_pad_est = round_up(max(m, 1), LANE)
     yv_est = (K * (m_pad_est // LANE) + RSp) * LANE * dtype.itemsize
-    stream = config.get("stream_x", "auto")
-    if stream in (1, True, "1"):
-        streamed = True
-    elif stream == "auto":
-        # stream when resident x or the virtual-y estimate would exceed
-        # the VMEM budget (the plan is aligned either way — streaming
-        # only changes the BlockSpec pipelining)
-        streamed = max(x_rows * LANE * dtype.itemsize,
-                       yv_est) > MAX_VMEM_BYTES()
-    else:
-        streamed = False
+    # the plan is aligned either way — streaming only changes the
+    # BlockSpec pipelining (policy shared with colsort2)
+    from cusp_autotuned_tpu.kernels.streaming import (
+        resolve_stream, band_mask, apply_band_mask)
+    streamed = resolve_stream(config, x_rows * LANE * dtype.itemsize,
+                              yv_est, MAX_VMEM_BYTES())
     if not streamed and x_rows * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
             "x too large for the VMEM-resident routed kernel — "
@@ -517,9 +512,7 @@ def build_routed(A, config, interpret: bool = False):
         rvb=jnp.asarray(vbs_), rcb=jnp.asarray(cbs_))
     if streamed:
         # bands no block visits keep garbage: mask them out of the fold
-        band_mask = np.zeros(VRs // RSp, dtype)
-        band_mask[np.unique(np.asarray(vbs_))] = 1
-        arrays["rwm"] = jnp.asarray(np.repeat(band_mask, RSp)[:, None])
+        arrays["rwm"] = band_mask(vbs_, VRs // RSp, RSp, dtype)
     if tail_fn is not None:
         arrays.update(tail_fn.planned_arrays)
     nch_plane = m_pad // LANE
@@ -564,7 +557,7 @@ def build_routed(A, config, interpret: bool = False):
                 yv = call(arrs["rvb"], arrs["rcb"], xt, arrs["rv"],
                           arrs["rg1"], arrs["rg2"], arrs["rpq"])
                 if streamed:
-                    yv = yv * arrs["rwm"]
+                    yv = apply_band_mask(yv, arrs["rwm"])
                 y = fold(arrs, yv.reshape(-1))
             else:
                 y = jnp.zeros(m, dtype)
@@ -594,7 +587,7 @@ def build_routed(A, config, interpret: bool = False):
                                       arrs["rv"], arrs["rg1"],
                                       arrs["rg2"], arrs["rpq"])
                 if streamed:
-                    yv = yv * arrs["rwm"]
+                    yv = apply_band_mask(yv, arrs["rwm"])
                 yk = fold(arrs, yv.reshape(KB, -1))
             else:
                 yk = jnp.zeros((KB, m), dtype)

@@ -353,7 +353,8 @@ def tuning_space(A) -> TuningSpace:
         space.add_parameter("stream_x", (0, 1))
         space.add_constraint(("impl", "stream_x"),
                              lambda i, s: s == 0
-                             or i in ("binned", "colsort", "routed"))
+                             or i in ("binned", "colsort", "colsort2",
+                                      "routed"))
         space.add_parameter("pack16", ("auto", 0))
         space.add_constraint(("impl", "pack16"),
                              lambda i, p: p == "auto" or i in ("binned", "colsort", "colsort2"))

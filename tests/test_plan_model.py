@@ -40,14 +40,18 @@ def test_routed_beats_colsort2_on_mid_degree_scatter():
 
 def test_routed_rejects_power_law():
     # Webbase-like zipf tail: the per-row slot capacity makes routed the
-    # wrong rail; it must raise the skippable failure, not plan badly
+    # wrong rail; it must raise the skippable failure, not plan badly.
+    # (Assert on the message: without the native planner the >150k-nnz
+    # python-fallback guard raises the SAME exception type, which would
+    # make this test pass without exercising the tail-rejection logic.)
     from cusp_autotuned_tpu.gallery.suite import _powerlaw
     from cusp_autotuned_tpu.utils.exceptions import (
         FormatConversionException,
     )
     S = _powerlaw(30_000, 200_000, a=1.8, seed=11)
     A = from_scipy(S.tocoo().astype(np.float32), "csr")
-    with pytest.raises(FormatConversionException):
+    with pytest.raises(FormatConversionException,
+                       match="entries in the tail"):
         _passes(A, ROUTED)
 
 
