@@ -61,6 +61,33 @@ def profile_spmv(A, x, config=None) -> RooflineReport:
     )
 
 
+def kernel_speed_of_light(fn) -> dict | None:
+    """Analytic speed-of-light for a built scattered-rail kernel, from its
+    plan_stats: the kernel class is XLU-bound (docs/roadmap.md), so the
+    bound is tile-take passes x ~136 ns per 128x128 tile.  Returns
+    {passes, pred_us, fill, ...} or None when fn carries no plan.
+    (Class analogue of min_read_bytes for the take-pass-bound rails;
+    benchmarks/plan_model.py uses the same pricing to rank plans
+    host-side.)"""
+    st = getattr(fn, "plan_stats", None)
+    if not st:
+        return None
+    import sys
+    sys.path.insert(0, ".")
+    try:
+        from benchmarks.plan_model import tile_passes
+        passes = tile_passes(st)
+    except (ImportError, ValueError, KeyError):
+        return None
+    return {
+        "impl": st["impl"],
+        "tile_passes_per_rhs": passes,
+        "pred_us_per_rhs": round(passes * 0.136, 1),
+        "fill": st.get("fill"),
+        "nb": st.get("nb"),
+    }
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard/XProf)."""
