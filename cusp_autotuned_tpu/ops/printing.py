@@ -47,6 +47,38 @@ def spy(A, stream=None, max_size: int = 60) -> None:
     stream.write("+" + "-" * w + "+\n")
 
 
+def spy_plot(A, path=None, max_points: int = 200000, markersize=None,
+             show: bool = False):
+    """Graphical sparsity plot via matplotlib — the interactive-viewer side
+    of the reference's OpenGL spy (cusp/opengl/spy/spy.h) without the GLUT
+    loop: save to `path` (png/svg/pdf) and/or `show` a window.  Returns the
+    matplotlib Figure, or None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        if not show:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+    except ImportError:  # matplotlib is optional — spy/spy_svg always work
+        return None
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    row, col, _, (m, n) = _coo_arrays(A)
+    stride = max(1, row.size // max_points)
+    row, col = row[::stride], col[::stride]
+    fig, ax = plt.subplots(figsize=(6, 6 * max(m, 1) / max(n, 1)))
+    if markersize is None:
+        markersize = max(0.1, min(2.0, 400.0 / max(m, n, 1)))
+    ax.plot(col, row, ".", markersize=markersize, color="black")
+    ax.set_xlim(-0.5, n - 0.5)
+    ax.set_ylim(m - 0.5, -0.5)
+    ax.set_aspect("equal")
+    ax.set_title(f"{m} x {n}, {getattr(A, 'nnz', row.size)} entries")
+    if path is not None:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig
+
+
 def spy_svg(A, path, max_points: int = 20000, size: int = 600) -> None:
     """Write the sparsity pattern as an SVG scatter (the file-output side of
     the reference's OpenGL spy viewer, cusp/opengl/spy/)."""

@@ -241,6 +241,17 @@ def test_spy_svg(tmp_path):
     assert content.startswith("<svg") and "circle" in content
 
 
+def test_spy_plot(tmp_path):
+    from cusp_autotuned_tpu.ops.printing import spy_plot
+    S = example_matrices()["tri37"]
+    A = build(S, "coo")
+    p = tmp_path / "spy.png"
+    fig = spy_plot(A, p)
+    if fig is None:                      # matplotlib optional
+        pytest.skip("matplotlib unavailable")
+    assert p.stat().st_size > 0
+
+
 def test_monitor_verbose(capsys):
     from cusp_autotuned_tpu.solvers import Monitor
     b = np.array([3.0, 4.0])
