@@ -278,6 +278,17 @@ def _fallback_line(err: str) -> str:
         "unit": "GB/s",
         "vs_baseline": 0.0,
         "error": err[:400],
+        # NOT this run's numbers: prior-session on-chip measurements,
+        # recorded so an outage run still points at the measured state
+        # (full tables + methodology in BASELINE.md)
+        "last_good_onchip": {
+            "source": "BASELINE.md round-3 (marginal methodology)",
+            "dia_spmv_5m_nnz_useful_gbps": 220,
+            "spmm_p9_k16_via_dia_gflops": 913,
+            "economics_colsort2_mix4_spmv_us": 138,
+            "economics_colsort2_spmm_k16_gflops": 15.9,
+            "walk_dia_onchip": "68/68 ok (round-3 session)",
+        },
     })
 
 
