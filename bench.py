@@ -25,7 +25,7 @@ from benchmarks.harness import (time_fn as _timeit, time_fn_marginal,
                                 stream_bandwidth_gbps)
 
 
-def _sweep(on_tpu, budget_s: float = 300.0):
+def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
     """Compact multi-format sweep folded into the headline JSON so a
     driver-recorded run notices CSR/colsort/SpMM regressions, not just DIA.
 
@@ -125,7 +125,8 @@ def _sweep(on_tpu, budget_s: float = 300.0):
         return out
     # colsort2 (plane-aligned virtual rows, MXU scatter): SpMV on the
     # power law + SpMM on the scattered pattern
-    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu.operators import (PlannedOperator,
+                                              jit_operator)
     from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
     try:
         if not on_tpu:
@@ -135,14 +136,14 @@ def _sweep(on_tpu, budget_s: float = 300.0):
                                 "hub_cap": 8})
         op2 = PlannedOperator(arrays=f2.planned_arrays, build=f2.apply,
                               shape=P.shape)
-        put_rate("csr_colsort2_powerlaw_1m_gbps", jax.jit(op2), xp,
+        put_rate("csr_colsort2_powerlaw_1m_gbps", jit_operator(op2), xp,
                  S.nnz * 8 + S.shape[0] * 8)
         f2s = build_colsort2(Ps, {"plan_budget_bytes": 1 << 33,
                                   "vrow_planes": 1, "mix_chunks": 4,
                                   "spmm_kb": 8})
         op2s = PlannedOperator(arrays=f2s.planned_arrays, build=f2s.apply,
                                shape=Ps.shape)
-        put_rate("colsort2_spmm_scattered_k16_gflops", jax.jit(op2s), Xp,
+        put_rate("colsort2_spmm_scattered_k16_gflops", jit_operator(op2s), Xp,
                  2 * Ss.nnz * 16)
     except Exception as e:  # noqa: BLE001
         out["colsort2_error"] = str(e)[:120]
@@ -163,10 +164,30 @@ def _sweep(on_tpu, budget_s: float = 300.0):
                               shape=Ps.shape)
         xs = jnp.asarray(np.random.RandomState(5).randn(Ps.num_cols)
                          .astype(np.float32))
-        put_rate("routed_spmv_scattered_gbps", jax.jit(opr), xs,
+        put_rate("routed_spmv_scattered_gbps", jit_operator(opr), xs,
                  Ss.nnz * 8 + Ss.shape[0] * 8)
     except Exception as e:  # noqa: BLE001
         out["routed_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
+    # bf16 value storage (TPU-native mixed precision): the same headline
+    # DIA kernel with its diagonal data stored at bfloat16 — half the
+    # dominant HBM stream; rate stated in f32-EQUIVALENT useful bytes so
+    # the speedup reads directly against the f32 headline (solvers.refine
+    # recovers f32 accuracy; docs/architecture.md)
+    if dia_headline is not None and on_tpu:
+        try:
+            fb = jax.jit(build_dia(dia_headline,
+                                   {"block_rows": 4096,
+                                    "value_dtype": "bfloat16"}))
+            useful32 = (dia_headline.num_diagonals
+                        * dia_headline.rows_padded
+                        + 2 * dia_headline.num_rows) * 4
+            put_rate("dia_bf16_spmv_gbps_f32equiv", fb, x_headline, useful32)
+        except Exception as e:  # noqa: BLE001
+            out["bf16_error"] = str(e)[:120]
 
     if over_budget():
         out["truncated"] = "budget"
@@ -251,7 +272,7 @@ def main():
     marginal_gbps = useful / max(t_marg, 1e-9) / 1e9
 
     try:
-        sweep = _sweep(on_tpu)
+        sweep = _sweep(on_tpu, dia_headline=A, x_headline=x)
     except Exception as e:  # noqa: BLE001 — the headline must still print
         sweep = {"error": str(e)[:200]}
     sweep["dia_percall_gbps"] = round(spmv_gbps, 1)

@@ -42,6 +42,8 @@ from cusp_autotuned_tpu.utils.exceptions import (
     FormatConversionException, NotImplementedException,
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
+from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
+from cusp_autotuned_tpu.utils.config import plan_value_dtype
 
 def MAX_X_VMEM_BYTES():
     from cusp_autotuned_tpu.utils.config import get_config
@@ -214,7 +216,7 @@ def _binned_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
         xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
         t = jnp.take_along_axis(xrep, lane, axis=1)
         xg = jnp.where(chunk == c, t, xg)
-    prod = vals * xg
+    prod = _upcast(vals, dtype) * xg
 
     # scatter: lane is row-pinned, so each 128-row group q is a masked
     # sublane sum — no matmuls, no data movement
@@ -258,7 +260,7 @@ def _binned_spmm_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
             xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
             t = jnp.take_along_axis(xrep, lane, axis=1)
             xg = jnp.where(cmask[c], t, xg)
-        prod = vals * xg
+        prod = _upcast(vals, dtype) * xg
         for q in range(RS):
             part = jnp.sum(jnp.where(qmask[q], prod, 0), axis=0)
             y_ref[kk, rb + q, :] = y_ref[kk, rb + q, :] + part
@@ -301,7 +303,7 @@ def _streamed_kernel(rbs, cbs, spans, x_ref, val_ref, pack_ref, y_ref,
             xrep = jnp.broadcast_to(xw[c][None, :], (Bs, LANE))
             t = jnp.take_along_axis(xrep, lane, axis=1)
             xg = jnp.where(cmask[c], t, xg)
-        prod = vals * xg
+        prod = _upcast(vals, dtype) * xg
         for q in range(RS):
             part = jnp.sum(jnp.where(qmask[q], prod, 0), axis=0)
             y_set(q, y_at(q) + part)
@@ -336,6 +338,7 @@ def _build_streamed(A, config, interpret):
     row, col, val, shape = _host_coo(A, interpret)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    store = plan_value_dtype(config, dtype)
 
     vals, packs, rbs, cbs, spans, spill, RS, CW = plan_binned(
         row, col, val, shape, B, C, RW, hub_cap, aligned=True)
@@ -393,7 +396,7 @@ def _build_streamed(A, config, interpret):
     cbs_win = jnp.asarray(np.asarray(cbs) // CW)
     rbs_win = jnp.asarray(np.asarray(rbs) // RS)
     spans_d = jnp.asarray(spans)
-    vals_d = jnp.asarray(vals.astype(dtype))
+    vals_d = jnp.asarray(vals.astype(store))
     packs_d = jnp.asarray(packs)
 
     def make_call(K):
@@ -499,6 +502,7 @@ def _build(A, config, interpret):
     row, col, val, shape = _host_coo(A, interpret)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    store = plan_value_dtype(config, dtype)
 
     C = int(config.get("col_window", 2048))
     if C % LANE != 0:
@@ -587,7 +591,7 @@ def _build(A, config, interpret):
         interpret=interpret,
     )
 
-    vals_d = jnp.asarray(vals.astype(dtype))
+    vals_d = jnp.asarray(vals.astype(store))
     packs_d = jnp.asarray(packs)
     rbs_d, cbs_d, spans_d = map(jnp.asarray, (rbs, cbs, spans))
 

@@ -40,6 +40,8 @@ from cusp_autotuned_tpu.utils.exceptions import (
     FormatConversionException, NotImplementedException,
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
+from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
+from cusp_autotuned_tpu.utils.config import plan_value_dtype
 
 def MAX_X_VMEM_BYTES():
     from cusp_autotuned_tpu.utils.config import get_config
@@ -189,7 +191,7 @@ def _main_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
         g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
         gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
     xg = jnp.swapaxes(gt[:, :Bs], 0, 1)
-    prod = vals * xg
+    prod = _upcast(vals, dtype) * xg
 
     # scatter: one permutation take into row-lane layout, then masked
     # per-q sublane sums
@@ -291,7 +293,7 @@ def _hub_kernel(cbs, x_ref, val_ref, pack_ref, out_ref, *, Bs, CW, rid_shift,
     for w in range(W):
         g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
         gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
-    prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+    prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
 
     # per-row lane partials; the lane reduction + scatter happen in XLA
     rows = []
@@ -333,6 +335,7 @@ def build_colsort(A, config, interpret: bool = False):
     val = np.asarray(val, np.float64)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    store = plan_value_dtype(config, dtype)
 
     B = int(config.get("block_entries", 4096))
     RW = int(config.get("row_window", 2048))
@@ -405,7 +408,7 @@ def build_colsort(A, config, interpret: bool = False):
                 transcendentals=0),
             interpret=interpret)
         arrays.update(
-            mv=jnp.asarray(vals_.astype(dtype)), mc=jnp.asarray(chunks_),
+            mv=jnp.asarray(vals_.astype(store)), mc=jnp.asarray(chunks_),
             mp=jnp.asarray(pqs_), mr=jnp.asarray(rbs_),
             mcb=jnp.asarray(cbs_))
 
@@ -476,7 +479,7 @@ def build_colsort(A, config, interpret: bool = False):
                 transcendentals=0),
             interpret=interpret)
         arrays.update(
-            hv=jnp.asarray(hvals.astype(dtype)), hp=jnp.asarray(hpacks),
+            hv=jnp.asarray(hvals.astype(store)), hp=jnp.asarray(hpacks),
             hcb=jnp.asarray(hcbs),
             hrw=jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
 
@@ -590,7 +593,7 @@ def _main_streamed_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
             g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
                                       axis=1)
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
-        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)
         for q in range(RS):
             part = jnp.sum(jnp.where(qmask[q], pr, 0), axis=0)
@@ -631,7 +634,7 @@ def _hub_streamed_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
     for w in range(W):
         g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low, axis=1)
         gt = jnp.where(hiw == w, g_w, gt) if W > 1 else g_w
-    prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+    prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
 
     rows = []
     for k in range(NR):
@@ -655,6 +658,7 @@ def _build_colsort_streamed(A, config, interpret):
     val = np.asarray(val, np.float64)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    store = plan_value_dtype(config, dtype)
 
     B = int(config.get("block_entries", 4096))
     # Mosaic's 8-sublane block rule: row buckets round up to 1024 elements
@@ -728,7 +732,7 @@ def _build_colsort_streamed(A, config, interpret):
                 transcendentals=0),
             interpret=interpret)
         arrays.update(
-            mv=jnp.asarray(vals_.astype(dtype)), mc=jnp.asarray(chunks_),
+            mv=jnp.asarray(vals_.astype(store)), mc=jnp.asarray(chunks_),
             mp=jnp.asarray(pqs_),
             mr=jnp.asarray(np.asarray(rbs_) // RS),
             mcb=jnp.asarray(np.asarray(cbs_) // CW))
@@ -806,7 +810,7 @@ def _build_colsort_streamed(A, config, interpret):
                 transcendentals=0),
             interpret=interpret)
         arrays.update(
-            hv=jnp.asarray(hvals.astype(dtype)), hp=jnp.asarray(hpacks),
+            hv=jnp.asarray(hvals.astype(store)), hp=jnp.asarray(hpacks),
             hcb=jnp.asarray(np.asarray(hcbs) // CW),
             hrw=jnp.asarray(hrows[:, :NR].reshape(-1).astype(np.int32)))
 
@@ -915,7 +919,7 @@ def _main_spmm_kernel(rbs, cbs, x_ref, val_ref, chunk_ref, pq_ref, y_ref,
             g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
                                       axis=1)
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
-        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)
         for q in range(RS):
             part = jnp.sum(jnp.where(qmask[q], pr, 0), axis=0)
@@ -955,7 +959,7 @@ def _hub_spmm_kernel(cbs, x_ref, val_ref, pack_ref, out_ref,
             g_w = jnp.take_along_axis(xt[:, w * LANE:(w + 1) * LANE], low,
                                       axis=1)
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
-        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
         rows = []
         for k2 in range(NR):
             rows.append(jnp.sum(jnp.where(rmask[k2], prod, 0),

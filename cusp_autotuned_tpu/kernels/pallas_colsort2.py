@@ -49,6 +49,7 @@ from cusp_autotuned_tpu.utils.exceptions import (
     FormatConversionException, NotImplementedException,
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
+from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
 
 
 def MAX_VMEM_BYTES():
@@ -544,7 +545,7 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, *rest,
         for w in range(W):
             g_w = jnp.take_along_axis(load_w(w), low, axis=1)
             gt = jnp.where(wmask[w], g_w, gt) if W > 1 else g_w
-        prod = vals * jnp.swapaxes(gt[:, :Bs], 0, 1)
+        prod = _upcast(vals, dtype) * jnp.swapaxes(gt[:, :Bs], 0, 1)
         pr = jnp.take_along_axis(prod, perm, axis=1)  # virtual-lane layout
         if perm_fold:
             prT = jnp.swapaxes(pr, 0, 1)              # (LANE, Bs)
@@ -617,6 +618,7 @@ def build_colsort2(A, config, interpret: bool = False):
     measures 15.9 = 92% of it)."""
     from cusp_autotuned_tpu.ops.convert import _coo_arrays
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    from cusp_autotuned_tpu.utils.config import plan_value_dtype
     _reject_x64(A, interpret)
     if np.issubdtype(np.dtype(A.dtype), np.complexfloating):
         raise NotImplementedException(
@@ -629,6 +631,7 @@ def build_colsort2(A, config, interpret: bool = False):
     val = np.asarray(val, np.float64)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    store = plan_value_dtype(config, dtype)
 
     B = int(config.get("block_entries", 16384))
     if B % LANE != 0:
@@ -766,7 +769,7 @@ def build_colsort2(A, config, interpret: bool = False):
         interpret=interpret)
 
     arrays = dict(
-        v2v=jnp.asarray(vals_.astype(dtype)), v2c=jnp.asarray(chunks_),
+        v2v=jnp.asarray(vals_.astype(store)), v2c=jnp.asarray(chunks_),
         v2p=jnp.asarray(pqs_), v2vb=jnp.asarray(vbs_),
         v2cb=jnp.asarray(cbs_))
     if perm:

@@ -108,12 +108,14 @@ def build_csr_onehot(A, config, interpret: bool = False):
     Bs = B // LANE
     row_rel = row_rel.reshape(nb, Bs, LANE)
     col_rel = col_rel.reshape(nb, Bs, LANE)
-    vals = vals.reshape(nb, Bs, LANE).astype(A.dtype)
+    from cusp_autotuned_tpu.utils.config import plan_value_dtype
+    store = plan_value_dtype(config, A.dtype)
+    vals = vals.reshape(nb, Bs, LANE).astype(store)
 
     m_pad = round_up(m, LANE) + ROW_WINDOW
     rows_sub = m_pad // LANE
     n_pad = round_up(n, LANE) + C + LANE
-    if n_pad * vals.dtype.itemsize > MAX_X_VMEM_BYTES:
+    if n_pad * np.dtype(A.dtype).itemsize > MAX_X_VMEM_BYTES:
         raise NotImplementedException(
             "x too large for the VMEM-resident one-hot kernel")
     x_rows = n_pad // LANE
@@ -140,11 +142,12 @@ def build_csr_onehot(A, config, interpret: bool = False):
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_sub, LANE),
+                               np.dtype(A.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * B * (ROW_WINDOW + C) // LANE,
             bytes_accessed=(3 * nb * B + n_pad + m_pad)
-            * vals.dtype.itemsize,
+            * np.dtype(A.dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -191,7 +194,8 @@ def _onehot_kernel(row_base_sub, row_rem, col_base_sub,
         g_c = jnp.take_along_axis(xrep, lane, axis=1)
         xg = jnp.where(chunk == c, g_c, xg)
 
-    prod2 = vals2 * xg                                     # (Bs, 128)
+    from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
+    prod2 = _upcast(vals2, dtype) * xg                                     # (Bs, 128)
 
     # -- scatter y[row] += prod: one-hot matmuls on the MXU -------------------
     # a row index decomposes as (sublane chunk, lane); per entry tile s:

@@ -44,7 +44,9 @@ MIN_BLOCK_ROWS = 8 * LANE   # (8, 128) min tile
 
 def build_dia(A, config, interpret: bool = False):
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
+    from cusp_autotuned_tpu.utils.config import plan_value_dtype
     _reject_x64(A, interpret)
+    store = plan_value_dtype(config, A.dtype)   # bf16 halves the data stream
     block_rows = int(config.get("block_rows", 2048))
     if block_rows % MIN_BLOCK_ROWS != 0:
         raise NotImplementedException("block_rows must be a multiple of 1024")
@@ -61,13 +63,13 @@ def build_dia(A, config, interpret: bool = False):
         # x no longer fits next to the data blocks: stream it as two
         # consecutive row blocks per grid step (same trick as the SpMM
         # kernel) — works whenever the diagonal span fits one block
-        return _build_dia_streamed(A, block_rows, interpret)
+        return _build_dia_streamed(A, block_rows, interpret, store, config)
 
     grid = mp // block_rows
     data = A.data
     if data.shape[1] != mp:
         data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
-    data3 = data.reshape(k, rows_sub, LANE)
+    data3 = data.reshape(k, rows_sub, LANE).astype(store)
 
     kernel = functools.partial(_dia_kernel, offsets=offsets, left=left,
                                sub_block=sub_block)
@@ -84,7 +86,8 @@ def build_dia(A, config, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), A.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * mp,
-            bytes_accessed=(k * mp + x_rows * LANE + mp) * A.dtype.itemsize,
+            bytes_accessed=(k * mp * store.itemsize
+                            + (x_rows * LANE + mp) * A.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -94,7 +97,7 @@ def build_dia(A, config, interpret: bool = False):
 
     def fn(x):
         if x.ndim == 2:
-            return _dia_spmm(A, block_rows, interpret)(x)
+            return _dia_spmm(A, block_rows, interpret, store)(x)
         if x.ndim != 1:
             raise NotImplementedException("pallas DIA kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows, LANE)
@@ -103,7 +106,7 @@ def build_dia(A, config, interpret: bool = False):
     return fn
 
 
-def _build_dia_streamed(A, block_rows, interpret):
+def _build_dia_streamed(A, block_rows, interpret, store=None, config=None):
     """DIA SpMV with x STREAMED as two consecutive (block_rows/128, 128)
     blocks per grid step instead of fully VMEM-resident — lifts the matrix
     size cap for banded operators whose diagonal span fits one block."""
@@ -114,6 +117,8 @@ def _build_dia_streamed(A, block_rows, interpret):
     if left + max(max(offsets), 0) > block_rows - LANE:
         raise NotImplementedException(
             "diagonal span exceeds block_rows for the streamed DIA kernel")
+    if store is None:
+        store = np.dtype(A.dtype)
     mp = round_up(A.rows_padded, block_rows)
     rows_sub = mp // LANE
     sub_block = block_rows // LANE
@@ -121,7 +126,7 @@ def _build_dia_streamed(A, block_rows, interpret):
     data = A.data
     if data.shape[1] != mp:
         data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
-    data3 = data.reshape(k, rows_sub, LANE)
+    data3 = data.reshape(k, rows_sub, LANE).astype(store)
     x_rows_total = (grid + 2) * sub_block
 
     kernel = functools.partial(_dia_streamed_kernel, offsets=offsets,
@@ -142,7 +147,8 @@ def _build_dia_streamed(A, block_rows, interpret):
         out_shape=jax.ShapeDtypeStruct((rows_sub, LANE), A.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * mp,
-            bytes_accessed=(k * mp + 3 * mp) * A.dtype.itemsize,
+            bytes_accessed=(k * mp * store.itemsize
+                            + 3 * mp * A.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -151,7 +157,7 @@ def _build_dia_streamed(A, block_rows, interpret):
 
     def fn(x):
         if x.ndim == 2:
-            return _dia_spmm(A, block_rows, interpret)(x)
+            return _dia_spmm(A, block_rows, interpret, store)(x)
         if x.ndim != 1:
             raise NotImplementedException("pallas DIA kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows_total, LANE)
@@ -176,12 +182,19 @@ def _dia_streamed_kernel(xa_ref, xb_ref, data_ref, y_ref, *, offsets, left,
             ra = pltpu.roll(a, LANE - r, 1)
             rb = pltpu.roll(b, LANE - r, 1)
             shifted = jnp.where(lane < LANE - r, ra, rb)
-        term = data_ref[d] * shifted
+        term = _upcast(data_ref[d], y_ref.dtype) * shifted
         acc = term if acc is None else acc + term
     y_ref[:] = acc
 
 
-def _dia_spmm(A, block_rows, interpret):
+def _upcast(v, dtype):
+    """bf16-stored plan values promote to the accumulation dtype before the
+    FMA (explicit, so Mosaic never sees a mixed-dtype multiply); a static
+    no-op when value_dtype isn't narrowed."""
+    return v if v.dtype == dtype else v.astype(dtype)
+
+
+def _dia_spmm(A, block_rows, interpret, store=None):
     """DIA x dense-block multiply, y (m, k) = A @ x (n, k).
 
     Rebuild target: the reference's CSR x array2d block kernel
@@ -194,6 +207,8 @@ def _dia_spmm(A, block_rows, interpret):
     offsets = A.offsets
     ndiag = len(offsets)
     left = -min(0, min(offsets))
+    if store is None:
+        store = np.dtype(A.dtype)
     if left + max(max(offsets), 0) > block_rows:
         raise NotImplementedException(
             "diagonal span exceeds block_rows for the DIA SpMM kernel")
@@ -222,6 +237,7 @@ def _dia_spmm(A, block_rows, interpret):
         data_l = A.data
         if data_l.shape[1] != mp_l:
             data_l = jnp.pad(data_l, ((0, 0), (0, mp_l - data_l.shape[1])))
+        data_l = data_l.astype(store)
         x_rows_total = (grid_l + 2) * br
 
         kernel = functools.partial(_dia_spmm_kernel, offsets=offsets,
@@ -272,7 +288,7 @@ def _dia_spmm_kernel(data_ref, xa_ref, xb_ref, y_ref, *, offsets, left,
     for d, off in enumerate(offsets):
         t = off + left                          # static, in [0, 2*block_rows)
         seg = xcat[t: t + block_rows, :]
-        term = data_ref[d][:, None] * seg
+        term = _upcast(data_ref[d], y_ref.dtype)[:, None] * seg
         acc = term if acc is None else acc + term
     y_ref[...] = acc
 
@@ -294,6 +310,6 @@ def _dia_kernel(x_ref, data_ref, y_ref, *, offsets, left, sub_block):
             ra = pltpu.roll(a, LANE - r, 1)
             rb = pltpu.roll(b, LANE - r, 1)
             shifted = jnp.where(lane < LANE - r, ra, rb)
-        term = data_ref[d] * shifted
+        term = _upcast(data_ref[d], y_ref.dtype) * shifted
         acc = term if acc is None else acc + term
     y_ref[:] = acc

@@ -61,6 +61,7 @@ from cusp_autotuned_tpu.utils.exceptions import (
     FormatConversionException, NotImplementedException,
 )
 from cusp_autotuned_tpu.utils.padding import LANE, round_up
+from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
 
 WIN = LANE * LANE                  # x-window: 16384 consecutive elements
 HUB_SPLIT = 128
@@ -344,7 +345,8 @@ def _routed_kernel(vbs, cbs, xt_ref, val_ref, g1_ref, g2_ref, pq_ref,
             t1 = jnp.where(wsel == w, g_w, t1) if Wr > 1 else g_w
         rt = jnp.swapaxes(jnp.take_along_axis(jnp.swapaxes(t1, 0, 1),
                                               g2, axis=1), 0, 1)
-        pr = jnp.take_along_axis(vals * rt, perm, axis=1)     # (s, vl)
+        pr = jnp.take_along_axis(_upcast(vals, dtype) * rt, perm,
+                             axis=1)     # (s, vl)
         upd = pr.reshape(F, RSp, LANE).sum(0) if F > 1 else pr
         y_put(y_get() + upd)
 
@@ -395,6 +397,8 @@ def build_routed(A, config, interpret: bool = False):
     val = np.asarray(val, np.float64)
     m, n = shape
     dtype = np.dtype(A.dtype)
+    from cusp_autotuned_tpu.utils.config import plan_value_dtype
+    store = plan_value_dtype(config, dtype)
 
     # 0 means "default" for the shared tuning-space axes (a walk config
     # carries every axis; 0 is the not-applicable/default marker)
@@ -457,6 +461,8 @@ def build_routed(A, config, interpret: bool = False):
         St = _sp.coo_matrix((tail[2], (tail[0], tail[1])), shape=shape)
         At = from_scipy(St.astype(dtype), "coo")
         tail_cfg = {"vrow_planes": 1, "mix_chunks": 4}
+        if "value_dtype" in config:
+            tail_cfg["value_dtype"] = config["value_dtype"]
         if "plan_budget_bytes" in config:
             tail_cfg["plan_budget_bytes"] = config["plan_budget_bytes"]
         if "tail_hub_cap" in config:
@@ -507,7 +513,7 @@ def build_routed(A, config, interpret: bool = False):
         interpret=interpret)
 
     arrays = dict(
-        rv=jnp.asarray(vals_.astype(dtype)), rg1=jnp.asarray(g1_),
+        rv=jnp.asarray(vals_.astype(store)), rg1=jnp.asarray(g1_),
         rg2=jnp.asarray(g2_), rpq=jnp.asarray(perm_),
         rvb=jnp.asarray(vbs_), rcb=jnp.asarray(cbs_))
     if streamed:

@@ -79,6 +79,24 @@ def planned_operator(A, config=None):
     return FunctionOperator(fn=fn, shape=tuple(A.shape))
 
 
+def jit_operator(op):
+    """jit an operator for standalone calls.  A PlannedOperator must NOT be
+    passed to jax.jit directly: jit would treat it as a plain callable and
+    close over the planned arrays as EMBEDDED CONSTANTS (the relay's compile
+    service size-caps those; solvers avoid this by taking the operator as a
+    pytree argument).  This helper jits the static `build` with the arrays
+    as a traced argument instead."""
+    import jax
+
+    if isinstance(op, PlannedOperator):
+        jb = jax.jit(op.build)
+        arrays = op.arrays
+        return lambda x: jb(arrays, x)
+    if isinstance(op, FunctionOperator):
+        return jax.jit(op.fn)
+    return jax.jit(op)
+
+
 def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:
     return IdentityOperator(shape=(n, n))
 

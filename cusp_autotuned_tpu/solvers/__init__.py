@@ -10,3 +10,4 @@ from cusp_autotuned_tpu.solvers.cr import cr
 from cusp_autotuned_tpu.solvers.gmres import gmres
 from cusp_autotuned_tpu.solvers.cg_m import cg_m
 from cusp_autotuned_tpu.solvers.bicgstab_m import bicgstab_m
+from cusp_autotuned_tpu.solvers.mixed import refine, mixed_precision_cg

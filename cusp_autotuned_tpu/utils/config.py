@@ -76,6 +76,37 @@ def plan_budget(config: dict) -> int:
         get_config().plan_budget_bytes
 
 
+def plan_value_dtype(config: dict, dtype):
+    """Storage dtype for PLANNED VALUE arrays (entry values, one-hot scatter
+    planes): the explicit config key `value_dtype: 'bfloat16'` stores them in
+    bf16, halving their HBM stream on the bandwidth-bound SpMV path, while
+    kernels keep accumulating in the matrix dtype (products promote to f32
+    before the adds/dots).  TPU-native extension with no reference analogue
+    (bf16 is the MXU's native input type); rounding each value to 8 mantissa
+    bits costs ~4e-3 relative error, so this is an EXPLICIT opt-in — never
+    part of the exhaustive tuning walk, whose oracle validation is tighter.
+    Full f32 accuracy is recovered by solvers.refine (defect correction)."""
+    import numpy as np
+    vd = (config or {}).get("value_dtype", 0)
+    base = np.dtype(dtype)
+    if not vd or vd in ("none", "0"):
+        return base
+    if str(vd) not in ("bfloat16", "bf16"):
+        from cusp_autotuned_tpu.utils.exceptions import (
+            NotImplementedException)
+        raise NotImplementedException(
+            f"value_dtype must be 'bfloat16' (got {vd!r})")
+    if base.itemsize <= 2:
+        return base                      # already 16-bit storage
+    if not np.issubdtype(base, np.floating):
+        from cusp_autotuned_tpu.utils.exceptions import (
+            NotImplementedException)
+        raise NotImplementedException(
+            "value_dtype='bfloat16' applies to real floating matrices only")
+    import jax.numpy as jnp
+    return np.dtype(jnp.bfloat16)
+
+
 def configure(**kwargs) -> Config:
     """Override configuration fields programmatically (tests, embedders)."""
     cfg = get_config()
