@@ -85,7 +85,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         return out
     # DIA SpMM k=128
     D = poisson5pt(300, 300, format="dia", dtype=np.float32)
-    fn = jax.jit(build_dia(D, {"block_rows": 4096}) if on_tpu
+    fn = jax.jit(build_dia(D, {}) if on_tpu
                  else build_spmv(D, {"impl": "slices"}))
     X = jnp.asarray(np.random.RandomState(2).randn(D.num_cols, 128)
                     .astype(np.float32))
@@ -180,8 +180,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
     if dia_headline is not None and on_tpu:
         try:
             fb = jax.jit(build_dia(dia_headline,
-                                   {"block_rows": 4096,
-                                    "value_dtype": "bfloat16"}))
+                                   {"value_dtype": "bfloat16"}))
             useful32 = (dia_headline.num_diagonals
                         * dia_headline.rows_padded
                         + 2 * dia_headline.num_rows) * 4
@@ -252,7 +251,7 @@ def main():
     x = jnp.asarray(np.random.RandomState(0).randn(n).astype(np.float32))
 
     on_tpu = jax.default_backend() == "tpu"
-    config = ({"impl": "pallas", "block_rows": 4096} if on_tpu
+    config = ({"impl": "pallas"} if on_tpu
               else {"impl": "slices", "block_rows": 0})
     spmv = jax.jit(build_spmv(A, config))
     t_marg, t_spmv = time_fn_marginal(spmv, x)

@@ -279,7 +279,7 @@ _DEFAULTS = {
     "hyb": {"impl": "default"},
 }
 
-_PALLAS_BLOCK_ROWS = (1024, 2048, 4096, 8192)
+_PALLAS_BLOCK_ROWS = (2048, 8192, 16384, 32768)
 
 
 def default_config(A) -> Dict[str, Any]:
