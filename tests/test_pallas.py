@@ -57,6 +57,32 @@ def test_dia_block_rows(block_rows):
     _check(A, block_rows=block_rows)
 
 
+def test_dia_auto_block_rows():
+    # block_rows omitted (or 0) → VMEM-budget-fitting auto choice; the
+    # builder must stay correct through it
+    A = gallery.make_diagonal_symmetric_matrix(3000, 3000, 7, 9)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(A.num_cols).astype(np.float32))
+    ref = reference_spmv(A, np.asarray(x))
+    for cfg in ({}, {"block_rows": 0}):
+        y = np.asarray(jax.jit(build_dia(A, cfg, interpret=True))(x))
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_dia_auto_block_rows_bounds():
+    from cusp_autotuned_tpu.kernels.pallas_dia import (
+        MIN_BLOCK_ROWS, MAX_BLOCK_ROWS, _auto_block_rows)
+    for k in (1, 5, 27, 200):
+        for rows in (1024, 65536, 4_000_000):
+            for itemsize in (2, 4):
+                br = _auto_block_rows(k, rows, itemsize)
+                assert br % MIN_BLOCK_ROWS == 0
+                assert MIN_BLOCK_ROWS <= br <= MAX_BLOCK_ROWS
+    # small k + big matrix hits the cap; huge k falls back to the min tile
+    assert _auto_block_rows(5, 4_000_000, 4) == MAX_BLOCK_ROWS
+    assert _auto_block_rows(2000, 4_000_000, 4) == MIN_BLOCK_ROWS
+
+
 # -- windowed one-hot CSR/COO kernel ------------------------------------------
 
 def _check_onehot(S, B=512, C=1024, fmt="csr"):
