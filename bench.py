@@ -303,10 +303,13 @@ def _fallback_line(err: str) -> str:
         # (full tables + methodology in BASELINE.md)
         "last_good_onchip": {
             "source": "BASELINE.md round-3 (marginal methodology)",
-            "dia_spmv_5m_nnz_useful_gbps": 220,
+            "dia_headline_marginal_gbps": 875,
+            "dia_headline_frac_of_stream": 0.89,
             "spmm_p9_k16_via_dia_gflops": 913,
-            "economics_colsort2_mix4_spmv_us": 138,
+            "economics_routed_spmv_us": 100,
             "economics_colsort2_spmm_k16_gflops": 15.9,
+            "williams_best_marginal_frac": "via_dia rows 0.44-0.74, "
+                                           "dense 0.91 (suite log)",
             "walk_dia_onchip": "68/68 ok (round-3 session)",
         },
     })
