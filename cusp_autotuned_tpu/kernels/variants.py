@@ -25,7 +25,16 @@ from cusp_autotuned_tpu.utils.exceptions import NotImplementedException
 # -- XLA-fused variants (reuse the generic jnp SpMV with knobs) ---------------
 
 def _build_dia_slices(A, config):
+    import dataclasses as _dc
+    import numpy as np
     from cusp_autotuned_tpu.ops.multiply import spmv_dia
+    from cusp_autotuned_tpu.utils.config import plan_value_dtype
+
+    # honor value_dtype on the XLA path too (bf16 data x f32 x promotes to
+    # f32 — same accumulate precision as the Pallas kernels' _upcast)
+    store = plan_value_dtype(config, A.dtype)
+    if store != np.dtype(A.dtype):
+        A = _dc.replace(A, data=A.data.astype(store))
 
     def fn(x):
         return spmv_dia(A, x)
