@@ -60,7 +60,11 @@ def candidate_configs(rect: bool):
         # accumulate); validated against the f64 oracle at 1e-2 tolerance
         # by the tuner, here it must still pass the suite's 1e-4 gate on
         # well-conditioned rows or read BADVAL (recorded, not hidden)
-        ("via_dia-bf16", {"impl": "via_dia",
+        # the Pallas inner kernel is REQUIRED for the bf16 win: XLA's
+        # fused path hoists a bf16->f32 convert of the whole data array
+        # (measured tie on QCD), while the Pallas kernel upcasts in-reg
+        # (measured 28 vs 53 us, benchmarks/dia_qcd_probe.py)
+        ("via_dia-bf16", {"impl": "via_dia", "dia_impl": "pallas",
                           "value_dtype": "bfloat16"}),
     ]
     if not rect:
