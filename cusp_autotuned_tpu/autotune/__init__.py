@@ -28,6 +28,10 @@ from cusp_autotuned_tpu.autotune.result import (
     ResultStatus, TuningResult,
 )
 from cusp_autotuned_tpu.autotune.search import (
-    DeterministicSearcher, RandomSearcher, StopCondition,
-    TuningDuration, ConfigurationCount, ConfigurationFraction,
+    DeterministicSearcher, RandomSearcher, ModelGuidedSearcher,
+    StopCondition, TuningDuration, ConfigurationCount,
+    ConfigurationFraction,
+)
+from cusp_autotuned_tpu.autotune.cost_model import (
+    predict, recommend_config, pattern_stats,
 )

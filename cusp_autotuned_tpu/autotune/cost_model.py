@@ -1,0 +1,275 @@
+"""Analytic per-strategy SpMV cost model (host-side, zero chip time).
+
+The reference selects kernels by MEASURING every configuration (KTT
+TuneIteration / Tune — cusp/system/cuda/ktt/multiply.h:56-153); the only
+analytic model it carries is the DIA DRAM roofline used to audit measured
+counters (main.cu:560-580).  On TPU the measurement loop is far more
+expensive — every configuration costs an XLA compile (seconds through the
+relay) — so the rebuild adds what the reference never needed: an analytic
+pre-ranking built from MEASURED device constants, so format/strategy
+selection can happen before anything compiles.
+
+The model prices each strategy class with the constants measured on chip
+(BASELINE.md round 3, marginal two-point methodology):
+
+  - HBM stream  ~997 GB/s; the DIA Pallas kernel moves its stored bytes
+    at ~0.74-0.89 of stream (QCD probe: the rolls/shifts are fully hidden,
+    the kernel sits at its memory floor), the dense MXU GEMV at ~0.9.
+  - The scattered-pattern kernel class (colsort2/routed) is XLU-bound:
+    one (128,128)-tile take/transpose pass costs ~136 ns, so a plan's
+    speed-of-light is (tile passes) x 136 ns (benchmarks/plan_model.py);
+    per ENTRY that is (passes_per_block * 16384 / entries_per_block)
+    slot-ops at ~8.3 ps each.  Plan fill is Poisson-capped (docs/
+    roadmap.md structural-fill bound), which this model evaluates EXACTLY
+    from the (row, x-window) occupancy histogram instead of building the
+    plan.
+  - XLA primitive costs: random gather ~7 ns/elem, sorted segment-sum
+    ~9 ns/elem (the segsum default path ~16 ns/entry).
+
+Uses: `recommend_config(A)` — best predicted strategy without compiling
+anything (e.g. picking bf16-DIA vs the routed rail on a mid-fill banded
+pattern); `ModelGuidedSearcher` (autotune.search) — orders the tuner's
+walk best-predicted-first so time-bounded tuning tries winners early.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# measured device constants (BASELINE.md round 3; override per call)
+DEVICE_MODEL: Dict[str, float] = dict(
+    stream_gbps=997.0,    # marginal HBM stream rate, f32
+    dia_eff=0.80,         # DIA kernel: stored-byte rate / stream
+    dense_eff=0.90,       # MXU GEMV rate / stream
+    tile_take_ns=136.0,   # one (128,128)-tile XLU take/transpose pass
+    gather_ns=7.0,        # XLA random gather, per element
+    segsum_ns=9.0,        # XLA sorted segment-sum, per element
+    scattered_overhead=1.5,  # measured/model gap (fold+output passes)
+    tail_ops_per_entry=16.0,  # hub/tail entries: colsort2-class cost
+)
+
+LANE = 128
+_SLOT_NS = {}  # tile_take_ns / 16384, cached per model dict id
+
+
+def _host_triplets(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                               Tuple[int, int]]:
+    """COO triplets on the host, preferring the container's mirror so no
+    device pull happens."""
+    mirror = getattr(A, "_host_coo", None)
+    if mirror is not None:
+        row, col, val, shape = mirror
+        return (np.asarray(row), np.asarray(col), np.asarray(val),
+                tuple(shape))
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    S = to_scipy(A)
+    if not hasattr(S, "tocoo"):  # dense container
+        import scipy.sparse as sp
+        S = sp.coo_matrix(S)
+    C = S.tocoo()
+    return (np.asarray(C.row), np.asarray(C.col), np.asarray(C.data),
+            tuple(C.shape))
+
+
+def pattern_stats(A) -> Dict[str, Any]:
+    """Host-side sparsity-pattern summary driving the model terms."""
+    row, col, val, (m, n) = _host_triplets(A)
+    nnz = int(row.size)
+    out: Dict[str, Any] = dict(m=int(m), n=int(n), nnz=nnz,
+                               density=nnz / max(m * n, 1))
+    if nnz:
+        offsets = np.unique(col.astype(np.int64) - row.astype(np.int64))
+        deg = np.bincount(row, minlength=m)
+        out.update(
+            num_diagonals=int(offsets.size),
+            dia_fill=nnz / max(int(offsets.size) * m, 1),
+            mean_degree=nnz / max(m, 1),
+            max_degree=int(deg.max()),
+        )
+    else:
+        out.update(num_diagonals=0, dia_fill=0.0, mean_degree=0.0,
+                   max_degree=0)
+    return out
+
+
+def _scattered_ops_per_entry(row, col, m, n, nnz) -> float:
+    """Minimum XLU slot-ops per entry over the routed-rail parameter grid,
+    from the EXACT (row, x-window-group) occupancy histogram.
+
+    A routed block is a (128,128) tile covering R = RSp*128/K rows at
+    per-row slot capacity c = K*128/RSp, gathered in Wr+2 tile passes
+    (kernels/pallas_routed.py).  Entries beyond a row's per-window
+    capacity, and hub rows, fall to the colsort2-class tail at
+    ~tail_ops_per_entry.  Under perfect block packing the main-pass cost
+    is (Wr+2) * c / E[min(X, c)] slot-ops per entry, X = entries of one
+    row inside one Wr*16384-column window group — the structural fill
+    bound of docs/roadmap.md, evaluated exactly."""
+    deg = np.bincount(row, minlength=m)
+    # hub rows go to the degree-sorted hub/tail region (colsort2-class
+    # cost); the auto threshold matches kernels/pallas_colsort2.py
+    hub_cap = max(64, 4 * nnz // max(1, m))
+    is_hub = deg[row] > hub_cap
+    tail_frac = float(is_hub.mean()) if nnz else 0.0
+    nnz_main = int(nnz - is_hub.sum())
+    if nnz_main == 0:
+        return float(DEVICE_MODEL["tail_ops_per_entry"]), 1.0
+    rows64 = row[~is_hub].astype(np.int64)
+    cols64 = col[~is_hub].astype(np.int64)
+    best = DEVICE_MODEL["tail_ops_per_entry"]
+    for wr in (1, 2, 4, 8):
+        win_cols = wr * LANE * LANE  # WIN = 128*128 source columns/window
+        n_wg = max(1, -(-n // win_cols))
+        key = rows64 * n_wg + cols64 // win_cols
+        ukey, counts = np.unique(key, return_counts=True)
+        # rows are packed at 128-row CHUNK granularity: a block visit
+        # loads a whole chunk's 128 sublane rows, so unoccupied rows in
+        # an occupied (chunk, window) pair dilute fill — this is where
+        # the Poisson cap on scattered-pattern fill comes from
+        urow, ug = ukey // n_wg, ukey % n_wg
+        pair = (urow // LANE) * n_wg + ug
+        upair, pidx = np.unique(pair, return_inverse=True)
+        for c in (1, 2):
+            # entries beyond a row's per-window capacity c need repeat
+            # visits of the whole chunk: visits = max_row ceil(X/c)
+            need = -(-counts // c)
+            visits = np.zeros(upair.size, np.int64)
+            np.maximum.at(visits, pidx, need)
+            slots = int(visits.sum()) * LANE * c
+            ops = (wr + 2) * slots / nnz_main
+            best = min(best, ops)
+    ops = (best * nnz_main
+           + DEVICE_MODEL["tail_ops_per_entry"] * (nnz - nnz_main)) / nnz
+    return float(ops), tail_frac
+
+
+def predict(A, x=None, device: Optional[Dict[str, float]] = None,
+            allow_low_precision: bool = False) -> Dict[str, Dict[str, Any]]:
+    """Predicted SpMV time per strategy class for A (1-D right-hand side).
+
+    Returns {label: {"us": float, "config": dict}} for feasible strategies
+    and {label: {"skip": reason}} where the builder's own guard would
+    reject (mirroring the skippable-failure semantics the tuner records,
+    KTT ResultStatus).  Labels: default, via_dense, via_dia,
+    via_dia_bf16 (only with allow_low_precision), scattered."""
+    from cusp_autotuned_tpu.kernels.variants import default_config
+    from cusp_autotuned_tpu.ops.convert import MAX_FILL_RATIO, FILL_THRESHOLD
+
+    dev = dict(DEVICE_MODEL)
+    if device:
+        dev.update(device)
+    st = pattern_stats(A)
+    row, col, val, (m, n) = _host_triplets(A)
+    nnz = st["nnz"]
+    itemsize = np.dtype(A.dtype).itemsize
+    stream = dev["stream_gbps"] * 1e9
+    vec_bytes = (m + n) * itemsize
+    out: Dict[str, Dict[str, Any]] = {}
+
+    # XLA default (segment-sum/gather class)
+    out["default"] = {
+        "us": nnz * (dev["gather_ns"] + dev["segsum_ns"]) * 1e-3,
+        "config": default_config(A),
+    }
+
+    # dense MXU GEMV (guard mirrors kernels.variants._build_via_dense)
+    dense_bytes = m * n * itemsize
+    if st["density"] >= 0.25 and dense_bytes <= (32 << 20):
+        out["via_dense"] = {
+            "us": (dense_bytes + vec_bytes) / (dev["dense_eff"] * stream)
+            * 1e6,
+            "config": {"impl": "via_dense"},
+        }
+    else:
+        out["via_dense"] = {"skip": "fill < 0.25 or dense data > 32 MB"}
+
+    # DIA rail (guard mirrors ops.convert's fill guard)
+    ndiag = st["num_diagonals"]
+    dia_size = ndiag * m
+    fill_ratio = dia_size / max(1.0, float(nnz))
+    if A.format == "dia" or not (fill_ratio > MAX_FILL_RATIO
+                                 and dia_size > FILL_THRESHOLD):
+        if A.format == "dia":
+            cfg = {"impl": "pallas", "block_rows": 0}
+        else:
+            cfg = {"impl": "via_dia", "dia_impl": "pallas", "block_rows": 0}
+        stored = dia_size * itemsize
+        out["via_dia"] = {
+            "us": (stored + vec_bytes) / (dev["dia_eff"] * stream) * 1e6,
+            "config": cfg,
+        }
+        if allow_low_precision and itemsize == 4:
+            half = dia_size * 2
+            out["via_dia_bf16"] = {
+                "us": (half + vec_bytes) / (dev["dia_eff"] * stream) * 1e6,
+                "config": {**cfg, "value_dtype": "bfloat16"},
+            }
+    else:
+        out["via_dia"] = {
+            "skip": f"DIA fill ratio {fill_ratio:.1f} > {MAX_FILL_RATIO}"}
+
+    # scattered kernel class (routed / colsort2), square-ish patterns
+    if nnz and A.format != "dia":
+        ops, tail_frac = _scattered_ops_per_entry(row, col, m, n, nnz)
+        slot_s = dev["tile_take_ns"] * 1e-9 / (LANE * LANE)
+        # routed's planner rejects plans whose Poisson/hub tail dominates
+        # (>50% would cascade into near-empty blocks); recommend the
+        # colsort2 hub rail there, exactly where the on-chip sweep lands
+        cfg = ({"impl": "routed"} if tail_frac <= 0.5 else
+               {"impl": "colsort2", "vrow_planes": 1, "mix_chunks": 8,
+                "hub_cap": 8})
+        out["scattered"] = {
+            "us": nnz * ops * slot_s * dev["scattered_overhead"] * 1e6,
+            "config": cfg,
+            "ops_per_entry": round(ops, 2),
+            "tail_frac": round(tail_frac, 3),
+        }
+    return out
+
+
+def recommend_config(A, x=None, device: Optional[Dict[str, float]] = None,
+                     allow_low_precision: bool = False
+                     ) -> Tuple[Dict[str, Any], float]:
+    """(config, predicted_us) for the best-predicted strategy — strategy
+    selection with zero compiles.  With allow_low_precision the bf16
+    value-storage DIA rail competes (its validation tolerance class is
+    ~1e-2 relative; see Tuner._tolerance)."""
+    pred = predict(A, x, device=device,
+                   allow_low_precision=allow_low_precision)
+    feasible = {k: v for k, v in pred.items() if "us" in v}
+    label = min(feasible, key=lambda k: feasible[k]["us"])
+    return dict(feasible[label]["config"]), float(feasible[label]["us"])
+
+
+def model_order_key(A, device: Optional[Dict[str, float]] = None):
+    """A sort key over configurations: predicted class time (unknown
+    classes keep their relative order at +inf-ish rank).  Used by
+    ModelGuidedSearcher."""
+    pred = predict(A, device=device, allow_low_precision=True)
+
+    def us_of(label: str) -> float:
+        v = pred.get(label, {})
+        return float(v.get("us", float("inf")))
+
+    class_us = {
+        "segsum": us_of("default"), "gather": us_of("default"),
+        "rowlen": us_of("default"), "slices": us_of("default"),
+        "default": us_of("default"),
+        "via_dense": us_of("via_dense"),
+        "via_dia": us_of("via_dia"), "rcm_dia": us_of("via_dia"),
+        "pallas": (us_of("via_dia") if A.format == "dia"
+                   else us_of("scattered")),
+        "binned": us_of("scattered"), "colsort": us_of("scattered"),
+        "colsort2": us_of("scattered"), "routed": us_of("scattered"),
+    }
+
+    def key(config: Dict[str, Any]) -> float:
+        impl = config.get("impl", "default")
+        us = class_us.get(impl, float("inf"))
+        if config.get("value_dtype") == "bfloat16":
+            us = min(us, us_of("via_dia_bf16")) \
+                if impl in ("via_dia", "rcm_dia", "pallas") else us
+        return us
+
+    return key

@@ -32,6 +32,22 @@ class RandomSearcher(Searcher):
         return out
 
 
+class ModelGuidedSearcher(Searcher):
+    """Order the walk by the analytic cost model's predicted strategy-class
+    time (autotune.cost_model), best-predicted-first and stable within a
+    class — so a time-bounded tune (TuningDuration) measures the likely
+    winners before the long tail.  KTT ships only Deterministic/Random
+    searchers; the model-guided order is the TPU-side answer to XLA's much
+    higher per-configuration compile cost."""
+
+    def __init__(self, A, device: Dict[str, float] = None):
+        from cusp_autotuned_tpu.autotune.cost_model import model_order_key
+        self._key = model_order_key(A, device=device)
+
+    def order(self, configurations):
+        return sorted(configurations, key=self._key)
+
+
 class StopCondition:
     """Override initialize/update/fulfilled; tuning stops when fulfilled."""
 

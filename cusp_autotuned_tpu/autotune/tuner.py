@@ -315,11 +315,6 @@ class Tuner:
         if reference_computation is not None:
             expected = np.asarray(reference_computation(A, x), dtype=np.float64)
             scale = np.linalg.norm(expected) or 1.0
-            tol = _tolerance(A.dtype)
-
-            def validate(y):
-                err = np.linalg.norm(np.asarray(y, dtype=np.float64) - expected)
-                return err / scale <= tol
 
         sig = matrix_signature(A, x)
         store = self.results.setdefault(sig, {})
@@ -329,6 +324,17 @@ class Tuner:
         for config in order:
             if stop_condition is not None and stop_condition.fulfilled():
                 break
+            if reference_computation is not None:
+                # tolerance follows the configuration's PRECISION CLASS:
+                # an opt-in bf16 value-storage config is judged at its own
+                # class (~2e-2), f32 configs stay at 1e-4 — per-config
+                # validation exactly as KTT does, with class-aware bars
+                tol = _tolerance(config.get("value_dtype") or A.dtype)
+
+                def validate(y, _tol=tol):
+                    err = np.linalg.norm(
+                        np.asarray(y, dtype=np.float64) - expected)
+                    return err / scale <= _tol
             result = self._execute(A, x, config, validate=validate)
             store[config_key(config)] = result
             out.append(result)

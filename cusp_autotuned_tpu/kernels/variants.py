@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cusp_autotuned_tpu import formats as F
 from cusp_autotuned_tpu.autotune.space import TuningSpace, Parameter
@@ -307,11 +308,22 @@ def tuning_space(A) -> TuningSpace:
     fork's PREFETCH_TYPE-only-when-prefetching constraint."""
     fmt = A.format
     space = TuningSpace(parameters=[])
+    from cusp_autotuned_tpu.utils.config import get_config
+    search_bf16 = get_config().search_low_precision and \
+        np.dtype(A.dtype).itemsize == 4
     if fmt == "dia":
         space.add_parameter("impl", ("slices", "gather", "pallas"))
         space.add_parameter("block_rows", (0,) + _PALLAS_BLOCK_ROWS)
         space.add_constraint(("impl", "block_rows"),
                              lambda i, b: (b > 0) == (i == "pallas"))
+        if search_bf16:
+            # opt-in low-precision axis: bf16 value storage halves the
+            # dominant HBM stream (f32 accumulate); validated at its own
+            # precision class (Tuner._tolerance)
+            space.add_parameter("value_dtype", ("none", "bfloat16"))
+            space.add_constraint(("impl", "value_dtype"),
+                                 lambda i, v: v == "none"
+                                 or i in ("slices", "pallas"))
     elif fmt in ("ell", "ellr", "csr", "coo"):
         impls = {
             "ell": ("gather", "via_dia", "via_dense", "rcm_dia", "pallas",
@@ -406,6 +418,14 @@ def tuning_space(A) -> TuningSpace:
         space.add_constraint(("vrow_span", "hub_cap", "spmm_kb"),
                              lambda s, h, k: s in (0, 64)
                              or (h == 0 and k == 0))
+        if search_bf16:
+            # opt-in bf16 value storage on the HBM-bound DIA move only —
+            # the scattered rails are XLU-bound (BASELINE.md), so halving
+            # their value bytes buys nothing and would bloat the walk
+            space.add_parameter("value_dtype", ("none", "bfloat16"))
+            space.add_constraint(("impl", "value_dtype"),
+                                 lambda i, v: v == "none"
+                                 or i in ("via_dia", "rcm_dia"))
     elif fmt == "hyb":
         space.add_parameter("impl", ("default", "via_dia", "pallas", "binned"))
         space.add_parameter("dia_impl", ("none", "slices"))

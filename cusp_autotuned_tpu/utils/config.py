@@ -15,6 +15,7 @@ Env vars (all optional):
   CUSP_TPU_VMEM_BUDGET     bytes of VMEM the kernel builders may plan for
   CUSP_TPU_PLAN_BUDGET     bytes of planned arrays per compiled kernel
   CUSP_TPU_LOG             "1": tuner logs every result to stderr
+  CUSP_TPU_TUNE_BF16       "1": tuning walks also search bf16 value storage
 """
 
 from __future__ import annotations
@@ -50,6 +51,11 @@ class Config:
                                          48 * 1024 * 1024))
     log_tuning: bool = dataclasses.field(
         default_factory=lambda: _env_bool("CUSP_TPU_LOG"))
+    # opt-in: the tuning walk also searches bf16 plan-value storage
+    # (value_dtype axis), validated at its own precision-class tolerance
+    # (~2e-2 relative, Tuner._tolerance) instead of the f32 1e-4
+    search_low_precision: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("CUSP_TPU_TUNE_BF16"))
 
     def log_fn(self):
         if not self.log_tuning:
@@ -83,8 +89,10 @@ def plan_value_dtype(config: dict, dtype):
     kernels keep accumulating in the matrix dtype (products promote to f32
     before the adds/dots).  TPU-native extension with no reference analogue
     (bf16 is the MXU's native input type); rounding each value to 8 mantissa
-    bits costs ~4e-3 relative error, so this is an EXPLICIT opt-in — never
-    part of the exhaustive tuning walk, whose oracle validation is tighter.
+    bits costs ~4e-3 relative error, so this is an EXPLICIT opt-in: set the
+    config key directly, or set search_low_precision (CUSP_TPU_TUNE_BF16)
+    to add it to the exhaustive tuning walk, where bf16 configurations are
+    validated at their own precision-class tolerance (Tuner._tolerance).
     Full f32 accuracy is recovered by solvers.refine (defect correction)."""
     import numpy as np
     vd = (config or {}).get("value_dtype", 0)

@@ -292,3 +292,124 @@ def test_dynamic_hook_spmm():
         autotune.disable()
     ref = A.to_scipy() @ X
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+
+
+# -- analytic cost model (autotune.cost_model) --------------------------------
+
+
+def _scattered_pattern(m=6000, n=6000, nnz=60_000, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(seed)
+    r = rng.randint(0, m, nnz)
+    c = rng.randint(0, n, nnz)
+    v = rng.randn(nnz).astype(np.float32)
+    return sp.coo_matrix((v, (r, c)), shape=(m, n))
+
+
+def test_cost_model_class_selection():
+    """The model must reproduce the measured per-pattern class winners
+    (BASELINE.md round-3 sweep) without compiling anything: banded →
+    via_dia, dense → via_dense, uniform scatter → the scattered rail,
+    and the default segsum path must never win on these."""
+    from cusp_autotuned_tpu.autotune.cost_model import (
+        predict, recommend_config)
+
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    cfg, _ = recommend_config(A)
+    assert cfg["impl"] == "via_dia"
+
+    D = from_scipy(_scattered_pattern(400, 400, 120_000).tocoo(), "csr")
+    cfg, _ = recommend_config(D)
+    assert cfg["impl"] == "via_dense"
+
+    S = from_scipy(_scattered_pattern().tocoo(), "csr")
+    p = predict(S)
+    assert "us" in p["scattered"]
+    cfg, _ = recommend_config(S)
+    assert cfg["impl"] in ("routed", "colsort2")
+    # the via_dia guard must fire exactly like ops.convert's (skippable)
+    assert "skip" in p["via_dia"] and "skip" in p["via_dense"]
+
+
+def test_cost_model_bf16_halves_dia_time():
+    from cusp_autotuned_tpu.autotune.cost_model import predict
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    p = predict(A, allow_low_precision=True)
+    assert p["via_dia_bf16"]["us"] < p["via_dia"]["us"]
+    assert p["via_dia_bf16"]["config"]["value_dtype"] == "bfloat16"
+    # opt-in only: without the flag no low-precision strategy is offered
+    assert "via_dia_bf16" not in predict(A)
+
+
+def test_cost_model_hub_tail_prefers_colsort2():
+    """Power-law patterns (hub rows) must route to the colsort2 hub rail,
+    mirroring routed's on-chip plan rejection (>50% tail)."""
+    from cusp_autotuned_tpu.gallery.suite import _powerlaw
+    from cusp_autotuned_tpu.autotune.cost_model import predict
+    P = from_scipy(_powerlaw(20_000, 200_000, a=1.7, seed=0)
+                   .tocoo().astype(np.float32), "csr")
+    p = predict(P)
+    assert p["scattered"]["tail_frac"] > 0.5
+    assert p["scattered"]["config"]["impl"] == "colsort2"
+
+
+def test_model_guided_searcher_orders_walk():
+    """ModelGuidedSearcher puts the predicted-winner class first while
+    keeping every configuration (a reordering, not a filter)."""
+    from cusp_autotuned_tpu.autotune import ModelGuidedSearcher
+    A = gallery.poisson5pt(40, 40, format="csr", dtype=np.float32)
+    configs = configurations_for(A)
+    ordered = ModelGuidedSearcher(A).order(configs)
+    assert sorted(map(config_key, ordered)) == \
+        sorted(map(config_key, configs))
+    assert ordered[0]["impl"] in ("via_dia", "rcm_dia")
+    # on a banded pattern every via_dia-class config precedes every
+    # scattered-rail config
+    pos = {config_key(c): i for i, c in enumerate(ordered)}
+    dia_last = max(i for c, i in
+                   ((c, pos[config_key(c)]) for c in configs)
+                   if c["impl"] in ("via_dia", "rcm_dia"))
+    scat_first = min(pos[config_key(c)] for c in configs
+                     if c["impl"] in ("binned", "colsort", "colsort2",
+                                      "routed"))
+    assert dia_last < scat_first
+
+
+def test_cost_model_empty_and_dia_inputs():
+    from cusp_autotuned_tpu.autotune.cost_model import predict
+    import scipy.sparse as sp
+    E = from_scipy(sp.coo_matrix((5, 7), dtype=np.float32), "csr")
+    p = predict(E)
+    assert "us" in p["default"]
+    D = gallery.poisson5pt(30, 30, format="dia", dtype=np.float32)
+    pd = predict(D)
+    assert pd["via_dia"]["config"]["impl"] == "pallas"
+
+
+def test_bf16_axis_opt_in(monkeypatch):
+    """With search_low_precision on (CUSP_TPU_TUNE_BF16), the walk gains a
+    value_dtype axis whose bf16 configurations validate at their own
+    precision class; off (default), no low-precision config is searched."""
+    from cusp_autotuned_tpu.utils import config as C
+    A = gallery.make_diagonal_symmetric_matrix(200, 200, 3, 5)
+    base = configurations_for(A)
+    assert not any(c.get("value_dtype") == "bfloat16" for c in base)
+
+    monkeypatch.setattr(C.get_config(), "search_low_precision", True)
+    try:
+        configs = configurations_for(A)
+        bf16 = [c for c in configs if c.get("value_dtype") == "bfloat16"]
+        assert bf16, "flag must add bf16 configurations"
+        x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+        tuner = Tuner(warmup=0, repeats=1)
+        results = tuner.tune(A, x, reference_computation=reference_spmv)
+        by_cfg = {config_key(r.configuration): r for r in results}
+        ok_bf16 = [r for r in results
+                   if r.configuration.get("value_dtype") == "bfloat16"
+                   and r.status == ResultStatus.Ok]
+        assert ok_bf16, \
+            f"bf16 configs must validate at their class tolerance: " \
+            f"{[(r.status.value, r.error) for r in results]}"
+        assert len(by_cfg) == len(configs)
+    finally:
+        monkeypatch.setattr(C.get_config(), "search_low_precision", False)
