@@ -128,6 +128,8 @@ class Tuner:
         self._compiled: Dict[tuple, Callable] = {}
         # signature -> compiled best fn once the space is exhausted
         self._best_fn: Dict[str, Callable] = {}
+        # signature -> model-ordered configuration walk (dynamic mode)
+        self._walk_order: Dict[str, List[Dict[str, Any]]] = {}
         if cache_path and os.path.exists(cache_path):
             self.load(cache_path)
 
@@ -276,16 +278,41 @@ class Tuner:
 
     # -- public engine ---------------------------------------------------------
 
+    def _dynamic_order(self, A, sig) -> List[Dict[str, Any]]:
+        """Configuration order for the dynamic walk: the analytic cost model
+        puts predicted winners first (each TuneIteration runs on the caller's
+        critical path, so trying a predicted-terrible config early costs real
+        solve time — a TPU-side refinement of KTT's searcher-order walk).
+        Falls back to the deterministic space order if the model can't
+        price this container."""
+        order = self._walk_order.get(sig)
+        if order is None:
+            from cusp_autotuned_tpu.autotune.space import configurations_for
+            configs = configurations_for(A)
+            # the model needs host triplets; without a host mirror that is
+            # a one-time O(nnz) device pull — only worth it while the pull
+            # stays cheap next to the walk's XLA compiles
+            have_host = (getattr(A, "_host_coo", None) is not None
+                         or getattr(A, "_host_scipy", None) is not None)
+            if have_host or getattr(A, "nnz", 0) <= 8_000_000:
+                try:
+                    from cusp_autotuned_tpu.autotune.cost_model import (
+                        model_order_key)
+                    configs = sorted(configs, key=model_order_key(A))
+                except Exception:  # noqa: BLE001 — ordering is best-effort
+                    pass
+            order = self._walk_order[sig] = configs
+        return order
+
     def tune_iteration(self, A, x):
         """Run the next untried configuration (or the known best once
         exhausted) and return y = A @ x."""
-        from cusp_autotuned_tpu.autotune.space import configurations_for
         sig = matrix_signature(A, x)
         fast = self._best_fn.get(sig)
         if fast is not None:
             return fast(x)
         store = self.results.setdefault(sig, {})
-        for config in configurations_for(A):
+        for config in self._dynamic_order(A, sig):
             ck = config_key(config)
             if ck not in store:
                 result = self._execute(A, x, config)
@@ -362,10 +389,12 @@ class Tuner:
             self.results.clear()
             self._compiled.clear()
             self._best_fn.clear()
+            self._walk_order.clear()
         else:
             sig = matrix_signature(A)
             self.results.pop(sig, None)
             self._best_fn.pop(sig, None)
+            self._walk_order.pop(sig, None)
             self._compiled = {k: v for k, v in self._compiled.items()
                               if k[0] != sig}
 

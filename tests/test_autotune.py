@@ -413,3 +413,22 @@ def test_bf16_axis_opt_in(monkeypatch):
         assert len(by_cfg) == len(configs)
     finally:
         monkeypatch.setattr(C.get_config(), "search_low_precision", False)
+
+
+def test_dynamic_walk_is_model_ordered():
+    """The dynamic TuneIteration walk tries the model's predicted winner
+    class first (each iteration runs on the caller's critical path), while
+    still covering the whole space and converging to the measured best."""
+    A = gallery.poisson5pt(40, 40, format="csr", dtype=np.float32)
+    x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+    tuner = Tuner(warmup=0, repeats=1)
+    sig = matrix_signature(A, x)
+    order = tuner._dynamic_order(A, sig)
+    assert sorted(map(config_key, order)) == \
+        sorted(map(config_key, configurations_for(A)))
+    assert order[0]["impl"] in ("via_dia", "rcm_dia")
+    y = tuner.tune_iteration(A, x)
+    ref = reference_spmv(A, x)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+    first = next(iter(tuner.results[sig].values()))
+    assert first.configuration["impl"] in ("via_dia", "rcm_dia")
