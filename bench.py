@@ -212,6 +212,16 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
     except Exception as e:  # noqa: BLE001
         out["walk_error"] = str(e)[:120]
 
+    # zero-compile strategy selection: the analytic cost model's pick vs
+    # the archived on-chip Williams winners (host-only, no relay) —
+    # reproducible via python benchmarks/model_check.py
+    try:
+        from benchmarks.model_check import check as _model_check
+        mc = _model_check()
+        out["model_vs_archive"] = f"{mc['agree']}/{mc['total']}"
+    except Exception as e:  # noqa: BLE001
+        out["model_error"] = str(e)[:120]
+
     if over_budget():
         out["truncated"] = "budget"
         return out
@@ -244,6 +254,14 @@ def main():
     import jax.numpy as jnp
     from cusp_autotuned_tpu import gallery
     from cusp_autotuned_tpu.kernels.variants import build_spmv
+    from cusp_autotuned_tpu.utils.config import enable_compile_cache
+
+    # persistent executable cache: repeat driver runs skip the 20-40 s
+    # first-compiles (cache keyed on HLO hash — stale entries impossible)
+    try:
+        enable_compile_cache()
+    except Exception:  # noqa: BLE001 — caching is an optimization only
+        pass
 
     grid = 1000
     A = gallery.poisson5pt(grid, grid, format="dia", dtype=np.float32)

@@ -42,10 +42,25 @@ def measured_class(label: str) -> str:
     return "scattered"   # binned / colsort* / routed* / onehot
 
 
+class _HostCSR:
+    """Minimal container shim carrying only what the cost model reads
+    (format tag, dtype, host COO mirror) — keeps this check 100% host-side:
+    building real containers would upload every suite matrix through the
+    device relay when run under the TPU backend (bench.py's sweep)."""
+
+    format = "csr"
+
+    def __init__(self, S):
+        C = S.tocoo()
+        self.dtype = C.dtype
+        self.shape = tuple(C.shape)
+        self.nnz = int(C.nnz)
+        self._host_coo = (C.row, C.col, C.data, tuple(C.shape))
+
+
 def check() -> dict:
     """Host-only model-vs-archive comparison; returns the summary dict."""
     from cusp_autotuned_tpu.gallery.suite import williams_suite
-    from cusp_autotuned_tpu.backend.reference import from_scipy
     from cusp_autotuned_tpu.autotune.cost_model import predict
 
     archive = json.load(open(ARCHIVE))
@@ -57,7 +72,7 @@ def check() -> dict:
         if name not in rows:
             continue
         r = rows[name]
-        A = from_scipy(S.tocoo().astype(np.float32), "csr")
+        A = _HostCSR(S.astype(np.float32))
         pred = predict(A)
         feasible = {k: v for k, v in pred.items() if "us" in v}
         best = min(feasible, key=lambda k: feasible[k]["us"])

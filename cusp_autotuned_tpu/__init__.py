@@ -60,3 +60,12 @@ from cusp_autotuned_tpu.utils.config import get_config as _get_config
 if _get_config().autotune_on_import:
     from cusp_autotuned_tpu import autotune as _autotune
     _autotune.enable()
+
+# CUSP_TPU_COMPILE_CACHE=<dir|1>: persistent XLA-executable cache (makes
+# repeated tuning walks execution-bound instead of compile-bound)
+import os as _os
+
+if _os.environ.get("CUSP_TPU_COMPILE_CACHE", "").strip() not in ("", "0"):
+    from cusp_autotuned_tpu.utils.config import (
+        enable_compile_cache as _enable_cc)
+    _enable_cc()

@@ -32,6 +32,11 @@ def main(argv=None) -> int:
 
     from cusp_autotuned_tpu import autotune, gallery, io
     from cusp_autotuned_tpu.backend.reference import reference_spmv
+    from cusp_autotuned_tpu.utils.config import enable_compile_cache
+
+    # offline walks are compile-dominated (one XLA compile per config);
+    # the persistent executable cache makes re-walks execution-bound
+    enable_compile_cache()
 
     dtype = np.dtype(args.dtype)
     if args.matrix.startswith("poisson5pt:"):

@@ -116,10 +116,15 @@ def matrix_signature(A, x=None) -> str:
 class Tuner:
     def __init__(self, cache_path: Optional[str] = None,
                  warmup: int = 2, repeats: int = 5,
-                 log_fn: Optional[Callable[[str], None]] = None):
+                 log_fn: Optional[Callable[[str], None]] = None,
+                 measure: bool = True):
         self.cache_path = cache_path
         self.warmup = warmup
         self.repeats = repeats
+        # measure=False: validation-only walks (the ktt.cu-style exhaustive
+        # tests) record the single validated execution's wall time instead
+        # of running the warmup+repeat measurement loop per configuration
+        self.measure = measure
         # per-result logging sink (KTT log-redirection analogue,
         # testing/ktt.cu:189-199); None = silent
         self.log_fn = log_fn
@@ -190,7 +195,15 @@ class Tuner:
             if validate is not None and not validate(y):
                 return TuningResult(dict(config), ResultStatus.ValidationFailed,
                                     compilation_ms=compile_ms)
-            best = self._time(fn, x, y)
+            if self.measure:
+                best = self._time(fn, x, y)
+            else:
+                # validation-only mode (exhaustive ktt.cu-style walks): no
+                # measurement loop at all — the recorded duration is the
+                # single validated execution's wall time INCLUDING compile,
+                # good enough for the Ok/skippable bookkeeping these walks
+                # exist for, not for ranking
+                best = compile_ms
         except Exception as e:  # noqa: BLE001
             return TuningResult(dict(config), ResultStatus.ComputationFailed,
                                 compilation_ms=compile_ms, error=str(e)[:500])
@@ -214,7 +227,12 @@ class Tuner:
             y.dtype == x.dtype
         rect = (not square and isinstance(y, jnp.ndarray)
                 and y.dtype == x.dtype and y.ndim == x.ndim)
-        if square or rect:
+        # the chained measurement exists to defeat the RELAY (fixed ~28 ms
+        # dispatch cost, request memoization); it jit-compiles a second
+        # fori_loop executable per configuration, which on the CPU oracle
+        # backend doubles every walk's compile bill for nothing — plain
+        # warmup+repeat timing is exact there
+        if (square or rect) and jax.default_backend() == "tpu":
             def proj(u):
                 if square:
                     return u

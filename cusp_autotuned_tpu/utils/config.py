@@ -123,3 +123,27 @@ def configure(**kwargs) -> Config:
             raise AttributeError(f"unknown config field {k!r}")
         setattr(cfg, k, v)
     return cfg
+
+
+def enable_compile_cache(path: Optional[str] = None,
+                         min_compile_secs: float = 0.5) -> str:
+    """Turn on JAX's persistent XLA-executable cache.
+
+    The tuner compiles one executable per configuration (the reference pays
+    NVRTC milliseconds per config, cusp/system/cuda/ktt/multiply.h:56-77;
+    XLA pays seconds — SURVEY.md §7 'hard parts'), so exhaustive walks are
+    compile-dominated.  With this cache a re-walk of an already-seen tuning
+    space costs only execution time: entries are keyed on the HLO hash, so
+    they survive process restarts and are immune to staleness.  Called by
+    the offline tuning CLI and bench.py; embedders opt in explicitly or via
+    CUSP_TPU_COMPILE_CACHE=<dir> (empty/unset = off; '1' = default dir)."""
+    import jax
+    if path is None:
+        env = os.environ.get("CUSP_TPU_COMPILE_CACHE", "")
+        path = env if env not in ("", "1", "true", "on") else \
+            os.path.expanduser("~/.cache/cusp_autotuned_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return path

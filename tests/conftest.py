@@ -18,3 +18,13 @@ import jax  # noqa: E402
 # var, so pin the platform through the config as well
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent XLA compile cache: the tuner walks compile one executable per
+# configuration, which dominates test wall time; cached executables make
+# repeat runs cheap (keyed on HLO hash, so stale entries are impossible).
+# Opt out with CUSP_TPU_TEST_NO_COMPILE_CACHE=1.
+if not os.environ.get("CUSP_TPU_TEST_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

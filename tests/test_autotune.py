@@ -45,7 +45,7 @@ def test_check_all_configurations(name):
     A = _matrices()[name]
     rng = np.random.RandomState(1)
     x = rng.randn(A.num_cols).astype(np.float32)
-    tuner = Tuner()
+    tuner = Tuner(measure=False)
     results = tuner.tune(A, x, reference_computation=reference_spmv)
     assert len(results) == len(configurations_for(A))
     assert any(r.status == ResultStatus.Ok for r in results)
@@ -152,7 +152,7 @@ def test_format_selection_moves():
     S = example_matrices()["tri37"]
     A = build(S, "csr")
     x = np.linspace(-1, 1, 37).astype(np.float32)
-    tuner = Tuner()
+    tuner = Tuner(measure=False)
     results = tuner.tune(A, x, reference_computation=reference_spmv)
     ok_impls = {r.configuration["impl"] for r in results
                 if r.status == ResultStatus.Ok}
@@ -189,7 +189,7 @@ def test_via_dia_fill_guard_is_skippable():
     S = S + sp.eye(2000, dtype=np.float32)
     A = build(S.tocoo(), "csr")
     x = np.ones(2000, np.float32)
-    tuner = Tuner()
+    tuner = Tuner(measure=False)
     results = tuner.tune(A, x, reference_computation=reference_spmv)
     via = [r for r in results if r.configuration["impl"] == "via_dia"]
     assert via and all(r.status == ResultStatus.DeviceLimitsExceeded
@@ -204,7 +204,7 @@ def test_choose_format():
     x = np.ones(256, np.float32)
     B, config = choose_format(A, x, formats=("csr", "dia"),
                               reference_computation=reference_spmv,
-                              tuner=Tuner(warmup=0, repeats=2))
+                              tuner=Tuner(warmup=0, repeats=2, measure=False))
     assert B.format in ("csr", "dia")
     assert "impl" in config
     # the chosen (format, config) must reproduce the right answer
@@ -218,7 +218,7 @@ def test_hyb_tuning_space():
     S = example_matrices()["widerow"]
     A = build(S, "hyb")
     x = np.random.RandomState(0).randn(A.num_cols).astype(np.float32)
-    results = Tuner().tune(A, x, reference_computation=reference_spmv)
+    results = Tuner(measure=False).tune(A, x, reference_computation=reference_spmv)
     impls_ok = {r.configuration["impl"] for r in results
                 if r.status == ResultStatus.Ok}
     assert "default" in impls_ok
@@ -256,12 +256,16 @@ def test_permutation_spgemm_and_symmetric_permute():
     np.testing.assert_allclose(dense_of(PAPt), expect, rtol=1e-6)
 
 
-def test_tuned_operator_packaging():
+def test_tuned_operator_packaging(monkeypatch):
     # the tuner's best config packaged as a solver operator; binned/colsort
-    # winners expose planned arrays as pytree leaves
+    # winners expose planned arrays as pytree leaves.  The global tuner is
+    # swapped for a validation-only one (measure=False) — the walk's
+    # timing loop is irrelevant to the packaging under test
     import jax
     from cusp_autotuned_tpu import autotune, solvers, gallery
+    from cusp_autotuned_tpu.autotune import tuner as tuner_mod
     from cusp_autotuned_tpu.operators import PlannedOperator, FunctionOperator
+    monkeypatch.setattr(tuner_mod, "_global_tuner", Tuner(measure=False))
     A = gallery.poisson9pt(20, 20, format="csr", dtype=np.float32)
     op = autotune.tuned_operator(A, tune_first=True)
     assert isinstance(op, (PlannedOperator, FunctionOperator))

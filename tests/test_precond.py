@@ -208,13 +208,18 @@ def test_smoothed_aggregation_auto_block_entries():
     assert mon.converged()
 
 
-def test_smoothed_aggregation_tuned_levels():
+def test_smoothed_aggregation_tuned_levels(monkeypatch):
     # spmv_config='tune': each (large-enough) level's A goes through the
     # cached autotuner; the pick is validated + persisted, so re-setups
     # reuse it (the AMG analogue of the reference's per-matrix KTT tuning)
     from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
-    from cusp_autotuned_tpu.autotune.tuner import get_tuner, matrix_signature
+    from cusp_autotuned_tpu.autotune.tuner import (get_tuner,
+                                                   matrix_signature, Tuner)
+    from cusp_autotuned_tpu.autotune import tuner as tuner_mod
     from cusp_autotuned_tpu import solvers, gallery
+    # validation-only global tuner: per-level timing is irrelevant to the
+    # caching/plumbing under test and dominates the test's wall time
+    monkeypatch.setattr(tuner_mod, "_global_tuner", Tuner(measure=False))
     A = gallery.poisson5pt(30, 30, format="csr", dtype=np.float32)
     M = smoothed_aggregation(A, spmv_config={"tune": True,
                                              "tune_min_rows": 1})
