@@ -238,14 +238,51 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         Ma = smoothed_aggregation(Aa)
         xa, mona = solvers.cg(Aa, ba, M=Ma,
                               monitor=Monitor(ba, 100, 1e-10))  # compile
+        # timed run solves a DIFFERENT system (the relay memoizes repeated
+        # identical computations — BASELINE.md round-2 calibration note)
+        ba2 = jnp.asarray(1.01 * np.random.RandomState(7)
+                          .rand(Aa.num_rows) + 0.5)
         t0 = _t.perf_counter()
-        xa, mona = solvers.cg(Aa, ba, M=Ma,
-                              monitor=Monitor(ba, 100, 1e-10))
+        xa, mona = solvers.cg(Aa, ba2, M=Ma,
+                              monitor=Monitor(ba2, 100, 1e-10))
         jax.block_until_ready(xa)
         out["amg_cg_150sq_warm_s"] = round(_t.perf_counter() - t0, 3)
         out["amg_cg_iters"] = mona.iteration_count()
     except Exception as e:  # noqa: BLE001
         out["amg_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
+    # the reference cg.cu headline config (performance/solver/cg.cu:14-42:
+    # poisson5pt 1000x1000, rel-tol 1e-5, <=2000 iters) through
+    # autotune.tuned_operator with NOTHING tuned — the analytic cost
+    # model's zero-compile pick (via_dia for this stencil) carries the
+    # whole monitored solve in one while_loop dispatch
+    try:
+        import time as _t
+        from cusp_autotuned_tpu import autotune, solvers
+        from cusp_autotuned_tpu.solvers.monitor import Monitor
+        Ac = poisson5pt(1000, 1000, format="csr", dtype=np.float32)
+        cfgc = autotune.get_tuner().best_configuration(Ac)
+        out["cgcu_impl"] = cfgc.get("impl", "?")
+        opc = autotune.tuned_operator(Ac)
+        rngc = np.random.RandomState(3)
+        bc = jnp.asarray(rngc.randn(Ac.num_rows).astype(np.float32))
+        xc, monc = solvers.cg(opc, bc, monitor=Monitor(bc, 2000, 1e-5))
+        jax.block_until_ready(xc)   # compile + warm
+        bc2 = jnp.asarray(np.abs(rngc.randn(Ac.num_rows))
+                          .astype(np.float32))
+        t0 = _t.perf_counter()
+        xc, monc = solvers.cg(opc, bc2, monitor=Monitor(bc2, 2000, 1e-5))
+        jax.block_until_ready(xc)
+        dt = _t.perf_counter() - t0
+        itc = max(1, int(monc.iteration_count()))
+        out["cgcu_1m_iters"] = itc
+        out["cgcu_1m_s"] = round(dt, 3)
+        out["cgcu_1m_ms_per_iter"] = round(1e3 * dt / itc, 3)
+    except Exception as e:  # noqa: BLE001
+        out["cgcu_error"] = str(e)[:120]
     return out
 
 

@@ -20,7 +20,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m cusp_autotuned_tpu.autotune",
         description="Offline-tune SpMV for a matrix (KTT tune() analogue)")
-    ap.add_argument("matrix", help=".mtx/.bin path, or poisson5pt:N[xM]")
+    ap.add_argument("matrix", help=".mtx/.bin path, poisson5pt:N[xM], "
+                    "or suite:<Williams name>[:scale] (structure-matched "
+                    "stand-in, e.g. suite:Economics)")
     ap.add_argument("--format", default="csr",
                     help="container format to tune (default csr)")
     ap.add_argument("--dtype", default="float32")
@@ -44,6 +46,20 @@ def main(argv=None) -> int:
         nx, _, ny = dims.partition("x")
         A = gallery.poisson5pt(int(nx), int(ny or nx), format=args.format,
                                dtype=dtype)
+    elif args.matrix.startswith("suite:"):
+        from cusp_autotuned_tpu.backend.reference import from_scipy
+        from cusp_autotuned_tpu.gallery.suite import williams_suite
+        parts = args.matrix.split(":")
+        name, scale = parts[1], float(parts[2]) if len(parts) > 2 else 1.0
+        def norm(t):
+            return t.lower().replace("/", "").replace(" ", "")
+        suite = williams_suite(scale)
+        match = [S for n, S in suite.items() if norm(n) == norm(name)]
+        if not match:
+            ap.error(f"unknown suite matrix {name!r}; "
+                     f"one of {list(suite)}")
+        S, = match
+        A = from_scipy(S.tocoo().astype(dtype), args.format)
     elif args.matrix.endswith(".bin"):
         A = io.read_binary_file(args.matrix, format=args.format)
     else:

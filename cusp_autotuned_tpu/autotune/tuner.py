@@ -394,13 +394,28 @@ class Tuner:
         return out
 
     def best_configuration(self, A, x=None) -> Dict[str, Any]:
+        """Best MEASURED configuration; with nothing measured yet, the
+        analytic cost model's zero-compile pick (the reference can only
+        fall back to the static default kernel here — generic/multiply.inl
+        dispatch; the TPU rebuild has a model).  The model needs host
+        triplets, so device-only containers above the one-time-pull bound
+        keep the default, like the dynamic walk's ordering guard."""
         sig = matrix_signature(A, x)
         store = self.results.get(sig, {})
         ok = [r for r in store.values() if r.is_valid()]
-        if not ok:
-            from cusp_autotuned_tpu.kernels.variants import default_config
-            return default_config(A)
-        return dict(min(ok, key=lambda r: r.duration_ms).configuration)
+        if ok:
+            return dict(min(ok, key=lambda r: r.duration_ms).configuration)
+        from cusp_autotuned_tpu.kernels.variants import default_config
+        have_host = (getattr(A, "_host_coo", None) is not None
+                     or getattr(A, "_host_scipy", None) is not None)
+        if have_host or getattr(A, "nnz", 0) <= 8_000_000:
+            try:
+                from cusp_autotuned_tpu.autotune.cost_model import (
+                    recommend_config)
+                return recommend_config(A, x)[0]
+            except Exception:  # noqa: BLE001 — the model is best-effort
+                pass
+        return default_config(A)
 
     def reset_tuning(self, A=None) -> None:
         if A is None:
@@ -454,7 +469,14 @@ def tuned_operator(A, x=None, tune_first: bool = False):
     if tune_first and not tuner.results.get(matrix_signature(A, x), {}):
         tuner.tune(A, x if x is not None else
                    np.ones(A.num_cols, np.dtype(A.dtype)))
-    return planned_operator(A, tuner.best_configuration(A, x))
+    try:
+        return planned_operator(A, tuner.best_configuration(A, x))
+    except Exception:  # noqa: BLE001
+        # an UNMEASURED (cost-model) pick can fail to plan on edge
+        # patterns the model's guards don't see; measured picks already
+        # planned once, so only the model path lands here
+        from cusp_autotuned_tpu.kernels.variants import default_config
+        return planned_operator(A, default_config(A))
 
 
 def choose_format(A, x=None, formats=TUNABLE_FORMATS,

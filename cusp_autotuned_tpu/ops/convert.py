@@ -267,6 +267,27 @@ def convert(src, fmt, **kwargs):
     return out
 
 
+def copy(src):
+    """A deep copy of a container: same format, freshly materialized
+    device buffers (parity: cusp::copy, cusp/copy.h:39,84 — the reference's
+    same-format cross-memory-space copy; the TPU rebuild has one memory
+    space, so this is the buffer-duplication half of those semantics).
+    Host-side mirrors are re-attached so the copy stays relay-cheap."""
+    import jax
+
+    out = jax.tree_util.tree_map(
+        lambda leaf: jnp.array(leaf) if hasattr(leaf, "dtype") else leaf,
+        src)
+    for attr in ("_host_coo", "_host_scipy"):
+        mirror = getattr(src, attr, None)
+        if mirror is not None:
+            try:
+                object.__setattr__(out, attr, mirror)
+            except Exception:  # noqa: BLE001
+                pass
+    return out
+
+
 def to_dense(A) -> jnp.ndarray:
     if isinstance(A, (np.ndarray, jnp.ndarray)):
         return jnp.asarray(A)

@@ -335,6 +335,32 @@ def test_cost_model_class_selection():
     assert "skip" in p["via_dia"] and "skip" in p["via_dense"]
 
 
+def test_untuned_best_configuration_uses_model():
+    """With NOTHING measured, best_configuration answers with the cost
+    model's zero-compile pick (the reference can only hand back the static
+    default kernel here), and tuned_operator solves with it."""
+    from cusp_autotuned_tpu import solvers
+    from cusp_autotuned_tpu.autotune import tuner as tuner_mod
+
+    A = gallery.poisson5pt(40, 40, format="csr", dtype=np.float32)
+    t = Tuner()
+    assert t.best_configuration(A)["impl"] == "via_dia"
+
+    # the packaged operator path (global tuner, empty): model pick builds
+    # and the monitored solve converges
+    fresh = Tuner(measure=False)
+    old = tuner_mod._global_tuner
+    tuner_mod._global_tuner = fresh
+    try:
+        from cusp_autotuned_tpu.autotune.tuner import tuned_operator
+        op = tuned_operator(A)
+        b = np.ones(A.num_rows, np.float32)
+        x, mon = solvers.cg(op, b, monitor=solvers.Monitor(b, 500, 1e-5))
+        assert mon.converged()
+    finally:
+        tuner_mod._global_tuner = old
+
+
 def test_cost_model_bf16_halves_dia_time():
     from cusp_autotuned_tpu.autotune.cost_model import predict
     A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)

@@ -80,3 +80,17 @@ def test_empty_matrix_all_formats():
         for dst in ALL_FORMATS:
             B = convert(A, dst)
             np.testing.assert_array_equal(dense_of(B), np.zeros(S.shape))
+
+
+def test_copy_verb_all_formats():
+    # parity: cusp::copy (cusp/copy.h:39,84) — same format out, equal
+    # values, fresh buffers, host mirrors carried over
+    from cusp_autotuned_tpu.ops.convert import copy
+    S = example_matrices()["tri37"]
+    for fmt in ALL_FORMATS:
+        A = build(S, fmt)
+        B = copy(A)
+        assert B is not A
+        assert B.format == A.format
+        np.testing.assert_allclose(dense_of(B), dense_of(A))
+    assert getattr(copy(build(S, "csr")), "_host_coo", None) is not None
