@@ -134,3 +134,35 @@ def test_gmres_iteration_limit_mid_restart():
     assert not mon.converged()
     assert mon.iteration_count() >= 7
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_gmres_nonsym_with_diagonal_and_ainv():
+    """BASELINE north star: GMRES + diagonal / AINV preconditioning on a
+    nonsymmetric system (reference pairing: cusp/krylov/detail/gmres.inl
+    with cusp/precond/{diagonal,ainv}.h) — both preconditioners converge
+    and AINV needs no more iterations than unpreconditioned GMRES."""
+    from cusp_autotuned_tpu import precond
+    rng = np.random.RandomState(11)
+    n = 150
+    S = sp.random(n, n, density=0.03, random_state=rng, dtype=np.float64)
+    # badly row-scaled + diagonally dominant: plain GMRES stalls, the
+    # preconditioners carry it
+    scale = 10.0 ** (1.5 * rng.rand(n))
+    S = sp.diags(scale) @ (S + sp.diags(np.full(n, 6.0)))
+    A = build(S.tocoo(), "csr")
+    b = np.ones(A.num_rows)
+    _, mon_plain = gmres(A, b, restart=30, monitor=Monitor(b, 300, 1e-8))
+
+    # left preconditioning converges on ||M r||; with ~10^1.5 row scaling
+    # the true-residual floor is correspondingly looser
+    Md = precond.diagonal(A)
+    x, mon_d = gmres(A, b, restart=30, M=Md, monitor=Monitor(b, 300, 1e-8))
+    assert mon_d.converged()
+    assert _resid(A, x, b) < 1e-5
+    assert mon_d.iteration_count() < mon_plain.iteration_count()
+
+    Ma = precond.nonsym_bridson_ainv(A, drop_tolerance=0.02)
+    x, mon_a = gmres(A, b, restart=30, M=Ma, monitor=Monitor(b, 300, 1e-8))
+    assert mon_a.converged()
+    assert _resid(A, x, b) < 1e-5
+    assert mon_a.iteration_count() < mon_plain.iteration_count()

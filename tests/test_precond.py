@@ -237,3 +237,19 @@ def test_smoothed_aggregation_tuned_levels(monkeypatch):
                                               "tune_min_rows": 1})
     assert len(get_tuner().results.get(sig, {})) == n_before
     assert M2.levels[0].Aop is not None
+
+
+def test_sa_amg_cg_poisson27pt_3d():
+    """BASELINE north star: SA-AMG-preconditioned CG on the 3-D 27-point
+    Poisson operator (reference workload class:
+    performance/amg/smoothed_aggregation.cu on gallery/poisson.h:168) —
+    converges to 1e-8 with a fraction of plain CG's iterations."""
+    A = gallery.poisson27pt(9, 9, 9, format="csr", dtype=np.float64)
+    b = np.random.RandomState(1).randn(A.num_rows)
+    M = precond.smoothed_aggregation(A, min_level_size=60)
+    x, mon = cg(A, b, M=M, monitor=Monitor(b, 100, 1e-8))
+    assert mon.converged()
+    r = b - np.asarray(multiply(A, np.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b)
+    _, mon_plain = cg(A, b, monitor=Monitor(b, 400, 1e-8))
+    assert mon.iteration_count() < mon_plain.iteration_count() / 2
