@@ -475,9 +475,15 @@ def build_routed(A, config, interpret: bool = False):
             "virtual rows exceed the VMEM budget — use stream_x=1")
 
     pack16 = bool(config.get("pack16", True))
-    if pack16:
-        g1_, g2_ = g1_.astype(np.int16), g2_.astype(np.int16)
-        perm_ = perm_.astype(np.int16)
+    # g2 and perm index sublanes/lanes (0..127) so they fit int8 — a
+    # further 32 KB/block of plan traffic off the HBM stream; g1 carries
+    # (window << 7 | lane) up to Wr*128-1 and stays int16.  int8 (1, 128,
+    # 128) blocks meet Mosaic's (32, 128) tile floor.
+    pack8 = bool(config.get("pack8", False))
+    if pack16 or pack8:
+        g1_ = g1_.astype(np.int16)
+        small = np.int8 if pack8 else np.int16
+        g2_, perm_ = g2_.astype(small), perm_.astype(small)
     plan_bytes = vals_.nbytes + g1_.nbytes + g2_.nbytes + perm_.nbytes
     if plan_bytes > _plan_budget(config):
         raise NotImplementedException(

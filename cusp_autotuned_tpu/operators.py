@@ -52,6 +52,7 @@ class PlannedOperator:
     arrays: dict
     build: Callable = static_field()
     shape: Tuple[int, int] = static_field(default=(0, 0))
+    impl: str = static_field(default="")   # kernel rail label (introspection)
 
     format = "planned_operator"
 
@@ -74,8 +75,10 @@ def planned_operator(A, config=None):
         cfg.setdefault("plan_budget_bytes", 1 << 33)
     fn = build_spmv(A, cfg)
     if hasattr(fn, "planned_arrays"):
+        impl = (getattr(fn, "plan_stats", None) or {}).get(
+            "impl", str(cfg.get("impl", "")))
         return PlannedOperator(arrays=fn.planned_arrays, build=fn.apply,
-                               shape=A.shape)
+                               shape=A.shape, impl=impl)
     return FunctionOperator(fn=fn, shape=tuple(A.shape))
 
 

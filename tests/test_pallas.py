@@ -800,7 +800,9 @@ def test_routed_hub_rows_go_to_tail():
 
 @pytest.mark.parametrize("cfg", [{"vrow_span": 128},
                                  {"vrow_planes": 2, "vrow_span": 64},
-                                 {"win_group": 2}])
+                                 {"win_group": 2},
+                                 {"pack8": 1},
+                                 {"pack8": 1, "vrow_span": 128}])
 def test_routed_axes(cfg):
     import scipy.sparse as sp
     rng = np.random.RandomState(5)
