@@ -40,6 +40,12 @@ def main(argv=None) -> int:
     # the persistent executable cache makes re-walks execution-bound
     enable_compile_cache()
 
+    # a full walk can run for an hour on a slow-relay day: always stream
+    # per-config progress to stderr (the table/JSON stays on stdout)
+    tuner = autotune.get_tuner()
+    if tuner.log_fn is None:
+        tuner.log_fn = lambda m: print(m, file=sys.stderr, flush=True)
+
     dtype = np.dtype(args.dtype)
     if args.matrix.startswith("poisson5pt:"):
         dims = args.matrix.split(":", 1)[1]

@@ -383,6 +383,11 @@ class Tuner:
             result = self._execute(A, x, config, validate=validate)
             store[config_key(config)] = result
             out.append(result)
+            if len(out) % 10 == 0:
+                # long walks are compile-dominated (minutes per config on
+                # a slow-relay day) — persist incrementally so an
+                # interrupted walk keeps what it measured
+                self.save()
             if self.log_fn is not None:
                 self.log_fn(
                     f"[tune {matrix_signature(A)}] {result.status.value} "

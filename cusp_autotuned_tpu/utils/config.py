@@ -60,7 +60,7 @@ class Config:
     def log_fn(self):
         if not self.log_tuning:
             return None
-        return lambda msg: print(msg, file=sys.stderr)
+        return lambda msg: print(msg, file=sys.stderr, flush=True)
 
 
 _config: Optional[Config] = None
