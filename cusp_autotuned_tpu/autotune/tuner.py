@@ -383,6 +383,13 @@ class Tuner:
             result = self._execute(A, x, config, validate=validate)
             store[config_key(config)] = result
             out.append(result)
+            # evict the built kernel: each closure retains its planned
+            # arrays and compiled executable (~100s of MB on a 1M-nnz
+            # matrix), and an exhaustive walk holds the whole space — a
+            # measured 38+ GB RSS leak.  Offline results are recorded; the
+            # winner recompiles once on first use (the dynamic
+            # TuneIteration path keeps its cache — reuse is its point).
+            self._compiled.pop((sig, config_key(config)), None)
             if len(out) % 10 == 0:
                 # long walks are compile-dominated (minutes per config on
                 # a slow-relay day) — persist incrementally so an
