@@ -462,3 +462,28 @@ def test_dynamic_walk_is_model_ordered():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
     first = next(iter(tuner.results[sig].values()))
     assert first.configuration["impl"] in ("via_dia", "rcm_dia")
+
+
+def test_offline_walk_evicts_and_saves_incrementally(tmp_path):
+    """An exhaustive walk must not retain each configuration's built
+    kernel (planned arrays + executable — a measured multi-GB leak on
+    large matrices) and must persist results as it goes, so an
+    interrupted walk keeps its measurements."""
+    A = gallery.poisson5pt(15, 15, format="csr", dtype=np.float32)
+    x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+    path = str(tmp_path / "walk.json")
+    tuner = Tuner(cache_path=path, measure=False)
+    saves = []
+    orig_save = tuner.save
+    tuner.save = lambda *a, **k: (saves.append(len(tuner.results)),
+                                  orig_save(*a, **k))
+    results = tuner.tune(A, x, reference_computation=reference_spmv)
+    assert len(results) > 10
+    assert not tuner._compiled, "walk retained built kernels"
+    # one save per 10 configs plus the final one
+    assert len(saves) >= len(results) // 10
+    # the winner still runs after eviction (recompiles once)
+    best = tuner.best_configuration(A, x)
+    y = tuner.run(A, x, best)
+    np.testing.assert_allclose(np.asarray(y), reference_spmv(A, x),
+                               rtol=1e-4, atol=1e-4)
