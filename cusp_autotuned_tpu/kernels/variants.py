@@ -379,6 +379,12 @@ def tuning_space(A) -> TuningSpace:
         space.add_parameter("pack16", ("auto", 0))
         space.add_constraint(("impl", "pack16"),
                              lambda i, p: p == "auto" or i in ("binned", "colsort", "colsort2"))
+        # routed-only: g2/perm planes in int8 (they index 0..127), a
+        # further -32 KB/block of plan traffic; skippable if Mosaic
+        # rejects the int8 tiles on some generation
+        space.add_parameter("pack8", (0, 1))
+        space.add_constraint(("impl", "pack8"),
+                             lambda i, p: p == 0 or i == "routed")
         space.add_parameter("hub_cap", (0, 8, 64))
         space.add_constraint(("impl", "hub_cap"),
                              lambda i, h: h == 0
@@ -395,6 +401,12 @@ def tuning_space(A) -> TuningSpace:
             ("stream_x", "pack16", "hub_cap", "spmm_kb"),
             lambda s, p, h, k: (h == 0 and k == 0)
             or (s == 0 and p == "auto" and (h == 0 or k == 0)))
+        space.add_constraint(
+            ("pack8", "stream_x", "pack16", "hub_cap", "spmm_kb",
+             "vrow_planes"),
+            lambda p8, s, p, h, k, v: p8 == 0
+            or (s == 0 and p == "auto" and h == 0 and k == 0
+                and v in (0, 1)))
         space.add_parameter("vrow_planes", (0, 1, 2, 4))
         space.add_constraint(("impl", "vrow_planes"),
                              lambda i, v: (v > 0) == (i in ("colsort2",
