@@ -160,11 +160,26 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                                          / max(1, Mx.num_rows)))
                     cfg["block_entries"] = 1 << max(
                         9, min(14, (per_win - 1).bit_length()))
-                try:
-                    return planned_operator(Mx, cfg)
-                except (FormatConversionException,
-                        NotImplementedException):
-                    return None
+                # fill-matched first; if the planner rejects the pattern
+                # at that block size (low fill -> too many blocks), walk
+                # the block ladder down before surrendering to the
+                # container path.  The fine-level restriction R (coarse
+                # rows x fine cols) is the classic case: it plans at
+                # 512-1024 but not at the A-matched 8192, and an unplanned
+                # fine R costs ~9 ns/entry through the XLA segment-sum —
+                # the single biggest stage of the V-cycle at 1M rows.
+                be = cfg.get("block_entries")
+                ladder = [cfg]
+                while isinstance(be, int) and be > 512:
+                    be >>= 1
+                    ladder.append({**cfg, "block_entries": be})
+                for c in ladder:
+                    try:
+                        return planned_operator(Mx, c)
+                    except (FormatConversionException,
+                            NotImplementedException):
+                        continue
+                return None
             tune_A = tune_levels and sa.A.num_rows >= tune_min_rows
             Aop, Rop, Pop = _wrap(sa.A, tune_A), _wrap(R), _wrap(P)
         levels.append(Level(R=R, A=sa.A, P=P,

@@ -208,6 +208,23 @@ def test_smoothed_aggregation_auto_block_entries():
     assert mon.converged()
 
 
+def test_smoothed_aggregation_fine_R_plans():
+    # the fine-level restriction (coarse rows x fine cols) rejects the
+    # A-fill-matched block size but plans at a smaller one; the setup
+    # must walk the block ladder down rather than drop R to the XLA
+    # container path (which costs ~9 ns/entry on chip — the single
+    # biggest V-cycle stage at scale when it regresses)
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(120, 120, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    for i, lvl in enumerate(M.levels):
+        for nm in ("Aop", "Rop", "Pop"):
+            assert isinstance(getattr(lvl, nm), PlannedOperator), \
+                f"level {i} {nm} fell back to the container path"
+
+
 def test_smoothed_aggregation_tuned_levels(monkeypatch):
     # spmv_config='tune': each (large-enough) level's A goes through the
     # cached autotuner; the pick is validated + persisted, so re-setups
