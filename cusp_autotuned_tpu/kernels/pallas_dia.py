@@ -110,14 +110,25 @@ def build_dia(A, config, interpret: bool = False):
 
     x_len = x_rows * LANE
 
-    def fn(x):
+    def apply(arrays, x):
         if x.ndim == 2:
             return _dia_spmm(A, block_rows, interpret, store)(x)
         if x.ndim != 1:
             raise NotImplementedException("pallas DIA kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows, LANE)
-        return call(x2, data3).reshape(mp)[:m]
+        return call(x2, arrays["data"]).reshape(mp)[:m]
 
+    arrays = {"data": data3}
+
+    def fn(x):
+        return apply(arrays, x)
+
+    # planned-operator contract (operators.planned_operator): the DIA data
+    # rides jit as a PARAMETER instead of an embedded constant, so
+    # via_dia-planned AMG level operators don't hit the relay's
+    # compile-request size cap at 1M-row scale
+    fn.planned_arrays = arrays
+    fn.apply = apply
     return fn
 
 
@@ -170,14 +181,21 @@ def _build_dia_streamed(A, block_rows, interpret, store=None, config=None):
     )
     x_len = x_rows_total * LANE
 
-    def fn(x):
+    def apply(arrays, x):
         if x.ndim == 2:
             return _dia_spmm(A, block_rows, interpret, store)(x)
         if x.ndim != 1:
             raise NotImplementedException("pallas DIA kernel takes 1-D/2-D x")
         x2 = jnp.pad(x, (left, x_len - left - n)).reshape(x_rows_total, LANE)
-        return call(x2, x2, data3).reshape(mp)[:m]
+        return call(x2, x2, arrays["data"]).reshape(mp)[:m]
 
+    arrays = {"data": data3}
+
+    def fn(x):
+        return apply(arrays, x)
+
+    fn.planned_arrays = arrays
+    fn.apply = apply
     return fn
 
 

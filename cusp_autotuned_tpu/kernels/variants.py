@@ -155,7 +155,11 @@ def _build_via_dia(A, config):
     skippable failure (KTT DeviceLimitsExceeded semantics)."""
     from cusp_autotuned_tpu.ops.convert import convert
     D = convert(A, "dia")   # FormatConversionException -> skippable result
-    return build_spmv(D, {**config, "impl": _inner_dia_impl(config)})
+    fn = build_spmv(D, {**config, "impl": _inner_dia_impl(config)})
+    if hasattr(fn, "planned_arrays"):   # label the rail for introspection
+        fn.plan_stats = {**(getattr(fn, "plan_stats", None) or {}),
+                         "impl": "via_dia"}
+    return fn
 
 
 def _build_via_dense(A, config):

@@ -142,15 +142,40 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             from cusp_autotuned_tpu.operators import planned_operator
             from cusp_autotuned_tpu.utils.exceptions import (
                 FormatConversionException, NotImplementedException)
+            auto = not spmv_config   # {} -> model-guided per-operator pick
             base = dict(spmv_config) or {"impl": "binned",
                                          "block_entries": "auto"}
+            # rails whose builders expose planned arrays (the operator's
+            # data rides jit as a parameter, not an embedded constant)
+            _PLANNED_RAILS = ("via_dia", "binned", "colsort", "colsort2",
+                              "routed")
+
+            def _model_cfg(Mx):
+                """Analytic pre-ranking pick (autotune.cost_model): the
+                level operators span wildly different classes — banded A
+                (DIA territory), wide-rectangular R and tall P (scattered
+                territory) — and one hardcoded rail loses 10-100x on the
+                mismatched ones (measured: poisson5pt 500^2 L0 R binned
+                10.4 ms vs routed 103 us).  Zero chip time."""
+                from cusp_autotuned_tpu.autotune.cost_model import (
+                    recommend_config)
+                try:
+                    cfg, _ = recommend_config(Mx)
+                except Exception:  # noqa: BLE001 — model is best-effort
+                    return None
+                return cfg if cfg.get("impl") in _PLANNED_RAILS else None
 
             def _wrap(Mx, tune_this=False):
                 cfg = dict(base)
+                head = []
                 if tune_this:
                     tuned = _tuned_level_config(Mx)
                     if tuned is not None:
                         cfg = tuned
+                elif auto:
+                    mc = _model_cfg(Mx)
+                    if mc is not None:
+                        head.append(mc)
                 if cfg.get("block_entries") in (None, 0, "auto"):
                     # fill-match the block to this level's entries per row
                     # window: a mismatched block size wastes traffic on
@@ -169,7 +194,7 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                 # fine R costs ~9 ns/entry through the XLA segment-sum —
                 # the single biggest stage of the V-cycle at 1M rows.
                 be = cfg.get("block_entries")
-                ladder = [cfg]
+                ladder = head + [cfg]
                 while isinstance(be, int) and be > 512:
                     be >>= 1
                     ladder.append({**cfg, "block_entries": be})
