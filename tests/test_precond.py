@@ -225,6 +225,26 @@ def test_smoothed_aggregation_fine_R_plans():
                 f"level {i} {nm} fell back to the container path"
 
 
+def test_smoothed_aggregation_model_guided_rails():
+    # spmv_config={}: each level operator asks the analytic cost model
+    # (autotune.cost_model.recommend_config) before the binned ladder —
+    # the levels span wildly different pattern classes (banded fine A,
+    # wide-rectangular R, tall P) and one hardcoded rail loses 10-100x
+    # on the mismatched ones (measured on chip: poisson5pt 500^2 L0 R
+    # binned 10.4 ms vs routed 103 us marginal).  The stencil fine A
+    # must land on the DIA rail; the hierarchy must still precondition.
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu import solvers, gallery
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    assert M.levels[0].Aop is not None
+    assert M.levels[0].Aop.impl == "via_dia", M.levels[0].Aop.impl
+    assert M.levels[0].Rop is not None and M.levels[0].Rop.impl
+    b = np.ones(A.num_rows, np.float32)
+    x, mon = solvers.cg(A, b, M=M)
+    assert mon.converged()
+
+
 def test_smoothed_aggregation_tuned_levels(monkeypatch):
     # spmv_config='tune': each (large-enough) level's A goes through the
     # cached autotuner; the pick is validated + persisted, so re-setups
