@@ -211,8 +211,24 @@ def predict(A, x=None, device: Optional[Dict[str, float]] = None,
 
     # scattered kernel class (routed / colsort2), square-ish patterns
     if nnz and A.format != "dia":
-        ops, tail_frac = _scattered_ops_per_entry(row, col, m, n, nnz)
         slot_s = dev["tile_take_ns"] * 1e-9 / (LANE * LANE)
+        # short-circuit: the class's speed-of-light is 3 slot-ops/entry
+        # (perfect fill, Wr=1, no tail); when a structured rail already
+        # beats that bound, skip the exact occupancy histogram — it costs
+        # seconds of np.unique at AMG fine-level sizes (measured 5.6 s on
+        # poisson5pt 1000^2) and cannot change the recommendation.  The
+        # reported bound keeps scattered's rank below the structured
+        # winner, so ModelGuidedSearcher ordering stays valid.
+        lb_us = nnz * 3.0 * slot_s * dev["scattered_overhead"] * 1e6
+        best_structured = min((v["us"] for v in out.values() if "us" in v),
+                              default=float("inf"))
+        if lb_us >= best_structured:
+            out["scattered"] = {
+                "us": lb_us, "config": {"impl": "routed"},
+                "ops_per_entry": 3.0, "tail_frac": 0.0, "bound": True,
+            }
+            return out
+        ops, tail_frac = _scattered_ops_per_entry(row, col, m, n, nnz)
         # routed's planner rejects plans whose Poisson/hub tail dominates
         # (>50% would cascade into near-empty blocks); recommend the
         # colsort2 hub rail there, exactly where the on-chip sweep lands

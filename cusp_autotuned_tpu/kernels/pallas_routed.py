@@ -96,10 +96,13 @@ def _virtual_rows(row, col, val, shape, K, Wr, hub_cap):
     m_pad = round_up(max(m, 1), LANE)
     nch_plane = m_pad // LANE
 
-    wg = col // (WIN * Wr)
-    order = np.lexsort((col, wg, row))
+    # sort by (row, wg, col): wg = col // (WIN*Wr) is monotone in col, so
+    # one fused int64 key replaces the 3-key lexsort (measured ~2x faster
+    # at AMG fine-level nnz)
+    key = row.astype(np.int64) * np.int64(max(n, 1)) + col
+    order = np.argsort(key, kind="stable")
     r, c, v = row[order], col[order], val[order]
-    wg = wg[order]
+    wg = c // (WIN * Wr)
     counts = np.bincount(r, minlength=m)
     if hub_cap <= 0:
         hub_cap = int(max(64, 4 * nnz // max(1, m)))
@@ -203,22 +206,22 @@ def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
         keep0 = ~is_hub
         r, c, v, vid = r[keep0], c[keep0], v[keep0], vid[keep0]
     nnz = r.size
-    chunk = vid >> 7
-    vlane = (vid & (LANE - 1)).astype(np.int64)
-    grp = chunk // RSp
-    qrel = chunk - grp * RSp
     wgrp = c // (WIN * Wr)
-    win_in = (c // WIN) % Wr
+    n_wg = int(wgrp.max()) + 1 if nnz else 1
+    cell = (vid >> 7) // RSp * n_wg + wgrp
+    del wgrp
+
+    # gather only the primary arrays through the sort; the per-entry
+    # route coordinates are recomputed from (c, vid) afterwards —
+    # arithmetic is sequential-access and beats 6 extra fancy-index
+    # gathers at AMG fine-level sizes (measured ~1 s at 4M nnz)
+    o = np.argsort(cell, kind="stable")
+    r, c, v, vid, cell = (arr[o] for arr in (r, c, v, vid, cell))
+    vlane = (vid & (LANE - 1)).astype(np.int64)
+    qrel = (vid >> 7) % RSp
     res = (c & (LANE - 1)).astype(np.int64)
     lam = ((c // LANE) & (LANE - 1)).astype(np.int64)
-    wlam = (win_in << 7) | lam
-    n_wg = int(wgrp.max()) + 1 if nnz else 1
-    cell = grp * n_wg + wgrp
-
-    o = np.argsort(cell, kind="stable")
-    (r, c, v, chunk, vlane, qrel, wgrp, res, lam, wlam, cell) = (
-        arr[o] for arr in (r, c, v, chunk, vlane, qrel, wgrp, res, lam,
-                           wlam, cell))
+    wlam = (((c // WIN) % Wr) << 7) | lam
 
     from cusp_autotuned_tpu import native
     nat = getattr(native, "route_cells", lambda *a: None)(

@@ -13,6 +13,9 @@ any Krylov solve as M.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 from typing import Any
 
 import numpy as np
@@ -33,6 +36,24 @@ from cusp_autotuned_tpu.precond.multilevel import (
     Multilevel, Level, CoarseLU, MIN_LEVEL_SIZE, MAX_LEVELS,
 )
 from cusp_autotuned_tpu.ops.convert import to_dense
+
+
+def _stage_timer():
+    """Per-stage setup timing, enabled with CUSP_TPU_SETUP_TRACE=1 —
+    attributes hierarchy-build wall-clock (strength / aggregate /
+    smooth / RAP / plan) to find what dominates at scale.  Stages that
+    end in device work are charged their dispatch+compile cost because
+    the next stage's host code blocks on the result anyway."""
+    if not os.environ.get("CUSP_TPU_SETUP_TRACE"):
+        return lambda *_: None
+    state = {"t": time.perf_counter()}
+
+    def mark(label):
+        now = time.perf_counter()
+        print(f"    [setup] {label:<18s} {now - state['t']:8.3f} s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+    return mark
 
 
 def _tuned_level_config(Mx):
@@ -115,26 +136,35 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
     sa.B = jnp.ones(A.num_rows, A.dtype) if B is None else jnp.asarray(B)
 
     levels = []
+    mark = _stage_timer()
     while (sa.A.num_rows > min_level_size
            and len(levels) < max_levels - 1):
+        mark(f"level {len(levels)} begin")
         rho = rho_Dinv_A(sa.A)
         sa.rho_DinvA = rho
+        mark("rho_DinvA")
         if strength == "evolution":
             C = evolution_strength_of_connection(sa.A, sa.B, rho_DinvA=rho,
                                                  epsilon=epsilon)
         else:
             C = symmetric_strength_of_connection(sa.A, theta)
+        mark("strength")
         sa.aggregates, sa.roots = aggregate(C)
+        mark("aggregate")
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)
         sa.T = T
+        mark("fit_candidates")
         P = smooth_prolongator(sa.A, T, omega=omega, rho_DinvA=rho)
+        mark("smooth_prolong")
         # setup-time transpose stays on the host mirror (a device transpose
         # would compile a fresh sort program per level shape); the solve
         # path keeps the device ops.transpose
         from cusp_autotuned_tpu.backend.reference import from_scipy, to_scipy
         Psp = to_scipy(P)
         R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
+        mark("transpose")
         A_coarse = galerkin_product(R, sa.A, P)
+        mark("galerkin RAP")
         Aop = Rop = Pop = None
         if spmv_config is not None:
             # tuned apply operators per level (planned arrays as jit args);
@@ -207,6 +237,7 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                 return None
             tune_A = tune_levels and sa.A.num_rows >= tune_min_rows
             Aop, Rop, Pop = _wrap(sa.A, tune_A), _wrap(R), _wrap(P)
+            mark("plan operators")
         levels.append(Level(R=R, A=sa.A, P=P,
                             smoother=smoother_factory(sa.A, rho),
                             Aop=Aop, Rop=Rop, Pop=Pop))
@@ -222,11 +253,13 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             "the hierarchy falls back to the container multiplies",
             RuntimeWarning, stacklevel=2)
 
+    mark("smoother/level")
     dense = to_dense(sa.A)
     dtype = jnp.float64 if "64" in str(dense.dtype) else jnp.float32
     # invert on host in f64: triangular solves don't map to the MXU (see
     # CoarseLU), and the one-off O(n^3) setup cost is off the hot path
     inv = np.linalg.inv(np.asarray(dense, np.float64))
+    mark("coarse LU")
     return Multilevel(levels=tuple(levels),
                       coarse=CoarseLU(inv=jnp.asarray(inv, dtype)),
                       shape=A.shape)
