@@ -236,6 +236,10 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                         continue
                 return None
             tune_A = tune_levels and sa.A.num_rows >= tune_min_rows
+            # NOTE: thread-parallel A/R/P planning was measured 2.3x
+            # SLOWER here (62 s vs 27 s at poisson5pt 1000^2): the build
+            # host is single-vCPU, so threads only add GIL handoffs and
+            # cache thrash; keep it serial
             Aop, Rop, Pop = _wrap(sa.A, tune_A), _wrap(R), _wrap(P)
             mark("plan operators")
         levels.append(Level(R=R, A=sa.A, P=P,

@@ -21,3 +21,31 @@ def test_model_matches_archived_winners():
     bad = [r for r in summary["rows"] if not r["agree"]]
     assert summary["total"] == 14, summary
     assert not bad, bad
+
+
+def test_scattered_bound_short_circuit():
+    """When a structured rail beats the scattered class's 3-ops/entry
+    speed-of-light, predict() must report the lower bound (flagged) and
+    skip the exact occupancy histogram — and the bound must never rank
+    the scattered class above the structured winner."""
+    import numpy as np
+    from cusp_autotuned_tpu import gallery
+    from cusp_autotuned_tpu.autotune.cost_model import (
+        predict, recommend_config)
+
+    A = gallery.poisson5pt(100, 100, format="csr", dtype=np.float32)
+    p = predict(A)
+    assert p["scattered"].get("bound") is True, p["scattered"]
+    assert p["scattered"]["us"] >= p["via_dia"]["us"]
+    cfg, _ = recommend_config(A)
+    assert cfg["impl"] in ("via_dia", "pallas"), cfg
+
+    # a genuinely scattered pattern still gets the exact histogram
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    rng = np.random.RandomState(0)
+    S = sp.random(4096, 4096, density=2e-3, random_state=rng,
+                  format="csr", dtype=np.float32)
+    E = from_scipy(S, "csr", dtype=np.float32)
+    pe = predict(E)
+    assert "us" in pe["scattered"] and not pe["scattered"].get("bound")
