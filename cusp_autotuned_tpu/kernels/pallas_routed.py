@@ -185,20 +185,11 @@ def _route_cells_py(cell, res, wlam, vlane, qrel, RSp):
     return blk, sub, lane
 
 
-def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
-                 tail_min_fill=0.25):
-    """Returns (vals, g1, g2, perm, vbs, cbs, m_pad, nch_main, tail):
-    per-block (128, 128) tiles — values, the gather routes g1[r, l] =
-    (window << 7) | source_lane and g2[l, s] = source_sublane, the
-    virtual-lane permutation perm[s, vl] = lane — plus per-block
-    virtual-chunk bases (chunk units, RSp-aligned) and x-window LANE
-    offsets (the block's W_r windows start there).
-
-    Hub rows (deg > hub_cap) and blocks filled below tail_min_fill — the
-    Poisson tail of row multiplicities beyond the K * 128/RSp per-row
-    slot capacity — return as the `tail` COO triplets, to be served by a
-    capacity-128 colsort2 sub-plan instead of cascading into near-empty
-    routed blocks (each of which would cost full passes)."""
+def _plan_routed_np(row, col, val, shape, K, RSp, Wr, hub_cap,
+                    tail_min_fill):
+    """Numpy planning pipeline (fallback when the native routed_plan is
+    unavailable — identical semantics).  Returns the tile-scatter inputs
+    (v, blk, sub, lane, vlane, res, wlam, vbs, cbs, nb, tail)."""
     r, c, v, vid, is_hub, m_pad, nch_main = _virtual_rows(
         row, col, val, shape, K, Wr, hub_cap)
     hub_tail = (r[is_hub], c[is_hub], v[is_hub])
@@ -255,9 +246,7 @@ def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
             np.concatenate([hub_tail[2], v[tail_mask]]))
     if tail_mask.any():
         keep = ~tail_mask
-        (r, c, v, vlane, qrel, res, lam, wlam, cell) = (
-            arr[keep] for arr in (r, c, v, vlane, qrel, res, lam, wlam,
-                                  cell))
+        v, vlane, res, wlam = (arr[keep] for arr in (v, vlane, res, wlam))
         blk = blk[keep]
         sub, lane = sub[keep], lane[keep]
         uniq_kept = np.nonzero(keep_b)[0]
@@ -266,8 +255,61 @@ def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
         blk = remap[blk]
         uniq = uniq[uniq_kept]
     nb = uniq.size
-    vbs = ((uniq // 4096) // n_wg * RSp).astype(np.int64)
-    cbs = ((uniq // 4096) % n_wg * (LANE * Wr)).astype(np.int64)
+    n_wg_ = n_wg
+    vbs = ((uniq // 4096) // n_wg_ * RSp).astype(np.int64)
+    cbs = ((uniq // 4096) % n_wg_ * (LANE * Wr)).astype(np.int64)
+    return (v, blk, sub, lane, vlane, res, wlam, vbs, cbs, nb, tail)
+
+
+def _plan_routed(row, col, val, shape, K, RSp, Wr, hub_cap=0,
+                 tail_min_fill=0.25):
+    """Returns (vals, g1, g2, perm, vbs, cbs, m_pad, nch_main, tail):
+    per-block (128, 128) tiles — values, the gather routes g1[r, l] =
+    (window << 7) | source_lane and g2[l, s] = source_sublane, the
+    virtual-lane permutation perm[s, vl] = lane — plus per-block
+    virtual-chunk bases (chunk units, RSp-aligned) and x-window LANE
+    offsets (the block's W_r windows start there).
+
+    Hub rows (deg > hub_cap) and blocks filled below tail_min_fill — the
+    Poisson tail of row multiplicities beyond the K * 128/RSp per-row
+    slot capacity — return as the `tail` COO triplets, to be served by a
+    capacity-128 colsort2 sub-plan instead of cascading into near-empty
+    routed blocks (each of which would cost full passes)."""
+    from cusp_autotuned_tpu import native
+
+    m, n = shape
+    if hub_cap <= 0:
+        hub_cap = int(max(64, 4 * row.size // max(1, m)))
+    m_pad = round_up(max(m, 1), LANE)
+    nch_main = K * (m_pad // LANE)
+
+    nat_full = (getattr(native, "routed_plan", lambda *a: None)(
+        row, col, m, n, K, Wr, RSp, hub_cap, tail_min_fill)
+        if row.size else None)
+    if nat_full is not None:
+        # the whole plan — sorts, ranks, hub split, cell routing, block
+        # numbering, under-fill drop — ran in one native pass; only the
+        # value gather and the tile scatters below remain in numpy
+        (order, kindm, blk, sub, lane, vlane, res, wlam,
+         blk_cell, metan) = nat_full
+        nb, n_wg, max_bic = int(metan[0]), int(metan[1]), int(metan[2])
+        if max_bic >= 4096:
+            raise FormatConversionException(
+                "routed plan exceeded 4096 blocks per cell")
+        r_all, c_all, v_all = row[order], col[order], val[order]
+        main = kindm == 0
+        spill = ~main
+        tail = (r_all[spill], c_all[spill], v_all[spill])
+        v = v_all[main]
+        blk, sub, lane, vlane, res, wlam = (
+            a[main] for a in (blk, sub, lane, vlane, res, wlam))
+        cells = blk_cell[:nb]
+        vbs = (cells // n_wg * RSp).astype(np.int64)
+        cbs = (cells % n_wg * (LANE * Wr)).astype(np.int64)
+    else:
+        (v, blk, sub, lane, vlane, res, wlam, vbs, cbs, nb,
+         tail) = _plan_routed_np(row, col, val, shape, K, RSp, Wr,
+                                 hub_cap, tail_min_fill)
 
     vals2d = np.zeros((nb, LANE, LANE), np.float64)
     g1 = np.zeros((nb, LANE, LANE), np.int64)       # (r, l)  -> (w, lam)

