@@ -290,3 +290,27 @@ def test_sa_amg_cg_poisson27pt_3d():
     assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b)
     _, mon_plain = cg(A, b, monitor=Monitor(b, 400, 1e-8))
     assert mon.iteration_count() < mon_plain.iteration_count() / 2
+
+
+def test_sa_setup_stages_stay_on_host():
+    """AMG setup is host-side planning: aggregation / tentative-fit
+    outputs are numpy (not device arrays), and every setup product
+    carries a host mirror — a device round trip per stage cost 153 s at
+    1M unknowns through the TPU relay (on-chip setup trace, round 3)."""
+    from cusp_autotuned_tpu.precond.aggregation.strength import (
+        symmetric_strength_of_connection)
+    from cusp_autotuned_tpu.precond.aggregation.aggregate import (
+        standard_aggregate)
+    from cusp_autotuned_tpu.precond.aggregation.tentative import (
+        fit_candidates)
+
+    A = gallery.poisson5pt(30, 30, format="csr", dtype=np.float32)
+    C = symmetric_strength_of_connection(A, 0.0)
+    agg, roots = standard_aggregate(C)
+    assert type(agg) is np.ndarray and type(roots) is np.ndarray
+    T, Bc = fit_candidates(agg, np.ones(A.num_rows, np.float32))
+    assert type(Bc) is np.ndarray
+    assert getattr(T, "_host_coo", None) is not None
+    M = precond.smoothed_aggregation(A)
+    for lvl in M.levels:
+        assert getattr(lvl.A, "_host_coo", None) is not None
