@@ -344,8 +344,22 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         su_cell = uniq // 8192
         su_chunk = su_cell // n_wins
         su_wid = su_cell % n_wins
-        o = (np.lexsort((su_wid, su_chunk)) if aligned
-             else np.lexsort((su_chunk, su_wid)))
+        # ALIGNED (streamed) order must be (RSp band, window, chunk):
+        # the cut below bounds each block with searchsorted, which needs
+        # the secondary key SORTED inside the primary segment.  Sorting
+        # by bare chunk then window leaves su_wid unsorted across the
+        # chunks of one band, and a multi-window matrix (CW windows
+        # > 1) then packed entries of DIFFERENT x windows into one block
+        # while the kernel loads only cbs[g] — wrong sums (caught by the
+        # Economics exhaustive walk: ValidationFailed at stream_x=1,
+        # col_window=2048).  Band-major order keeps the streamed y
+        # contract (same-band blocks contiguous, vbs nondecreasing) AND
+        # makes the in-segment keys sorted.
+        if aligned:
+            su_band = (su_chunk // RSp) * RSp
+            o = np.lexsort((su_chunk, su_wid, su_band))
+        else:
+            o = np.lexsort((su_chunk, su_wid))
         rank = np.empty_like(o)
         rank[o] = np.arange(o.size)
         su_chunk, su_wid = su_chunk[o], su_wid[o]
@@ -353,6 +367,7 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
 
         # -- cut into blocks: Bs sublanes, same window, chunk span <= RSp
         ns = o.size
+        su_band = (su_chunk // RSp) * RSp
         blk_of = np.empty(ns, np.int64)
         sloc_of = np.empty(ns, np.int64)
         vbs, cbs = [], []
@@ -360,9 +375,18 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
         while i < ns:
             w0, c0 = su_wid[i], su_chunk[i]
             j = min(i + Bs, ns)
-            j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
-            vb = (int(c0) // RSp) * RSp if aligned else int(c0)
-            j = min(j, i + int(np.searchsorted(su_chunk[i:j], vb + RSp)))
+            if aligned:
+                # within a band su_wid is sorted; within (band, window)
+                # chunks are sorted and span < RSp by construction
+                b0 = int(su_band[i])
+                j = min(j, i + int(np.searchsorted(su_band[i:j], b0 + 1)))
+                j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
+                vb = b0
+            else:
+                j = min(j, i + int(np.searchsorted(su_wid[i:j], w0 + 1)))
+                vb = int(c0)
+                j = min(j, i + int(np.searchsorted(su_chunk[i:j],
+                                                   vb + RSp)))
             g = len(vbs)
             blk_of[i:j] = g
             sloc_of[i:j] = np.arange(j - i)

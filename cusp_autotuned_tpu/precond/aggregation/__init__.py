@@ -35,7 +35,6 @@ from cusp_autotuned_tpu.precond.aggregation.smooth import (
 from cusp_autotuned_tpu.precond.multilevel import (
     Multilevel, Level, CoarseLU, MIN_LEVEL_SIZE, MAX_LEVELS,
 )
-from cusp_autotuned_tpu.ops.convert import to_dense
 
 
 def _stage_timer():
@@ -261,11 +260,15 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             RuntimeWarning, stacklevel=2)
 
     mark("smoother/level")
-    dense = to_dense(sa.A)
+    # densify + invert ON THE HOST (mirror path): triangular solves don't
+    # map to the MXU (see CoarseLU), and a device to_dense here costs a
+    # fresh XLA compile + an array pull through the relay — measured
+    # 190 s on a degraded-relay window for a <500-row coarse level
+    from cusp_autotuned_tpu.backend.reference import to_scipy as _to_scipy
+    Sc = _to_scipy(sa.A)
+    dense = Sc.toarray() if hasattr(Sc, "toarray") else np.asarray(Sc)
     dtype = jnp.float64 if "64" in str(dense.dtype) else jnp.float32
-    # invert on host in f64: triangular solves don't map to the MXU (see
-    # CoarseLU), and the one-off O(n^3) setup cost is off the hot path
-    inv = np.linalg.inv(np.asarray(dense, np.float64))
+    inv = np.linalg.inv(dense.astype(np.float64))
     mark("coarse LU")
     return Multilevel(levels=tuple(levels),
                       coarse=CoarseLU(inv=jnp.asarray(inv, dtype)),

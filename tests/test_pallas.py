@@ -756,6 +756,27 @@ def test_colsort2_streamed_spmv_spmm():
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("mix", [1, 4])
+def test_colsort2_streamed_many_windows(mix):
+    """Regression: streamed colsort2 with a SMALL column window (several
+    x windows per matrix) packed entries of different windows into one
+    block — the aligned block cut ran searchsorted over an unsorted
+    su_wid segment (caught on chip by the Economics exhaustive walk:
+    ValidationFailed at stream_x=1, col_window=2048, rel err ~0.5)."""
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    rng = np.random.RandomState(33)
+    S = (sp.random(4000, 40000, density=3e-4, random_state=rng)
+         .tocsr().astype(np.float32))
+    A = from_scipy(S.tocoo(), "csr")
+    fn = build_colsort2(A, {"stream_x": 1, "col_window": 2048,
+                            "block_entries": 2048, "vrow_planes": 1,
+                            "mix_chunks": mix}, interpret=True)
+    x = rng.randn(A.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fn(x)), S @ x, rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_colsort2_auto_streams_past_vmem_budget():
     from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
     from cusp_autotuned_tpu.utils import config as C
