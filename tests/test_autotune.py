@@ -30,6 +30,17 @@ def _matrices():
     for fmt in ("csr", "ell", "ellr", "coo"):
         out[f"{fmt}_tri"] = build(S, fmt)
     out["ell_rand"] = build(example_matrices()["rand50x40"], "ell")
+    # wide scattered matrix spanning SEVERAL x windows at the small
+    # col_window points: the streamed kernels' window bookkeeping is
+    # invisible on the tiny matrices above (one window each), and a
+    # multi-window streamed-colsort2 plan bug shipped two sessions
+    # before the on-chip Economics walk caught it (ValidationFailed at
+    # stream_x=1, col_window=2048) — this walk catches that class on CPU
+    import scipy.sparse as sp
+    rng = np.random.RandomState(3)
+    S = sp.random(2000, 40000, density=1.5e-4, random_state=rng,
+                  format="csr", dtype=np.float32)
+    out["csr_scatter_mw"] = from_scipy(S, "csr", dtype=np.float32)
     return out
 
 
