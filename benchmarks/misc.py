@@ -89,9 +89,35 @@ def bench_overhead(n_calls: int = 50):
     print(f"  jitted multiply:       {(time.perf_counter()-t0)/n_calls*1e3:8.3f} ms")
 
 
+def bench_spgemm(grid: int = 140):
+    """Device SpGEMM (ESC sort + segment pass) and the Galerkin-style
+    triple product — parity: the reference's generalized SpGEMM path
+    (cusp/system/cuda/detail/multiply/spgemm.h); the AMG SETUP keeps its
+    RAP on the host by design (SetupMatrixType split), so this measures
+    the solve-path verb."""
+    import time as _time
+    import jax
+    from cusp_autotuned_tpu import gallery
+    from cusp_autotuned_tpu.ops.spgemm import spgemm
+
+    A = gallery.poisson5pt(grid, grid, format="csr", dtype=np.float32)
+    print(f"# SpGEMM: A@A, poisson5pt({grid}x{grid}), {A.nnz} nnz")
+    C = spgemm(A, A)                      # compile + device-resident ESC
+    jax.block_until_ready(C.val)
+    t0 = _time.perf_counter()
+    C = spgemm(A, A)
+    jax.block_until_ready(C.val)
+    dt = _time.perf_counter() - t0
+    # flops = 2 * sum_k nnz(A[:,k]) * nnz(A[k,:]) ~ 2 * nnz * nnz/row
+    flops = 2 * A.nnz * (A.nnz / max(A.num_rows, 1))
+    print(f"  A@A: {dt*1e3:8.2f} ms warm, C nnz={C.nnz}, "
+          f"~{flops/dt/1e9:.2f} GFLOP/s")
+
+
 if __name__ == "__main__":
     from benchmarks.harness import setup_backend
     setup_backend()
     bench_spmm()
     bench_blas()
     bench_overhead()
+    bench_spgemm()
