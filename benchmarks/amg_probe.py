@@ -36,10 +36,15 @@ from benchmarks.harness import time_fn_marginal                 # noqa: E402
 
 
 def _t(label, fn, *args):
+    """args[0] MUST be the vector (time_fn chains on the first argument;
+    an operator-first signature silently degrades to raw per-call timing,
+    marg == raw == the ~0.93 ms relay floor — that bug polluted the first
+    round-3 AMG stage numbers)."""
     try:
         t, raw = time_fn_marginal(jax.jit(fn), *args)
+        flag = "" if t < 0.97 * raw else "  [UNCHAINED]"
         print(f"  {label:34s} {t*1e6:10.1f} us marginal "
-              f"({raw*1e3:7.3f} ms/call)")
+              f"({raw*1e3:7.3f} ms/call){flag}")
         return t
     except Exception as e:  # noqa: BLE001
         print(f"  {label:34s} SKIP {str(e)[:80]}")
@@ -69,32 +74,32 @@ def main():
     b = jnp.asarray(rng.randn(A.num_rows).astype(np.float32))
 
     print("stages (marginal):")
-    tv = _t("full V-cycle M(b)", lambda M_, b_: M_(b_), M, b)
+    tv = _t("full V-cycle M(b)", lambda b_, M_: M_(b_), b, M)
 
     total = 0.0
     for i, lvl in enumerate(M.levels):
         nr = lvl.A.num_rows
         v = jnp.asarray(rng.randn(nr).astype(np.float32))
         ta = _t(f"L{i} A apply ({nr} rows)",
-                lambda op, x: multiply(op, x, use_autotuning=False),
-                lvl.apply_op, v)
+                lambda x, op: multiply(op, x, use_autotuning=False),
+                v, lvl.apply_op)
         tr = _t(f"L{i} R apply",
-                lambda op, x: multiply(op, x, use_autotuning=False),
-                lvl.restrict_op, v)
+                lambda x, op: multiply(op, x, use_autotuning=False),
+                v, lvl.restrict_op)
         vc = jnp.asarray(rng.randn(lvl.P.num_cols).astype(np.float32))
         tp = _t(f"L{i} P apply",
-                lambda op, x: multiply(op, x, use_autotuning=False),
-                lvl.prolong_op, vc)
+                lambda x, op: multiply(op, x, use_autotuning=False),
+                vc, lvl.prolong_op)
         ts = _t(f"L{i} postsmooth",
-                lambda sm_, op, b_, x_: sm_.postsmooth(op, b_, x_),
-                lvl.smoother, lvl.apply_op, v, v)
+                lambda x_, sm_, op, b_: sm_.postsmooth(op, b_, x_),
+                v, lvl.smoother, lvl.apply_op, v)
         tpre = _t(f"L{i} presmooth",
-                  lambda sm_, op, b_: sm_.presmooth(op, b_),
-                  lvl.smoother, lvl.apply_op, v)
+                  lambda b_, sm_, op: sm_.presmooth(op, b_),
+                  v, lvl.smoother, lvl.apply_op)
         total += 2 * ta + tr + tp + ts + tpre
     vcoarse = jnp.asarray(rng.randn(M.coarse.n).astype(np.float32))
     total += _t(f"coarse LU inv@b ({M.coarse.n})",
-                lambda C, b_: C(b_), M.coarse, vcoarse)
+                lambda b_, C: C(b_), vcoarse, M.coarse)
     print(f"  sum of stages                      {total*1e6:10.1f} us "
           f"vs full V-cycle {tv*1e6:.1f} us")
 
