@@ -37,7 +37,7 @@ from cusp_autotuned_tpu.utils.config import enable_compile_cache  # noqa: E402
 from benchmarks.harness import time_fn_marginal                  # noqa: E402
 
 
-def per_iter(op, M, b, k1=12, k2=60, outer=3):
+def per_iter(op, M, b, k1=12, k2=96, outer=3):
     """Forced-iteration two-point timing of the full jitted solve."""
     Mop = as_operator(M)
 
@@ -76,7 +76,7 @@ def main():
 
     if which in ("plain", "both"):
         it, t1, t2 = per_iter(op, None, b)
-        print(f"plain CG per-iter (forced 12 vs 60): {it*1e3:.3f} ms  "
+        print(f"plain CG per-iter (forced {12} vs {96}): {it*1e3:.3f} ms  "
               f"walls {t1*1e3:.1f}/{t2*1e3:.1f} ms")
 
     if which in ("amg", "both"):
@@ -86,7 +86,7 @@ def main():
         tv, tvraw = time_fn_marginal(jax.jit(lambda v, M_: M_(v)), b, M)
         print(f"V-cycle: {tv*1e3:.3f} ms marginal ({tvraw*1e3:.3f} ms/call)")
         it, t1, t2 = per_iter(op, M, b)
-        print(f"AMG-CG per-iter (forced 12 vs 60): {it*1e3:.3f} ms  "
+        print(f"AMG-CG per-iter (forced {12} vs {96}): {it*1e3:.3f} ms  "
               f"walls {t1*1e3:.1f}/{t2*1e3:.1f} ms")
 
 
