@@ -9,7 +9,7 @@ as static metadata.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax.numpy as jnp
 
@@ -98,6 +98,62 @@ def jit_operator(op):
     if isinstance(op, FunctionOperator):
         return jax.jit(op.fn)
     return jax.jit(op)
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class FactoredProlongator:
+    """Smoothed-aggregation prolongator applied FACTORED:
+
+        P e = T e - s * Dinv * (A (T e))
+
+    (parity: P = (I - (omega/rho) D^-1 A) T,
+    cusp/precond/aggregation/system/detail/generic/smooth_prolongator.h:52-151
+    — the reference materializes P with an SpGEMM and applies it as a
+    generic sparse matrix; on TPU the materialized P is a scattered
+    2.5-nnz/row pattern stuck at the XLU-bound scattered-rail rate, while
+    the factored form rides the level's structured A rail (via_dia at
+    fine stencil levels) plus a 1-nnz/row tentative apply whose
+    near-monotone columns plan at near-perfect fill).  Top/Aop are planned
+    operator pytrees; dinv/scale ride as leaves."""
+    Top: Any      # tentative prolongator apply (planned)
+    Aop: Any      # level operator apply (planned)
+    dinv: Any     # 1/diag(A)
+    scale: Any    # omega / rho(D^-1 A), 0-d array
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+    impl: str = static_field(default="factored")
+
+    format = "factored_prolongator"
+
+    def __call__(self, e):
+        te = self.Top(e)
+        return te - self.scale * (self.dinv * self.Aop(te))
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class FactoredRestriction:
+    """R = P^T applied factored (requires symmetric A):
+
+        R r = T^T (r - s * A (Dinv * r))
+
+    See FactoredProlongator; Ttop applies the transposed tentative
+    operator (an aggregate segment-sum pattern, one column per fine row)."""
+    Ttop: Any
+    Aop: Any
+    dinv: Any
+    scale: Any
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+    impl: str = static_field(default="factored")
+
+    format = "factored_restriction"
+
+    def __call__(self, r):
+        return self.Ttop(r - self.scale * self.Aop(self.dinv * r))
+
+
+_OPERATOR_TYPES = (IdentityOperator, FunctionOperator, PlannedOperator,
+                   FactoredProlongator, FactoredRestriction)
 
 
 def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:

@@ -121,13 +121,11 @@ def multiply(A, B, *, use_autotuning: bool | None = None):
     gather.  When autotuning is enabled (autotune.enable(), parity with
     cusp::ktt::enable) and inputs are concrete, sparse×vector routes through
     one tuning iteration exactly like the reference's multiply hook."""
-    from cusp_autotuned_tpu.operators import (
-        IdentityOperator, FunctionOperator, PlannedOperator,
-    )
+    from cusp_autotuned_tpu.operators import _OPERATOR_TYPES
     from cusp_autotuned_tpu.formats.dense import Array2d
     if isinstance(B, Array2d):
         B = B.to_dense()              # sparse/operator x array2d block
-    if isinstance(A, (IdentityOperator, FunctionOperator, PlannedOperator)):
+    if isinstance(A, _OPERATOR_TYPES):
         # matrix-free linear operators apply directly (parity:
         # cusp/linear_operator.h — solvers accept any linear_operator as A)
         return A(B)

@@ -76,6 +76,64 @@ def _tuned_level_config(Mx):
         return None
 
 
+def _is_symmetric_host(S, tol: float = 1e-6) -> bool:
+    """Host-mirror symmetry check (setup-time, one sparse subtraction)."""
+    D = (S - S.T).tocoo()
+    if D.nnz == 0:
+        return True
+    ref = float(np.abs(S.data).max()) if S.nnz else 1.0
+    return float(np.abs(D.data).max()) <= tol * max(1.0, ref)
+
+
+def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
+    """Factored smoothed-operator applies for one level.
+
+    P = (I - s D^-1 A) T (s = omega/rho; parity: smooth_prolongator.h:52-151)
+    applies as  P e = T e - s*Dinv*(A (T e))  and, for symmetric A,
+    R r = P^T r = T^T (r - s*A*(Dinv r)).  The materialized P/R are
+    scattered 2-3-nnz/row patterns pinned at the XLU-bound scattered-rail
+    rate; the factored form rides the level's structured A rail plus a
+    1-nnz/row tentative apply (near-perfect plan fill).  Model-gated: used
+    only when the analytic cost model prices T-apply + A-apply below the
+    monolithic P apply (on a level whose A is itself scattered the
+    monolithic form wins and is kept).  Returns (Rop, Pop), None where the
+    factored form is unavailable or predicted slower."""
+    from cusp_autotuned_tpu.operators import (
+        FactoredProlongator, FactoredRestriction)
+    from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
+    if Aop is None or sa.T is None:
+        return None, None
+    try:
+        from cusp_autotuned_tpu.autotune.cost_model import recommend_config
+        _, est_A = recommend_config(sa.A)
+        _, est_T = recommend_config(sa.T)
+        _, est_P = recommend_config(P)
+        if est_T + est_A >= est_P:
+            return None, None
+    except Exception:  # noqa: BLE001 — model is best-effort
+        return None, None
+    Top = wrap(sa.T)
+    if Top is None:
+        return None, None
+    Ssp = to_scipy(sa.A)
+    d = np.asarray(Ssp.diagonal())
+    dtype = np.dtype(sa.A.dtype)
+    dinv = jnp.asarray(
+        np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 1.0).astype(dtype))
+    scale = jnp.asarray(np.asarray(omega / max(rho, 1e-30), dtype))
+    Pop = FactoredProlongator(Top=Top, Aop=Aop, dinv=dinv, scale=scale,
+                              shape=tuple(P.shape))
+    Rop = None
+    if _is_symmetric_host(Ssp):
+        Tsp = to_scipy(sa.T)
+        Ttc = from_scipy(Tsp.T.tocsr(), "csr", dtype=Tsp.dtype)
+        Ttop = wrap(Ttc)
+        if Ttop is not None:
+            Rop = FactoredRestriction(Ttop=Ttop, Aop=Aop, dinv=dinv,
+                                      scale=scale, shape=tuple(R.shape))
+    return Rop, Pop
+
+
 @dataclasses.dataclass
 class SALevel:
     """Setup-phase data kept per level (parity: sa_level)."""
@@ -242,7 +300,10 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             # SLOWER here (62 s vs 27 s at poisson5pt 1000^2): the build
             # host is single-vCPU, so threads only add GIL handoffs and
             # cache thrash; keep it serial
-            Aop, Rop, Pop = _wrap(sa.A, tune_A), _wrap(R), _wrap(P)
+            Aop = _wrap(sa.A, tune_A)
+            Rop_f, Pop_f = _factored_rp(sa, Aop, P, R, omega, rho, _wrap)
+            Rop = Rop_f if Rop_f is not None else _wrap(R)
+            Pop = Pop_f if Pop_f is not None else _wrap(P)
             mark("plan operators")
         levels.append(Level(R=R, A=sa.A, P=P,
                             smoother=smoother_factory(sa.A, rho),

@@ -215,14 +215,67 @@ def test_smoothed_aggregation_fine_R_plans():
     # container path (which costs ~9 ns/entry on chip — the single
     # biggest V-cycle stage at scale when it regresses)
     from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
-    from cusp_autotuned_tpu.operators import PlannedOperator
+    from cusp_autotuned_tpu.operators import (
+        PlannedOperator, FactoredProlongator, FactoredRestriction)
     from cusp_autotuned_tpu import gallery
     A = gallery.poisson5pt(120, 120, format="csr", dtype=np.float32)
     M = smoothed_aggregation(A, spmv_config={})
+    planned = (PlannedOperator, FactoredProlongator, FactoredRestriction)
     for i, lvl in enumerate(M.levels):
         for nm in ("Aop", "Rop", "Pop"):
-            assert isinstance(getattr(lvl, nm), PlannedOperator), \
+            assert isinstance(getattr(lvl, nm), planned), \
                 f"level {i} {nm} fell back to the container path"
+
+
+def test_smoothed_aggregation_factored_rp():
+    # on a structured level (A rides via_dia) the smoothed P/R applies are
+    # FACTORED: P e = T e - s*Dinv*(A(T e)), R r = T^T (r - s*A*(Dinv r))
+    # — the scattered 2-3 nnz/row materialized P is XLU-bound on TPU while
+    # the factored form rides the structured A rail + a 1-nnz/row
+    # tentative apply (measured on chip: monolithic routed P apply ~93 us
+    # at poisson5pt 500^2 vs ~10 us for the A apply it decomposes into)
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import (
+        FactoredProlongator, FactoredRestriction)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    lvl = M.levels[0]
+    assert isinstance(lvl.Pop, FactoredProlongator)
+    assert isinstance(lvl.Rop, FactoredRestriction)
+    rng = np.random.RandomState(0)
+    Psp = to_scipy(lvl.P)
+    e = rng.randn(lvl.P.num_cols).astype(np.float32)
+    r = rng.randn(lvl.A.num_rows).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(lvl.prolong_op(e)), Psp @ e,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lvl.restrict_op(r)), Psp.T @ r,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_factored_rp_nonsymmetric_falls_back():
+    # R = P^T = T^T (I - s A^T Dinv) needs A^T; on a nonsymmetric level
+    # the factored restriction must NOT be used (it would silently apply
+    # A instead of A^T), while the factored prolongator is still valid
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import FactoredRestriction
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu import gallery
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    A0 = gallery.poisson5pt(60, 60, format="coo", dtype=np.float32)
+    S = to_scipy(A0).tocoo()
+    # skew the strict upper triangle to break symmetry
+    S.data = np.where(S.row < S.col, 0.5 * S.data, S.data)
+    A = from_scipy(S.tocsr(), "csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    lvl = M.levels[0]
+    assert not isinstance(lvl.Rop, FactoredRestriction)
+    rng = np.random.RandomState(1)
+    r = rng.randn(lvl.A.num_rows).astype(np.float32)
+    Psp = to_scipy(lvl.P)
+    np.testing.assert_allclose(np.asarray(lvl.restrict_op(r)), Psp.T @ r,
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_smoothed_aggregation_model_guided_rails():
