@@ -127,7 +127,8 @@ class FactoredProlongator:
 
     def __call__(self, e):
         te = self.Top(e)
-        return te - self.scale * (self.dinv * self.Aop(te))
+        d = self.dinv if te.ndim == 1 else self.dinv[:, None]
+        return te - self.scale * (d * self.Aop(te))
 
 
 @register_matrix
@@ -149,7 +150,8 @@ class FactoredRestriction:
     format = "factored_restriction"
 
     def __call__(self, r):
-        return self.Ttop(r - self.scale * self.Aop(self.dinv * r))
+        d = self.dinv if r.ndim == 1 else self.dinv[:, None]
+        return self.Ttop(r - self.scale * self.Aop(d * r))
 
 
 _OPERATOR_TYPES = (IdentityOperator, FunctionOperator, PlannedOperator,

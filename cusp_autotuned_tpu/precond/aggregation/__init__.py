@@ -85,39 +85,6 @@ def _is_symmetric_host(S, tol: float = 1e-6) -> bool:
     return float(np.abs(D.data).max()) <= tol * max(1.0, ref)
 
 
-def _tentative_plan(Mx):
-    """Min-pass routed plan for a tentative operator (T or T^T).
-
-    The cost model's generic pick lands vrow_span=64 on T, which plans at
-    fill 0.49 / 155 tile-take passes where vrow_span=128 plans the same
-    matrix at fill 0.89 / 48 passes (measured on chip: 28 us vs the
-    pass-model's ~10).  The routed planner is a fast C++ one-pass, so the
-    4-config sweep is host-time noise; ranked by the XLU pass count
-    nb*(Wr+2) — the scattered-class cost (docs/roadmap.md cost model)."""
-    from cusp_autotuned_tpu.kernels.variants import build_spmv
-    from cusp_autotuned_tpu.operators import PlannedOperator
-    best = None
-    for vs in (64, 128):
-        for vp in (1, 2):
-            cfg = {"impl": "routed", "vrow_span": vs, "vrow_planes": vp,
-                   "plan_budget_bytes": 1 << 33}
-            try:
-                fn = build_spmv(Mx, cfg)
-            except Exception:  # noqa: BLE001 — planner rejections are routine
-                continue
-            st = getattr(fn, "plan_stats", None) or {}
-            if not hasattr(fn, "planned_arrays"):
-                continue
-            passes = st.get("nb", 1 << 30) * (st.get("Wr", 30) + 2)
-            if best is None or passes < best[0]:
-                best = (passes, fn)
-    if best is None:
-        return None
-    fn = best[1]
-    return PlannedOperator(arrays=fn.planned_arrays, build=fn.apply,
-                           shape=tuple(Mx.shape), impl="routed")
-
-
 def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
     """Factored smoothed-operator applies for one level.
 
@@ -145,7 +112,7 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
             return None, None
     except Exception:  # noqa: BLE001 — model is best-effort
         return None, None
-    Top = _tentative_plan(sa.T) or wrap(sa.T)
+    Top = wrap(sa.T)
     if Top is None:
         return None, None
     Ssp = to_scipy(sa.A)
@@ -160,7 +127,7 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
     if _is_symmetric_host(Ssp):
         Tsp = to_scipy(sa.T)
         Ttc = from_scipy(Tsp.T.tocsr(), "csr", dtype=Tsp.dtype)
-        Ttop = _tentative_plan(Ttc) or wrap(Ttc)
+        Ttop = wrap(Ttc)
         if Ttop is not None:
             Rop = FactoredRestriction(Ttop=Ttop, Aop=Aop, dinv=dinv,
                                       scale=scale, shape=tuple(R.shape))

@@ -252,6 +252,13 @@ def test_smoothed_aggregation_factored_rp():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(lvl.restrict_op(r)), Psp.T @ r,
                                rtol=2e-4, atol=2e-5)
+    # block (2-D) applies broadcast Dinv down columns
+    E = rng.randn(lvl.P.num_cols, 3).astype(np.float32)
+    Rr = rng.randn(lvl.A.num_rows, 3).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(lvl.prolong_op(E)), Psp @ E,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lvl.restrict_op(Rr)), Psp.T @ Rr,
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_factored_rp_nonsymmetric_falls_back():
