@@ -254,6 +254,26 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
     if over_budget():
         out["truncated"] = "budget"
         return out
+    # planned-hierarchy V-cycle marginal (factored R/P + model-guided
+    # per-level rails): the kernel-quality number for the AMG hot path
+    try:
+        from benchmarks.harness import time_fn_marginal
+        from cusp_autotuned_tpu.precond.aggregation import (
+            smoothed_aggregation,
+        )
+        Av = poisson5pt(500, 500, format="csr", dtype=np.float32)
+        Mv = smoothed_aggregation(Av, spmv_config={})
+        bv = jnp.asarray(np.random.RandomState(5)
+                         .randn(Av.num_rows).astype(np.float32))
+        tm, _raw = time_fn_marginal(jax.jit(lambda b_, M_: M_(b_)), bv, Mv)
+        out["vcycle_500sq_marg_us"] = round(tm * 1e6, 1)
+        out["vcycle_rp"] = getattr(Mv.levels[0].Pop, "impl", "?")
+    except Exception as e:  # noqa: BLE001
+        out["vcycle_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # the reference cg.cu headline config (performance/solver/cg.cu:14-42:
     # poisson5pt 1000x1000, rel-tol 1e-5, <=2000 iters) through
     # autotune.tuned_operator with NOTHING tuned — the analytic cost

@@ -57,7 +57,9 @@ def main():
 
     rng = np.random.RandomState(0)
     b = jnp.asarray(rng.randn(A.num_rows).astype(dtype))
-    tm, traw = time_fn_marginal(jax.jit(lambda v: M(v)), b)
+    # M rides as a jit ARGUMENT: closing over it would embed every planned
+    # array as a compile-request constant (size-capped, slow at 1M rows)
+    tm, traw = time_fn_marginal(jax.jit(lambda v, M_: M_(v)), b, M)
     print(f"V-cycle marginal {tm*1e3:.2f} ms ({traw*1e3:.2f} ms/call)")
 
     # the CG operator itself goes through the cost model's zero-compile
