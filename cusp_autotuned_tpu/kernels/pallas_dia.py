@@ -252,7 +252,11 @@ def _dia_spmm_xla(data3, offsets, left, m, n, dtype, x):
     data = data3.reshape(nd, mp).astype(dtype)
     max_off = max(max(offsets), 0)
     need = left + max_off + mp
-    xp = jnp.pad(x.astype(dtype), ((left, need - left - x.shape[0]), (0, 0)))
+    # bottom pad clamps at 0: for wide matrices (n > mp + max_off) x is
+    # already longer than the slices need (ADVICE r3 — jnp.pad raises on
+    # negative widths)
+    xp = jnp.pad(x.astype(dtype),
+                 ((left, max(0, need - left - x.shape[0])), (0, 0)))
     y = None
     for d, off in enumerate(offsets):
         seg = jax.lax.dynamic_slice_in_dim(xp, off + left, mp, axis=0)

@@ -95,6 +95,13 @@ def jit_operator(op):
         jb = jax.jit(op.build)
         arrays = op.arrays
         return lambda x: jb(arrays, x)
+    if isinstance(op, (FactoredProlongator, FactoredRestriction)):
+        # the factored operators hold planned sub-operators as pytree
+        # leaves; jit the APPLY with the operator as a traced argument so
+        # those arrays ride as parameters, not embedded constants
+        # (ADVICE r3)
+        jf = jax.jit(lambda o, x: o(x))
+        return lambda x: jf(op, x)
     if isinstance(op, FunctionOperator):
         return jax.jit(op.fn)
     return jax.jit(op)

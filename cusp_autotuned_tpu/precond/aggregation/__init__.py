@@ -77,15 +77,20 @@ def _tuned_level_config(Mx):
 
 
 def _is_symmetric_host(S, tol: float = 1e-6) -> bool:
-    """Host-mirror symmetry check (setup-time, one sparse subtraction)."""
+    """Host-mirror symmetry check (setup-time, one sparse subtraction).
+
+    Purely RELATIVE: max|S - S^T| <= tol * max|S| — an absolute floor
+    would pass any matrix whose entries are all tiny (e.g. an operator
+    scaled by h^2) as symmetric and silently hand FactoredRestriction an
+    A where A^T is required (ADVICE r3, medium)."""
     D = (S - S.T).tocoo()
     if D.nnz == 0:
         return True
     ref = float(np.abs(S.data).max()) if S.nnz else 1.0
-    return float(np.abs(D.data).max()) <= tol * max(1.0, ref)
+    return float(np.abs(D.data).max()) <= tol * ref
 
 
-def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
+def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True):
     """Factored smoothed-operator applies for one level.
 
     P = (I - s D^-1 A) T (s = omega/rho; parity: smooth_prolongator.h:52-151)
@@ -103,12 +108,30 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
     from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
     if Aop is None or sa.T is None:
         return None, None
+    if not auto:
+        # explicit non-auto spmv_config: the monolithic P/R would be built
+        # with the USER'S rail, which the model estimates below don't
+        # describe — honor the explicit config instead of gating on
+        # model numbers that apply only to auto-recommended rails
+        # (ADVICE r3, low)
+        return None, None
     try:
-        from cusp_autotuned_tpu.autotune.cost_model import recommend_config
+        from cusp_autotuned_tpu.autotune.cost_model import (
+            recommend_config, DEVICE_MODEL)
         _, est_A = recommend_config(sa.A)
         _, est_T = recommend_config(sa.T)
         _, est_P = recommend_config(P)
-        if est_T + est_A >= est_P:
+        _, est_R = recommend_config(R)
+        # extra elementwise traffic of the factored apply: ~4 fine-level
+        # vector streams (T e read+write through the axpy, Dinv read,
+        # A(T e) read) that the monolithic apply doesn't pay
+        itemsize = np.dtype(sa.A.dtype).itemsize
+        est_elem = 4 * sa.A.num_rows * itemsize \
+            / (DEVICE_MODEL["stream_gbps"] * 1e3)
+        factored_us = est_T + est_A + est_elem
+        want_P = factored_us < est_P
+        want_R = factored_us < est_R
+        if not (want_P or want_R):
             return None, None
     except Exception:  # noqa: BLE001 — model is best-effort
         return None, None
@@ -121,10 +144,12 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap):
     dinv = jnp.asarray(
         np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 1.0).astype(dtype))
     scale = jnp.asarray(np.asarray(omega / max(rho, 1e-30), dtype))
-    Pop = FactoredProlongator(Top=Top, Aop=Aop, dinv=dinv, scale=scale,
-                              shape=tuple(P.shape))
+    Pop = None
+    if want_P:
+        Pop = FactoredProlongator(Top=Top, Aop=Aop, dinv=dinv, scale=scale,
+                                  shape=tuple(P.shape))
     Rop = None
-    if _is_symmetric_host(Ssp):
+    if want_R and _is_symmetric_host(Ssp):
         Tsp = to_scipy(sa.T)
         Ttc = from_scipy(Tsp.T.tocsr(), "csr", dtype=Tsp.dtype)
         Ttop = wrap(Ttc)
@@ -301,7 +326,8 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             # host is single-vCPU, so threads only add GIL handoffs and
             # cache thrash; keep it serial
             Aop = _wrap(sa.A, tune_A)
-            Rop_f, Pop_f = _factored_rp(sa, Aop, P, R, omega, rho, _wrap)
+            Rop_f, Pop_f = _factored_rp(sa, Aop, P, R, omega, rho, _wrap,
+                                        auto=auto and not tune_A)
             Rop = Rop_f if Rop_f is not None else _wrap(R)
             Pop = Pop_f if Pop_f is not None else _wrap(P)
             mark("plan operators")

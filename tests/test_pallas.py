@@ -957,3 +957,19 @@ def test_routed_via_variants_and_tuner_config():
                                rtol=1e-4, atol=1e-4)
     cfgs = list(tuning_space(A).configurations())
     assert any(c["impl"] == "routed" for c in cfgs)
+
+
+def test_dia_spmm_wide_short_matrix():
+    """ADVICE r3 (low): a WIDE matrix (n much larger than the padded row
+    count plus max offset) made the XLA SpMM path compute a negative
+    bottom pad and raise; the pad clamps at 0 now."""
+    import scipy.sparse as sp
+    S = sp.diags([np.ones(8), 2 * np.ones(8)], [0, 1],
+                 shape=(8, 300)).tocoo()
+    A = from_scipy(S, "dia")
+    rng = np.random.RandomState(23)
+    X = jnp.asarray(rng.randn(300, 16).astype(np.float32))
+    fn = build_dia(A, {"block_rows": 1024}, interpret=True)
+    Y = np.asarray(jax.jit(fn)(X))
+    ref = S.astype(np.float64) @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)

@@ -374,3 +374,73 @@ def test_sa_setup_stages_stay_on_host():
     M = precond.smoothed_aggregation(A)
     for lvl in M.levels:
         assert getattr(lvl.A, "_host_coo", None) is not None
+
+
+def test_factored_rp_tiny_magnitude_nonsymmetric_falls_back():
+    # ADVICE r3 (medium): the symmetry gate must be purely RELATIVE —
+    # a nonsymmetric operator whose entries are all tiny (h^2-scaled)
+    # must NOT pass as symmetric (the old absolute 1e-6 floor let it
+    # through and FactoredRestriction silently applied A for A^T)
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import FactoredRestriction
+    from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
+    from cusp_autotuned_tpu import gallery
+    A0 = gallery.poisson5pt(60, 60, format="coo", dtype=np.float32)
+    S = to_scipy(A0).tocoo()
+    S.data = np.where(S.row < S.col, 0.5 * S.data, S.data)
+    S.data = (S.data * 1e-7).astype(np.float32)   # all entries < 1e-6
+    A = from_scipy(S.tocsr(), "csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    lvl = M.levels[0]
+    assert not isinstance(lvl.Rop, FactoredRestriction)
+    rng = np.random.RandomState(1)
+    r = rng.randn(lvl.A.num_rows).astype(np.float32)
+    Psp = to_scipy(lvl.P)
+    np.testing.assert_allclose(np.asarray(lvl.restrict_op(r)), Psp.T @ r,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_factored_rp_explicit_config_honored():
+    # ADVICE r3 (low): with an explicit non-auto spmv_config the model
+    # gate doesn't describe what would actually be built — the user's
+    # rail is honored (no factored substitution) and applies stay correct
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import (
+        FactoredProlongator, FactoredRestriction)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(
+        A, spmv_config={"impl": "binned", "block_entries": "auto"})
+    lvl = M.levels[0]
+    assert not isinstance(lvl.Pop, (FactoredProlongator,))
+    assert not isinstance(lvl.Rop, (FactoredRestriction,))
+    rng = np.random.RandomState(2)
+    Psp = to_scipy(lvl.P)
+    e = rng.randn(lvl.P.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(lvl.prolong_op(e)), Psp @ e,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_jit_operator_factored_types():
+    # ADVICE r3 (low): jit_operator must not let jax.jit close over the
+    # factored operators' planned arrays as embedded constants — it jits
+    # the apply with the operator pytree as a traced argument
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import (
+        jit_operator, FactoredProlongator, FactoredRestriction)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    lvl = M.levels[0]
+    assert isinstance(lvl.Pop, FactoredProlongator)
+    assert isinstance(lvl.Rop, FactoredRestriction)
+    rng = np.random.RandomState(4)
+    Psp = to_scipy(lvl.P)
+    e = rng.randn(lvl.P.num_cols).astype(np.float32)
+    r = rng.randn(lvl.A.num_rows).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(jit_operator(lvl.Pop)(e)),
+                               Psp @ e, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jit_operator(lvl.Rop)(r)),
+                               Psp.T @ r, rtol=2e-4, atol=2e-5)
