@@ -25,7 +25,8 @@ from benchmarks.harness import (time_fn as _timeit, time_fn_marginal,
                                 stream_bandwidth_gbps)
 
 
-def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
+def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
+           progress=None):
     """Compact multi-format sweep folded into the headline JSON so a
     driver-recorded run notices CSR/colsort/SpMM regressions, not just DIA.
 
@@ -49,6 +50,14 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
 
     out = {}
 
+    def checkpoint():
+        """Re-emit the full (headline + sweep-so-far) JSON line after each
+        completed step, so a mid-sweep hang/kill still leaves the driver
+        the freshest complete line (VERDICT r3 item 1: one degraded
+        compile must not erase the whole artifact)."""
+        if progress is not None:
+            progress(dict(out))
+
     def put_rate(key, fn, x, numer):
         """Store numer/t for both the chained per-call time (relay floor
         included — comparable to earlier rounds) and the two-point
@@ -56,6 +65,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         tm, t = time_fn_marginal(fn, x)
         out[key] = round(numer / t / 1e9, 2)
         out[key + "_marg"] = round(numer / max(tm, 1e-9) / 1e9, 2)
+        checkpoint()
     # CSR binned on poisson9pt 1M nnz
     A = poisson9pt(333, 333, format="csr", dtype=np.float32)
     cfg = ({"impl": "binned", "block_entries": 8192, "col_window": 2048,
@@ -209,6 +219,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
                                    ResultStatus.CompilationFailed)]
         if bad:
             out["walk_dia_bad"] = len(bad)
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["walk_error"] = str(e)[:120]
 
@@ -219,6 +230,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         from benchmarks.model_check import check as _model_check
         mc = _model_check()
         out["model_vs_archive"] = f"{mc['agree']}/{mc['total']}"
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["model_error"] = str(e)[:120]
 
@@ -248,6 +260,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         jax.block_until_ready(xa)
         out["amg_cg_150sq_warm_s"] = round(_t.perf_counter() - t0, 3)
         out["amg_cg_iters"] = mona.iteration_count()
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["amg_error"] = str(e)[:120]
 
@@ -257,7 +270,6 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
     # planned-hierarchy V-cycle marginal (factored R/P + model-guided
     # per-level rails): the kernel-quality number for the AMG hot path
     try:
-        from benchmarks.harness import time_fn_marginal
         from cusp_autotuned_tpu.precond.aggregation import (
             smoothed_aggregation,
         )
@@ -268,6 +280,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         tm, _raw = time_fn_marginal(jax.jit(lambda b_, M_: M_(b_)), bv, Mv)
         out["vcycle_500sq_marg_us"] = round(tm * 1e6, 1)
         out["vcycle_rp"] = getattr(Mv.levels[0].Pop, "impl", "?")
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["vcycle_error"] = str(e)[:120]
 
@@ -301,6 +314,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None):
         out["cgcu_1m_iters"] = itc
         out["cgcu_1m_s"] = round(dt, 3)
         out["cgcu_1m_ms_per_iter"] = round(1e3 * dt / itc, 3)
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["cgcu_error"] = str(e)[:120]
     return out
@@ -345,25 +359,35 @@ def main():
     # differenced rate is the kernel-quality number
     marginal_gbps = useful / max(t_marg, 1e-9) / 1e9
 
+    def emit(sweep):
+        """Print + flush the COMPLETE metric line with whatever sweep
+        content exists so far.  Called once right after the headline and
+        again after every completed sweep step — the watchdog parent
+        forwards the LAST complete line, so a mid-run relay hang costs
+        only the steps that never finished, never the whole artifact
+        (VERDICT r3 item 1; reference bar: the always-prints harness
+        performance/spmv/benchmark.h:85-178)."""
+        sweep = dict(sweep)
+        sweep["dia_percall_gbps"] = round(spmv_gbps, 1)
+        sweep["dispatch_fixed_ms"] = round(max(t_spmv - t_marg, 0) * 30e3, 1)
+        print(json.dumps({
+            "metric": f"SpMV DIA poisson5pt({grid}x{grid}) marginal "
+                      f"bandwidth (stream baseline {stream_gbps:.0f} GB/s)",
+            "value": round(marginal_gbps, 2),
+            "unit": "GB/s",
+            "vs_baseline": round(marginal_gbps / stream_gbps, 4),
+            "sweep": sweep,
+        }), flush=True)
+
+    # the headline is measured — flush it NOW, before anything else can
+    # hang; every subsequent emit supersedes this line
+    emit({"partial": "headline-only"})
+
     try:
-        sweep = _sweep(on_tpu, dia_headline=A, x_headline=x)
+        sweep = _sweep(on_tpu, dia_headline=A, x_headline=x, progress=emit)
     except Exception as e:  # noqa: BLE001 — the headline must still print
         sweep = {"error": str(e)[:200]}
-    sweep["dia_percall_gbps"] = round(spmv_gbps, 1)
-    sweep["dispatch_fixed_ms"] = round(max(t_spmv - t_marg, 0) * 30e3, 1)
-
-    # headline value is the MARGINAL (two-point) rate: the relay adds a
-    # fixed ~28 ms per dispatch that a chained per-call average smears as
-    # fixed/reps; marginal vs same-methodology stream is the honest
-    # kernel-quality roofline fraction (VERDICT r2 item 10)
-    print(json.dumps({
-        "metric": f"SpMV DIA poisson5pt({grid}x{grid}) marginal bandwidth "
-                  f"(stream baseline {stream_gbps:.0f} GB/s)",
-        "value": round(marginal_gbps, 2),
-        "unit": "GB/s",
-        "vs_baseline": round(marginal_gbps / stream_gbps, 4),
-        "sweep": sweep,
-    }))
+    emit(sweep)
 
 
 def _fallback_line(err: str) -> str:
@@ -400,19 +424,30 @@ def _watchdog_reexec(seconds: int) -> int:
     import subprocess
 
     env = dict(os.environ, _BENCH_CHILD="1")
+
+    def last_metric_line(stdout):
+        """The child emits a complete superseding line after the headline
+        and after every sweep step; the freshest one wins."""
+        best = None
+        for ln in (stdout or "").splitlines():
+            if not ln.strip():
+                continue
+            try:
+                if "metric" in json.loads(ln):
+                    best = ln
+            except (json.JSONDecodeError, TypeError):
+                continue
+        return best
+
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=seconds)
         sys.stderr.write(proc.stderr)
-        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-        for ln in lines:
-            try:
-                if "metric" in json.loads(ln):
-                    print(ln)
-                    return proc.returncode
-            except (json.JSONDecodeError, TypeError):
-                continue
+        ln = last_metric_line(proc.stdout)
+        if ln is not None:
+            print(ln)
+            return proc.returncode
         print(_fallback_line(
             f"child exited {proc.returncode} without a JSON line"))
         return 1
@@ -421,6 +456,18 @@ def _watchdog_reexec(seconds: int) -> int:
             err = e.stderr if isinstance(e.stderr, str) else \
                 e.stderr.decode(errors="replace")
             sys.stderr.write(err)
+        # a hang after N completed steps still leaves N fresh measurements
+        # on the child's stdout — forward the last complete line (marked)
+        # instead of erasing the run (BENCH_r03 rc=1 had no number at all)
+        out = e.stdout if isinstance(e.stdout, str) else \
+            (e.stdout.decode(errors="replace") if e.stdout else "")
+        ln = last_metric_line(out)
+        if ln is not None:
+            payload = json.loads(ln)
+            payload["watchdog"] = (f"truncated at {seconds}s; headline and "
+                                   "completed sweep steps are fresh")
+            print(json.dumps(payload))
+            return 0
         print(_fallback_line(
             f"watchdog: bench exceeded {seconds}s "
             "(relay hang or degraded compile service)"))

@@ -52,6 +52,25 @@ DEVICE_MODEL: Dict[str, float] = dict(
 
 LANE = 128
 _SLOT_NS = {}  # tile_take_ns / 16384, cached per model dict id
+_calibration_checked = False
+
+
+def _auto_load_calibration() -> None:
+    """Replace the one-session literals with constants measured on THIS
+    device when a persisted calibration exists (autotune.calibrate) —
+    the literals then serve only as fallback (VERDICT r3 item 7)."""
+    global _calibration_checked
+    if _calibration_checked:
+        return
+    _calibration_checked = True
+    try:
+        from cusp_autotuned_tpu.autotune.calibrate import load
+        consts = load()
+        if consts:
+            DEVICE_MODEL.update(
+                {k: v for k, v in consts.items() if k in DEVICE_MODEL})
+    except Exception:  # noqa: BLE001 — calibration is an optimization only
+        pass
 
 
 def _host_triplets(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
@@ -156,6 +175,7 @@ def predict(A, x=None, device: Optional[Dict[str, float]] = None,
     from cusp_autotuned_tpu.kernels.variants import default_config
     from cusp_autotuned_tpu.ops.convert import MAX_FILL_RATIO, FILL_THRESHOLD
 
+    _auto_load_calibration()
     dev = dict(DEVICE_MODEL)
     if device:
         dev.update(device)

@@ -1,0 +1,78 @@
+"""Device-model calibration (autotune.calibrate) — VERDICT r3 item 7.
+
+The analytic cost model's constants must come from a measurement on the
+CURRENT device when one exists, with the one-session literals demoted to
+fallback.  On the CPU test backend the measured values are meaningless as
+TPU constants, but the machinery — measure, persist keyed by device kind,
+load, auto-apply — is fully checkable."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cusp_autotuned_tpu.autotune import calibrate, cost_model
+
+
+def test_calibrate_measures_and_persists(tmp_path, monkeypatch):
+    path = str(tmp_path / "device_model.json")
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", path)
+    consts = calibrate.calibrate(persist=True, apply=False)
+    assert set(consts) >= {"stream_gbps", "tile_take_ns", "gather_ns",
+                           "segsum_ns"}
+    assert all(np.isfinite(v) and v > 0 for v in consts.values())
+    with open(path) as f:
+        blob = json.load(f)
+    assert blob["constants"]["stream_gbps"] == consts["stream_gbps"]
+    assert blob["device_kind"]  # keyed by the measuring device
+
+    loaded = calibrate.load(path)
+    assert loaded == pytest.approx(consts)
+
+
+def test_load_rejects_other_device_kind(tmp_path):
+    path = str(tmp_path / "device_model.json")
+    with open(path, "w") as f:
+        json.dump({"device_kind": "TPU v9000",
+                   "constants": {"stream_gbps": 1.0}}, f)
+    assert calibrate.load(path) is None
+
+
+def test_cost_model_auto_loads_calibration(tmp_path, monkeypatch):
+    """predict() picks up persisted constants on first use; literals
+    remain only the fallback."""
+    from cusp_autotuned_tpu.gallery import poisson5pt
+
+    path = str(tmp_path / "device_model.json")
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", path)
+    import jax
+    kind = jax.devices()[0].device_kind
+    sentinel = 123.25
+    with open(path, "w") as f:
+        json.dump({"device_kind": kind,
+                   "constants": {"stream_gbps": sentinel,
+                                 "not_a_model_key": 1.0}}, f)
+
+    saved = dict(cost_model.DEVICE_MODEL)
+    saved_flag = cost_model._calibration_checked
+    try:
+        cost_model._calibration_checked = False
+        cost_model.predict(poisson5pt(16, 16, format="csr",
+                                      dtype=np.float32))
+        assert cost_model.DEVICE_MODEL["stream_gbps"] == sentinel
+        assert "not_a_model_key" not in cost_model.DEVICE_MODEL
+    finally:
+        cost_model.DEVICE_MODEL.clear()
+        cost_model.DEVICE_MODEL.update(saved)
+        cost_model._calibration_checked = saved_flag
+        cost_model._SLOT_NS.clear()
+
+
+def test_default_path_prefers_env(monkeypatch):
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", "/tmp/x.json")
+    assert calibrate.default_path() == "/tmp/x.json"
+    monkeypatch.delenv("CUSP_TPU_CALIBRATION")
+    monkeypatch.setenv("CUSP_TPU_TUNING_CACHE", "/tmp/cachedir/tuning.json")
+    p = calibrate.default_path("TPU v5e")
+    assert p.startswith("/tmp/cachedir/") and "TPU_v5e" in p
