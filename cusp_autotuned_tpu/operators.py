@@ -95,7 +95,8 @@ def jit_operator(op):
         jb = jax.jit(op.build)
         arrays = op.arrays
         return lambda x: jb(arrays, x)
-    if isinstance(op, (FactoredProlongator, FactoredRestriction)):
+    if isinstance(op, (FactoredProlongator, FactoredRestriction,
+                       StructuredTentative, StructuredTentativeT)):
         # the factored operators hold planned sub-operators as pytree
         # leaves; jit the APPLY with the operator as a traced argument so
         # those arrays ride as parameters, not embedded constants
@@ -161,8 +162,94 @@ class FactoredRestriction:
         return self.Ttop(r - self.scale * self.Aop(d * r))
 
 
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class StructuredTentative:
+    """Tentative prolongator over a grid-blocked aggregation, applied as
+
+        T e = w * upsample(e)
+
+    where upsample is the Kronecker expansion  U = Ey @ u @ Ex^T  with
+    tiny 0/1 replication matrices Ey (ny x nby), Ex (nx x nbx) — two
+    small MXU matmuls instead of a gather.  (A broadcast+reshape
+    upsample was measured 5x slower: the granularity-py/px lane
+    relayouts are XLU-bound, while the MXU sits idle; matmul-as-gather
+    puts the scatter structure on the systolic array.)  Requires
+    aggregates from structured_aggregate: fine row r = y*nx + x belongs
+    to coarse id (y//py)*nbx + (x//px).  The reference applies T as a
+    generic sparse matrix (cusp/precond/aggregation/detail/tentative.inl);
+    this is the structured-interpolation rail of the factored R/P
+    applies.  precision='highest' keeps the expansion exact in f32 (the
+    E matrices are exact 0/1; default-precision bf16 passes would round
+    the coarse values)."""
+    w: Any        # (ny*nx,) per-fine-row weight (T's single nnz per row)
+    Ey: Any       # (ny, nby) 0/1 row-replication matrix
+    Ex: Any       # (nx, nbx) 0/1 column-replication matrix
+    grid: Tuple[int, int] = static_field(default=(0, 0))      # ny, nx
+    block: Tuple[int, int] = static_field(default=(3, 3))     # py, px
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+    impl: str = static_field(default="structured")
+
+    format = "structured_tentative"
+
+    def __call__(self, e):
+        ny, nx = self.grid
+        nby, nbx = self.Ey.shape[1], self.Ex.shape[1]
+        if e.ndim == 1:
+            u = e.reshape(nby, nbx)
+            U = jnp.matmul(self.Ey,
+                           jnp.matmul(u, self.Ex.T, precision="highest"),
+                           precision="highest")
+            return self.w * U.reshape(ny * nx)
+        k = e.shape[1]
+        u = e.reshape(nby, nbx, k)
+        tmp = jnp.tensordot(self.Ex, u, axes=[[1], [1]],
+                            precision="highest")          # (nx, nby, k)
+        U = jnp.tensordot(self.Ey, tmp, axes=[[1], [1]],
+                          precision="highest")            # (ny, nx, k)
+        return self.w[:, None] * U.reshape(ny * nx, k)
+
+
+@register_matrix
+@dataclasses.dataclass(frozen=True)
+class StructuredTentativeT:
+    """Transpose of StructuredTentative:
+
+        T^T z = Ey^T @ ((w * z) as (ny, nx)) @ Ex
+
+    — multiply by the per-row weights, then block-sum each py x px block
+    via the same two MXU matmuls (matmul-as-scatter; see
+    StructuredTentative)."""
+    w: Any
+    Ey: Any
+    Ex: Any
+    grid: Tuple[int, int] = static_field(default=(0, 0))
+    block: Tuple[int, int] = static_field(default=(3, 3))
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+    impl: str = static_field(default="structured")
+
+    format = "structured_tentative_t"
+
+    def __call__(self, z):
+        ny, nx = self.grid
+        nby, nbx = self.Ey.shape[1], self.Ex.shape[1]
+        if z.ndim == 1:
+            Z = (self.w * z).reshape(ny, nx)
+            return jnp.matmul(self.Ey.T,
+                              jnp.matmul(Z, self.Ex, precision="highest"),
+                              precision="highest").reshape(nby * nbx)
+        k = z.shape[1]
+        Z = (self.w[:, None] * z).reshape(ny, nx, k)
+        tmp = jnp.tensordot(self.Ex, Z, axes=[[0], [1]],
+                            precision="highest")          # (nbx, ny, k)
+        u = jnp.tensordot(self.Ey, tmp, axes=[[0], [1]],
+                          precision="highest")            # (nby, nbx, k)
+        return u.reshape(nby * nbx, k)
+
+
 _OPERATOR_TYPES = (IdentityOperator, FunctionOperator, PlannedOperator,
-                   FactoredProlongator, FactoredRestriction)
+                   FactoredProlongator, FactoredRestriction,
+                   StructuredTentative, StructuredTentativeT)
 
 
 def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:

