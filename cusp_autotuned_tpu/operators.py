@@ -252,6 +252,16 @@ _OPERATOR_TYPES = (IdentityOperator, FunctionOperator, PlannedOperator,
                    StructuredTentative, StructuredTentativeT)
 
 
+def register_operator_type(cls):
+    """Add an operator class to the apply-dispatch set (ops.multiply treats
+    members as callables, not containers).  Used by modules that define
+    operators outside this file (e.g. parallel.sharded_plans)."""
+    global _OPERATOR_TYPES
+    if cls not in _OPERATOR_TYPES:
+        _OPERATOR_TYPES = _OPERATOR_TYPES + (cls,)
+    return cls
+
+
 def identity_operator(n: int = 0, dtype=None) -> IdentityOperator:
     return IdentityOperator(shape=(n, n))
 

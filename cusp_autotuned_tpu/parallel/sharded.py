@@ -192,9 +192,19 @@ def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
     row-parallel with GSPMD inserting the collectives — while smaller
     levels, the smoothers' vectors, and the coarse LU are replicated
     (coarse grids are latency-bound; replication beats sharding there).
-    Tuned planned operators (Aop/Rop/Pop) are replicated as-is: their
-    block plans are not row-partitionable."""
+
+    TUNED operators shard too (round 3 replicated them): a via_dia
+    PlannedOperator rebuilds as a row-banded ShardedPlannedOperator
+    (each device holds only its band's diagonal data —
+    parallel/sharded_plans.py), and the factored R/P applies shard their
+    structured-tentative weights and inner A operator; other planned
+    rails (scattered block plans) stay replicated."""
     import dataclasses
+    from cusp_autotuned_tpu.parallel.sharded_plans import (
+        shard_planned_dia, shard_structured_tentative, _place_vec)
+    from cusp_autotuned_tpu.operators import (
+        PlannedOperator, FactoredProlongator, FactoredRestriction,
+        StructuredTentative, StructuredTentativeT)
 
     def repl_tree(obj):
         if obj is None:
@@ -208,11 +218,49 @@ def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
             return shard_rows(op, mesh)
         return repl_tree(op)
 
-    new_levels = tuple(
-        dataclasses.replace(
+    def shard_aop(lvl):
+        op = lvl.Aop
+        from cusp_autotuned_tpu.parallel.sharded_plans import (
+            ShardedPlannedOperator)
+        if isinstance(op, ShardedPlannedOperator):   # idempotent re-entry
+            return op
+        if (isinstance(op, PlannedOperator) and op.impl == "via_dia"
+                and lvl.A.num_rows >= cutoff):
+            try:
+                from cusp_autotuned_tpu.ops.convert import convert
+                return shard_planned_dia(convert(lvl.A, "dia"), mesh)
+            except Exception:  # noqa: BLE001 — sharding is best-effort
+                return repl_tree(op)
+        return repl_tree(op)
+
+    def place_t(top):
+        if isinstance(top, (StructuredTentative, StructuredTentativeT)):
+            return shard_structured_tentative(top, mesh)
+        return repl_tree(top)
+
+    def place_rp(op, Aop_s, big):
+        if op is None:
+            return None
+        if isinstance(op, FactoredProlongator) and big:
+            return dataclasses.replace(
+                op, Top=place_t(op.Top), Aop=Aop_s,
+                dinv=_place_vec(op.dinv, mesh, "rows"),
+                scale=replicate(op.scale, mesh))
+        if isinstance(op, FactoredRestriction) and big:
+            return dataclasses.replace(
+                op, Ttop=place_t(op.Ttop), Aop=Aop_s,
+                dinv=_place_vec(op.dinv, mesh, "rows"),
+                scale=replicate(op.scale, mesh))
+        return repl_tree(op)
+
+    new_levels = []
+    for lvl in M.levels:
+        big = lvl.A.num_rows >= cutoff
+        Aop_s = shard_aop(lvl)
+        new_levels.append(dataclasses.replace(
             lvl, A=place(lvl.A), R=place(lvl.R), P=place(lvl.P),
-            smoother=repl_tree(lvl.smoother), Aop=repl_tree(lvl.Aop),
-            Rop=repl_tree(lvl.Rop), Pop=repl_tree(lvl.Pop))
-        for lvl in M.levels)
-    return dataclasses.replace(M, levels=new_levels,
+            smoother=repl_tree(lvl.smoother), Aop=Aop_s,
+            Rop=place_rp(lvl.Rop, Aop_s, big),
+            Pop=place_rp(lvl.Pop, Aop_s, big)))
+    return dataclasses.replace(M, levels=tuple(new_levels),
                                coarse=repl_tree(M.coarse))

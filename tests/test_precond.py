@@ -403,13 +403,23 @@ def test_factored_rp_tiny_magnitude_nonsymmetric_falls_back():
 def test_factored_rp_explicit_config_honored():
     # ADVICE r3 (low): with an explicit non-auto spmv_config the model
     # gate doesn't describe what would actually be built — the user's
-    # rail is honored (no factored substitution) and applies stay correct
+    # rail is honored (no factored substitution) and applies stay correct.
+    # The STRUCTURED factored form is exempt (it is model-free and
+    # supersedes any rail on grid levels), so this contract is exercised
+    # on a permuted — grid-structure-destroyed — operator.
+    import scipy.sparse as sp
     from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
     from cusp_autotuned_tpu.operators import (
         FactoredProlongator, FactoredRestriction)
-    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu.backend.reference import to_scipy, from_scipy
     from cusp_autotuned_tpu import gallery
-    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    A0 = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    S = to_scipy(A0).tocsr()
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(S.shape[0])
+    Pm = sp.csr_matrix((np.ones(S.shape[0], np.float32),
+                        (np.arange(S.shape[0]), perm)), shape=S.shape)
+    A = from_scipy((Pm @ S @ Pm.T).tocsr(), "csr")
     M = smoothed_aggregation(
         A, spmv_config={"impl": "binned", "block_entries": "auto"})
     lvl = M.levels[0]
@@ -419,6 +429,28 @@ def test_factored_rp_explicit_config_honored():
     Psp = to_scipy(lvl.P)
     e = rng.randn(lvl.P.num_cols).astype(np.float32)
     np.testing.assert_allclose(np.asarray(lvl.prolong_op(e)), Psp @ e,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_factored_rp_structured_supersedes_explicit_config():
+    # On a grid-structured level the structured factored form is used even
+    # under an explicit spmv_config: it is not a model-gated guess (the
+    # ADVICE r3 concern) and strictly dominates any scattered rail there
+    from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+    from cusp_autotuned_tpu.operators import (
+        FactoredProlongator, StructuredTentative)
+    from cusp_autotuned_tpu.backend.reference import to_scipy
+    from cusp_autotuned_tpu import gallery
+    A = gallery.poisson5pt(60, 60, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(
+        A, spmv_config={"impl": "binned", "block_entries": "auto"})
+    lvl = M.levels[0]
+    assert isinstance(lvl.Pop, FactoredProlongator)
+    assert isinstance(lvl.Pop.Top, StructuredTentative)
+    rng = np.random.RandomState(2)
+    Psp = to_scipy(lvl.P)
+    e = rng.randn(lvl.P.num_cols).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(lvl.Pop(e)), Psp @ e,
                                rtol=2e-4, atol=2e-5)
 
 

@@ -1,0 +1,111 @@
+"""Shard-partitionable planned operators (VERDICT r3 item 4): the tuned
+via_dia rail banded over an 8-device mesh — each device holds ONLY its row
+band's plan arrays — and distribute_multilevel using it for the AMG
+hierarchy's tuned path instead of replicating.
+
+No reference analog (the reference is single-GPU, SURVEY §2.6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cusp_autotuned_tpu.gallery import poisson5pt, poisson9pt
+from cusp_autotuned_tpu.ops.convert import convert
+from cusp_autotuned_tpu.parallel.sharded import (
+    make_row_mesh, distribute_multilevel)
+from cusp_autotuned_tpu.parallel.sharded_plans import (
+    shard_planned_dia, shard_structured_tentative, ShardedPlannedOperator)
+from cusp_autotuned_tpu.backend.reference import reference_spmv
+from cusp_autotuned_tpu.precond.aggregation import smoothed_aggregation
+from cusp_autotuned_tpu.operators import StructuredTentative
+from cusp_autotuned_tpu import solvers
+from cusp_autotuned_tpu.solvers.monitor import Monitor
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the 8-virtual-device conftest")
+
+
+@pytest.mark.parametrize("gen,shape", [(poisson5pt, (64, 64)),
+                                       (poisson9pt, (48, 80))])
+def test_shard_planned_dia_matches_oracle(gen, shape):
+    A = gen(*shape, format="csr", dtype=np.float32)
+    mesh = make_row_mesh()
+    op = shard_planned_dia(convert(A, "dia"), mesh)
+    x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    ref = reference_spmv(A, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5 * np.abs(ref).max())
+
+
+def test_each_device_holds_only_its_band():
+    A = poisson5pt(64, 64, format="csr", dtype=np.float32)
+    mesh = make_row_mesh()
+    op = shard_planned_dia(convert(A, "dia"), mesh)
+    leaf = op.arrays["data"]
+    nd = mesh.devices.size
+    assert leaf.shape[0] == nd
+    for s in leaf.addressable_shards:
+        assert s.data.shape[0] == 1          # one band per device
+    # the bands tile the global plan exactly
+    got = np.zeros(leaf.shape, np.dtype(leaf.dtype))
+    for s in leaf.addressable_shards:
+        got[s.index] = np.asarray(s.data)
+    np.testing.assert_array_equal(got, np.asarray(leaf))
+
+
+def test_shard_planned_dia_under_jit_as_argument():
+    """The operator is a pytree: the banded arrays ride jit as parameters
+    and the shard_map apply composes inside a jitted caller."""
+    A = poisson5pt(48, 48, format="csr", dtype=np.float32)
+    mesh = make_row_mesh()
+    op = shard_planned_dia(convert(A, "dia"), mesh)
+    x = jnp.asarray(np.linspace(0, 1, A.num_cols).astype(np.float32))
+    jf = jax.jit(lambda o, v: o(v))
+    np.testing.assert_allclose(np.asarray(jf(op, x)), np.asarray(op(x)),
+                               rtol=1e-6)
+
+
+def test_distribute_multilevel_shards_tuned_path():
+    A = poisson5pt(96, 96, format="csr", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    x1, mon1 = solvers.cg(A, b, M=M, monitor=Monitor(b, 60, 1e-6))
+    mesh = make_row_mesh()
+    Md = distribute_multilevel(M, mesh, cutoff=2048)
+    lv0 = Md.levels[0]
+    assert isinstance(lv0.Aop, ShardedPlannedOperator)
+    assert lv0.Aop.impl == "via_dia_sharded"
+    # the factored R/P share the sharded A and shard their tentative data
+    assert isinstance(lv0.Pop.Aop, ShardedPlannedOperator)
+    w = lv0.Pop.Top.w
+    assert not w.sharding.is_fully_replicated
+    x2, mon2 = solvers.cg(A, b, M=Md, monitor=Monitor(b, 60, 1e-6),
+                          mesh=mesh)
+    assert mon2.converged()
+    assert mon2.iteration_count() == mon1.iteration_count()
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_distribute_multilevel_idempotent():
+    A = poisson5pt(96, 96, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    mesh = make_row_mesh()
+    Md = distribute_multilevel(M, mesh, cutoff=2048)
+    Md2 = distribute_multilevel(Md, mesh, cutoff=2048)
+    assert Md2.levels[0].Aop is Md.levels[0].Aop
+
+
+def test_shard_structured_tentative_placement_and_result():
+    A = poisson5pt(96, 96, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={}, aggregator="structured")
+    Top = M.levels[0].Pop.Top
+    assert isinstance(Top, StructuredTentative)
+    mesh = make_row_mesh()
+    Ts = shard_structured_tentative(Top, mesh)
+    e = jnp.asarray(np.linspace(-1, 1, Top.shape[1]).astype(np.float32))
+    with mesh:
+        np.testing.assert_allclose(np.asarray(Ts(e)), np.asarray(Top(e)),
+                                   rtol=1e-6)
