@@ -30,6 +30,15 @@ def main(argv=None) -> int:
                     help="also search across formats and report the best")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line instead of the table")
+    ap.add_argument("--budget", type=float, default=None, metavar="SECONDS",
+                    help="stop the walk after this much wall time "
+                    "(TuningDuration stop condition); implies the "
+                    "model-guided order so the likely winners are "
+                    "measured before the long tail")
+    ap.add_argument("--order", choices=["deterministic", "model", "random"],
+                    default=None,
+                    help="walk order (default: model when --budget is "
+                    "set, else deterministic)")
     args = ap.parse_args(argv)
 
     from cusp_autotuned_tpu import autotune, gallery, io
@@ -75,7 +84,20 @@ def main(argv=None) -> int:
     rng = np.random.RandomState(0)
     x = rng.randn(A.num_cols).astype(dtype)
 
-    results = autotune.tune(A, x, reference_computation=reference_spmv)
+    searcher = stop = None
+    order = args.order or ("model" if args.budget else None)
+    if order == "model":
+        from cusp_autotuned_tpu.autotune.search import ModelGuidedSearcher
+        searcher = ModelGuidedSearcher(A)
+    elif order == "random":
+        from cusp_autotuned_tpu.autotune.search import RandomSearcher
+        searcher = RandomSearcher()
+    if args.budget:
+        from cusp_autotuned_tpu.autotune.search import TuningDuration
+        stop = TuningDuration(args.budget)
+
+    results = autotune.tune(A, x, reference_computation=reference_spmv,
+                            searcher=searcher, stop_condition=stop)
     best = autotune.get_tuner().best_configuration(A, x)
     rows = [{"config": r.configuration, "status": r.status.value,
              "time_ms": (round(r.duration_ms, 3)
@@ -86,6 +108,10 @@ def main(argv=None) -> int:
            "configs": len(rows),
            "ok": sum(r["status"] == "Ok" for r in rows),
            "best": best}
+    if args.budget:
+        out["budget_s"] = args.budget
+    if order:
+        out["order"] = order
     if args.choose_format:
         B, cfg = autotune.choose_format(A, x)
         out["best_format"] = B.format

@@ -65,12 +65,22 @@ def load(path: Optional[str] = None) -> Optional[Dict[str, float]]:
 
 
 def _timer():
-    """Two-point chained timing (compact port of
-    benchmarks.harness.time_fn_marginal — the relay adds a FIXED ~28 ms
-    per dispatch which differencing cancels; off-TPU a single timing is
-    already clean)."""
+    """Two-point chained timing.  Prefers benchmarks.harness's
+    time_fn_marginal (the validated methodology every archived number
+    uses — its own chain was measured to under-read pallas kernels on the
+    relay); the compact local chain is only the installed-package
+    fallback."""
     import jax
     import jax.numpy as jnp
+
+    try:
+        from benchmarks.harness import time_fn_marginal
+
+        def marginal_from_harness(fn, x, reps=None):
+            return time_fn_marginal(jax.jit(fn), x)[0]
+        return marginal_from_harness
+    except ImportError:
+        pass
 
     on_tpu = jax.default_backend() == "tpu"
 

@@ -486,9 +486,39 @@ def _plan_v2(row, col, val, shape, K, CW, Bs, RSp, lane_cap=0,
             spill, sigma)
 
 
+def _scatter_dot(oh, pr, mode):
+    """The one-hot scatter matmul at a chosen MXU precision.
+
+    'exact'  — Precision.HIGHEST (6-pass f32 emulation; bit-faithful).
+    'bf16x3' — manual 3-way bf16 operand split: the one-hot side is
+               0/1-exact in bf16, so dot(oh, hi) + dot(oh, mid) +
+               dot(oh, lo) reconstructs the f32 result to ~f32 eps at
+               HALF the MXU passes (Mosaic lowers only DEFAULT/HIGHEST —
+               no built-in 3-pass mode, so the split is spelled out).
+    'bf16'   — single-pass bf16 (rounds the products; rel err ~4e-3).
+    Measured on v5e (Economics routed tail, device-time): exact 61 us,
+    bf16x3 halves the dot share — the scatter dot dominates LOW-FILL
+    blocks where few entries amortize each (RSp, mix*Bs) matmul."""
+    if mode == "exact" or pr.dtype not in (jnp.float32, jnp.bfloat16):
+        return jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
+    ohb = oh.astype(jnp.bfloat16)
+    if pr.dtype == jnp.bfloat16 or mode == "bf16":
+        return jax.lax.dot(ohb, pr.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) \
+            .astype(jnp.float32)
+    hi = pr.astype(jnp.bfloat16)
+    r1f = pr - hi.astype(jnp.float32)
+    mid = r1f.astype(jnp.bfloat16)
+    lo = (r1f - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jax.lax.dot(ohb, hi, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(ohb, mid, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(ohb, lo, preferred_element_type=jnp.float32)
+    return acc
+
+
 def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, *rest,
                Bs, RSp, W, K=0, streamed=False, mix=1, qbits=0,
-               perm_fold=False):
+               perm_fold=False, scatter_dot="exact"):
     """v2 kernel.  Resident: x (pre-transposed to lane-major) and virtual
     y live whole in VMEM; per block a W-pass in-lane gather, one
     permutation take, and a one-hot MXU matmul scatter into the block's
@@ -580,10 +610,9 @@ def _v2_kernel(vbs, cbs, xt_ref, val_ref, chunk_ref, pq_ref, *rest,
             zero = jnp.zeros_like(pr)
             prs = jnp.concatenate(
                 [jnp.where(m, pr, zero) for m in mix_mask], axis=0)
-            upd = jax.lax.dot(mix_ohb, prs,
-                              precision=jax.lax.Precision.HIGHEST)
+            upd = _scatter_dot(mix_ohb, prs, scatter_dot)
         else:
-            upd = jax.lax.dot(oh, pr, precision=jax.lax.Precision.HIGHEST)
+            upd = _scatter_dot(oh, pr, scatter_dot)
         y_set(y_at() + upd)
 
     def wslice(w):
@@ -680,6 +709,10 @@ def build_colsort2(A, config, interpret: bool = False):
     mix = 1 if perm else int(mix_raw or 0) or 1
     if not 1 <= mix <= 8:
         raise NotImplementedException("mix_chunks must be in 1..8 or 'perm'")
+    scatter_dot = config.get("scatter_dot", 0) or "exact"
+    if scatter_dot not in ("exact", "bf16x3", "bf16"):
+        raise NotImplementedException(
+            "scatter_dot must be 'exact', 'bf16x3', or 'bf16'")
     if perm and (RSp & (RSp - 1) or Bs % RSp or RSp > 128):
         raise NotImplementedException(
             "mix_chunks='perm' needs a power-of-two vrow_span <= 128 "
@@ -763,7 +796,7 @@ def build_colsort2(A, config, interpret: bool = False):
         cbs_ = cbs_ // CW                     # x window index
     kern = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
                              streamed=streamed, mix=mix, qbits=qbits,
-                             perm_fold=perm)
+                             perm_fold=perm, scatter_dot=scatter_dot)
     entry_specs = [pl.BlockSpec((1, Bs, LANE), lambda g, *_: (g, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3
     if perm:

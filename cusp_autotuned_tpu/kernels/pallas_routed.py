@@ -505,9 +505,16 @@ def build_routed(A, config, interpret: bool = False):
             build_colsort2
         St = _sp.coo_matrix((tail[2], (tail[0], tail[1])), shape=shape)
         At = from_scipy(St.astype(dtype), "coo")
-        tail_cfg = {"vrow_planes": 1, "mix_chunks": 4}
+        # tail sub-plan config: mix_chunks is pattern-dependent (measured
+        # device-time, v5e: Economics tail best at mix2 55 us vs mix4
+        # 61; Accelerator tail best at mix4 38 vs mix2 55) — searched as
+        # the tail_mix axis rather than hardcoded
+        tail_cfg = {"vrow_planes": 1,
+                    "mix_chunks": int(config.get("tail_mix", 0)) or 4}
         if "value_dtype" in config:
             tail_cfg["value_dtype"] = config["value_dtype"]
+        if config.get("scatter_dot"):
+            tail_cfg["scatter_dot"] = config["scatter_dot"]
         if "plan_budget_bytes" in config:
             tail_cfg["plan_budget_bytes"] = config["plan_budget_bytes"]
         if "tail_hub_cap" in config:
@@ -669,5 +676,5 @@ def build_routed(A, config, interpret: bool = False):
         plan_bytes=int(plan_bytes),
         tail_stats=(None if tail_fn is None
                     else {k: v for k, v in tail_fn.plan_stats.items()
-                          if k in ("nb", "fill", "W", "Bs")}))
+                          if k in ("nb", "fill", "W", "Bs", "plan_bytes")}))
     return fn

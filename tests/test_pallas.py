@@ -615,6 +615,28 @@ def test_colsort2_mix_chunks(mix):
                   mix_chunks=mix)
 
 
+@pytest.mark.parametrize("mode", ["bf16x3", "bf16"])
+def test_colsort2_scatter_dot_modes(mode):
+    """Reduced-precision scatter dots: bf16x3 (3-way operand split,
+    ~f32-faithful — the one-hot side is 0/1-exact in bf16) and bf16
+    (single pass, coarser).  bf16x3 must hold the normal tolerance."""
+    S = _powerlaw(800, 8000, seed=6)
+    if mode == "bf16x3":
+        _check_binned(S, "build_colsort2", vrow_planes=1, mix_chunks=4,
+                      scatter_dot=mode)
+    else:
+        from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+        from cusp_autotuned_tpu.backend.reference import from_scipy
+        A = from_scipy(S.tocsr().astype(np.float32), "csr")
+        fn = build_colsort2(A, {"vrow_planes": 1, "mix_chunks": 4,
+                                "scatter_dot": mode}, interpret=True)
+        x = np.random.RandomState(0).randn(A.num_cols).astype(np.float32)
+        ref = S @ x
+        scale = max(np.abs(ref).max(), 1e-9)
+        err = np.abs(np.asarray(fn(x)) - ref).max() / scale
+        assert err < 5e-2, err   # single-pass bf16 rounds the products
+
+
 @pytest.mark.parametrize("span", [8, 32, 64])
 def test_colsort2_perm_sigma_fold(span):
     # sigma-fold scatter (mix_chunks='perm'): plan-time per-lane sublane
@@ -828,7 +850,9 @@ def test_routed_hub_rows_go_to_tail():
                                  {"vrow_planes": 2, "vrow_span": 64},
                                  {"win_group": 2},
                                  {"pack8": 1},
-                                 {"pack8": 1, "vrow_span": 128}])
+                                 {"pack8": 1, "vrow_span": 128},
+                                 {"tail_mix": 2},
+                                 {"tail_mix": 2, "vrow_span": 128}])
 def test_routed_axes(cfg):
     import scipy.sparse as sp
     rng = np.random.RandomState(5)
