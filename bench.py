@@ -281,6 +281,31 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
         out["vcycle_500sq_marg_us"] = round(tm * 1e6, 1)
         out["vcycle_rp"] = getattr(Mv.levels[0].Pop, "impl", "?")
         checkpoint()
+        # true AMG-CG per-iteration device time: rtol=atol=0 forces the
+        # jitted while_loop to run exactly `limit` iterations, so the wall
+        # difference of two limits cancels dispatch AND per-solve overhead
+        # (benchmarks/cg_probe.py methodology)
+        import time as _t
+        from cusp_autotuned_tpu import solvers as _sv
+        from cusp_autotuned_tpu.solvers.monitor import Monitor as _Mon
+        from cusp_autotuned_tpu.autotune import tuned_operator as _tod
+        opv = _tod(Av)
+        lims = (12, 252)      # 240-iter spread so the delta (~20 ms)
+        walls = []            # clears the relay's wall-clock jitter
+        for lim in lims:
+            xw, _m = _sv.cg(opv, bv, M=Mv, monitor=_Mon(bv, lim, 0.0, 0.0))
+            jax.block_until_ready(xw)   # compile once per limit
+            best = float("inf")
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                xw, _m = _sv.cg(opv, bv, M=Mv,
+                                monitor=_Mon(bv, lim, 0.0, 0.0))
+                jax.block_until_ready(xw)
+                best = min(best, _t.perf_counter() - t0)
+            walls.append(best)
+        out["amg_cg_500sq_periter_us"] = round(
+            (walls[1] - walls[0]) / (lims[1] - lims[0]) * 1e6, 1)
+        checkpoint()
     except Exception as e:  # noqa: BLE001
         out["vcycle_error"] = str(e)[:120]
 
