@@ -45,12 +45,16 @@ MAX_BLOCK_ROWS = 32768      # measured knee: larger no longer amortizes
 
 def _auto_block_rows(k, rows_padded, itemsize):
     """Largest block that keeps the double-buffered data block under ~4 MB
-    of VMEM (next to the resident x).  Measured on v5e (poisson5pt 1M rows):
-    br 4096 -> 322 GB/s useful, 8192 -> 506, 16384 -> 711, 32768 -> 822 —
-    per-block grid overhead, not HBM, binds small blocks, so default to the
-    largest budget-fitting block."""
+    of VMEM (next to the resident x) AND leaves at least ~6 grid steps.
+    Measured on v5e (poisson5pt 1M rows): br 4096 -> 322 GB/s useful,
+    8192 -> 506, 16384 -> 711, 32768 -> 822 — per-block grid overhead,
+    not HBM, binds small blocks, so default to the largest budget-fitting
+    block at scale.  SMALL matrices invert the rule: one or two grid
+    steps leave the Pallas pipeline nothing to double-buffer (FEM/Harbor
+    12k rows: br 8192 -> 10.4 us device, br 2048 -> 7.9 — the round-3
+    'mid-fill DIA slack' was this, not fill)."""
     br = MIN_BLOCK_ROWS
-    while (br < MAX_BLOCK_ROWS and br < rows_padded
+    while (br < MAX_BLOCK_ROWS and (2 * br) * 5 <= rows_padded
            and k * (2 * br) * itemsize * 2 <= (4 << 20)):
         br *= 2
     return br
