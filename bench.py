@@ -290,21 +290,20 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
         from cusp_autotuned_tpu.solvers.monitor import Monitor as _Mon
         from cusp_autotuned_tpu.autotune import tuned_operator as _tod
         opv = _tod(Av)
-        lims = (12, 252)      # 240-iter spread so the delta (~20 ms)
-        walls = []            # clears the relay's wall-clock jitter
+        lims = (12, 252)
+        devs = []
+        from benchmarks.traffic_audit import device_us_per_call
         for lim in lims:
-            xw, _m = _sv.cg(opv, bv, M=Mv, monitor=_Mon(bv, lim, 0.0, 0.0))
-            jax.block_until_ready(xw)   # compile once per limit
-            best = float("inf")
-            for _ in range(3):
-                t0 = _t.perf_counter()
-                xw, _m = _sv.cg(opv, bv, M=Mv,
-                                monitor=_Mon(bv, lim, 0.0, 0.0))
-                jax.block_until_ready(xw)
-                best = min(best, _t.perf_counter() - t0)
-            walls.append(best)
-        out["amg_cg_500sq_periter_us"] = round(
-            (walls[1] - walls[0]) / (lims[1] - lims[0]) * 1e6, 1)
+            devs.append(device_us_per_call(
+                lambda v, _l=lim: _sv.cg(
+                    opv, v, M=Mv, monitor=_Mon(bv, _l, 0.0, 0.0))[0],
+                bv, reps=4, span_name="_cg_loop"))
+        if devs[0] and devs[1]:
+            # profiler device_duration spans: measured ON-DEVICE time of
+            # the forced-iteration solves — immune to the relay's wall
+            # jitter that made a wall-difference version read negative
+            out["amg_cg_500sq_periter_us"] = round(
+                (devs[1] - devs[0]) / (lims[1] - lims[0]), 1)
         checkpoint()
     except Exception as e:  # noqa: BLE001
         out["vcycle_error"] = str(e)[:120]

@@ -37,14 +37,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.harness import time_fn_marginal           # noqa: E402
 
 
-def device_us_per_call(fn, x, reps: int = 8):
+def device_us_per_call(fn, x, reps: int = 8, span_name: str = None):
     """Median measured device time (us) of one fn(x) dispatch, from a
-    jax.profiler trace's top-level executable events."""
+    jax.profiler trace's top-level executable events.
 
-    def audited_kernel_fn(v):             # names the trace spans
-        return fn(v)
+    span_name: substring of the executable span to select.  Default wraps
+    fn in a named jit; pass an inner jit's name (e.g. '_cg_loop') when fn
+    cannot be traced whole (host-side monitor plumbing)."""
 
-    jfn = jax.jit(audited_kernel_fn)
+    if span_name is None:
+        def audited_kernel_fn(v):         # names the trace spans
+            return fn(v)
+        jfn = jax.jit(audited_kernel_fn)
+        span_name = "audited_kernel_fn"
+    else:
+        jfn = fn
     jax.block_until_ready(jfn(x))         # compile outside the trace
     with tempfile.TemporaryDirectory() as td:
         with jax.profiler.trace(td):
@@ -66,7 +73,7 @@ def device_us_per_call(fn, x, reps: int = 8):
              if e.get("ph") == "X" and e.get("pid") in dev_pids
              and "device_duration_ps" in e.get("args", {})
              and "hlo_category" not in e.get("args", {})
-             and "audited_kernel_fn" in str(e.get("name", ""))]
+             and span_name in str(e.get("name", ""))]
     if not spans:
         return None
     spans.sort()

@@ -137,6 +137,7 @@ def _scattered_ops_per_entry(row, col, m, n, nnz) -> float:
     rows64 = row[~is_hub].astype(np.int64)
     cols64 = col[~is_hub].astype(np.int64)
     best = DEVICE_MODEL["tail_ops_per_entry"]
+    best_c = 1
     for wr in (1, 2, 4, 8):
         win_cols = wr * LANE * LANE  # WIN = 128*128 source columns/window
         n_wg = max(1, -(-n // win_cols))
@@ -157,10 +158,11 @@ def _scattered_ops_per_entry(row, col, m, n, nnz) -> float:
             np.maximum.at(visits, pidx, need)
             slots = int(visits.sum()) * LANE * c
             ops = (wr + 2) * slots / nnz_main
-            best = min(best, ops)
+            if ops < best:
+                best, best_c = ops, c
     ops = (best * nnz_main
            + DEVICE_MODEL["tail_ops_per_entry"] * (nnz - nnz_main)) / nnz
-    return float(ops), tail_frac
+    return float(ops), tail_frac, LANE // best_c
 
 
 def predict(A, x=None, device: Optional[Dict[str, float]] = None,
@@ -248,11 +250,17 @@ def predict(A, x=None, device: Optional[Dict[str, float]] = None,
                 "ops_per_entry": 3.0, "tail_frac": 0.0, "bound": True,
             }
             return out
-        ops, tail_frac = _scattered_ops_per_entry(row, col, m, n, nnz)
+        ops, tail_frac, rsp = _scattered_ops_per_entry(row, col, m, n,
+                                                       nnz)
         # routed's planner rejects plans whose Poisson/hub tail dominates
         # (>50% would cascade into near-empty blocks); recommend the
-        # colsort2 hub rail there, exactly where the on-chip sweep lands
-        cfg = ({"impl": "routed"} if tail_frac <= 0.5 else
+        # colsort2 hub rail there, exactly where the on-chip sweep lands.
+        # The per-row capacity the histogram chose maps to vrow_span
+        # (c = 128/RSp at K=1): the Economics/Accelerator walks both land
+        # vrow_span=128, which the capacity sweep predicts host-side —
+        # attach it so the zero-compile pick matches the walked winner
+        cfg = ({"impl": "routed", "vrow_span": int(rsp)}
+               if tail_frac <= 0.5 else
                {"impl": "colsort2", "vrow_planes": 1, "mix_chunks": 8,
                 "hub_cap": 8})
         out["scattered"] = {
