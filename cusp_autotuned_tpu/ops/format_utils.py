@@ -35,6 +35,28 @@ def indices_to_offsets(indices: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     return jnp.cumsum(counts).astype(jnp.int32)
 
 
+def diagonal_host(A):
+    """Main diagonal as a HOST numpy vector, or None when A is traced.
+    Setup-time consumers (jacobi/diagonal preconditioners, smoother
+    factories) should do their arithmetic on this and upload ONCE —
+    eager jnp elementwise ops on a relayed TPU cost one XLA compile
+    request each per distinct shape (measured: 4 compiles ~2 s per AMG
+    level in the jacobi build)."""
+    import jax
+
+    if any(isinstance(leaf, jax.core.Tracer)
+           for leaf in jax.tree_util.tree_leaves(A)):
+        return None
+    from cusp_autotuned_tpu.ops.convert import _coo_arrays
+    m, n = A.shape
+    k = min(m, n)
+    row, col, val, _ = _coo_arrays(A)
+    on = row == col
+    d = np.zeros(k, np.asarray(val).dtype)
+    d[row[on]] = val[on]
+    return d
+
+
 def extract_diagonal(A) -> jnp.ndarray:
     """Main diagonal of A as a dense vector of length min(m, n).
 
@@ -47,13 +69,8 @@ def extract_diagonal(A) -> jnp.ndarray:
 
     m, n = A.shape
     k = min(m, n)
-    if not any(isinstance(leaf, jax.core.Tracer)
-               for leaf in jax.tree_util.tree_leaves(A)):
-        from cusp_autotuned_tpu.ops.convert import _coo_arrays
-        row, col, val, _ = _coo_arrays(A)
-        on = row == col
-        d = np.zeros(k, np.asarray(val).dtype)
-        d[row[on]] = val[on]
+    d = diagonal_host(A)
+    if d is not None:
         return jnp.asarray(d, dtype=A.dtype)
     if isinstance(A, F.DIA):
         offsets = np.asarray(A.offsets)

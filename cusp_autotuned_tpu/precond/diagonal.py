@@ -25,6 +25,16 @@ class DiagonalPreconditioner(MatrixBase):
 
 
 def diagonal(A) -> DiagonalPreconditioner:
+    from cusp_autotuned_tpu.ops.format_utils import diagonal_host
+    import numpy as np
+    dh = diagonal_host(A)
+    if dh is not None:
+        # host arithmetic + one upload (each eager jnp elementwise op is
+        # an XLA compile request per shape on a relayed TPU)
+        dinv = np.where(dh != 0, 1.0 / np.where(dh != 0, dh, 1), 0)
+        return DiagonalPreconditioner(
+            diag_inv=jnp.asarray(dinv.astype(np.dtype(A.dtype))),
+            shape=A.shape)
     d = extract_diagonal(A)
     return DiagonalPreconditioner(
         diag_inv=jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0),

@@ -30,6 +30,18 @@ class Jacobi(MatrixBase):
 
 
 def jacobi(A, omega: float = 1.0) -> Jacobi:
+    from cusp_autotuned_tpu.ops.format_utils import diagonal_host
+    import numpy as np
+    dh = diagonal_host(A)
+    if dh is not None:
+        # host arithmetic + ONE upload: the eager jnp spelling costs four
+        # XLA compile requests per level shape on a relayed TPU
+        # (~1.3-2 s each AMG level, measured)
+        dinv = np.where(dh != 0, 1.0 / np.where(dh != 0, dh, 1), 0)
+        dt = np.dtype(A.dtype)
+        return Jacobi(diag_inv=jnp.asarray(dinv.astype(dt)),
+                      default_omega=jnp.asarray(np.asarray(omega, dt)),
+                      shape=A.shape)
     d = extract_diagonal(A)
     return Jacobi(diag_inv=jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0),
                   default_omega=jnp.asarray(omega, d.dtype),
