@@ -72,9 +72,15 @@ def dia_matrix(offsets, data, shape, *, nnz=None, dtype=None) -> DIA:
     data = np.where(valid, data, 0)
     if nnz is None:
         nnz = int(np.count_nonzero(valid))
-    return DIA(
+    D = DIA(
         data=jnp.asarray(data),
         offsets=tuple(int(o) for o in offsets),
         shape=(m, n),
         nnz=int(nnz),
     )
+    # host mirror of the diagonal data: kernel builders prep their blocks
+    # from it with ONE upload instead of eager device pad/reshape ops
+    # (compile requests) or a device->host pull (relay transfer) — same
+    # rationale as the _host_coo mirror in ops.convert
+    object.__setattr__(D, "_host_data", data)
+    return D

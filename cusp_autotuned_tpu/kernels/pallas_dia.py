@@ -60,6 +60,30 @@ def _auto_block_rows(k, rows_padded, itemsize):
     return br
 
 
+def _prep_data3(data, k, mp, rows_sub, store):
+    """(k, mp) diagonal data -> (k, rows_sub, 128) blocks in the storage
+    dtype.  SMALL concrete data preps on the HOST with one upload — the
+    eager jnp pad/reshape/astype spelling is three XLA compile requests
+    per level shape on a relayed TPU (~1 s per AMG level).  LARGE
+    device-resident data keeps the device spelling: pulling it back and
+    re-uploading costs two whole-array transfers through the
+    burst-throttled relay (measured 80 s for a 20 MB fine level)."""
+    import jax
+
+    # host path ONLY for data already on the host: pulling a device
+    # array back costs a whole-array transfer through the erratic
+    # burst-throttled relay (measured 8-80 s for 1-20 MB on bad windows)
+    host_ok = isinstance(data, np.ndarray)
+    if host_ok:
+        dn = np.asarray(data)
+        if dn.shape[1] != mp:
+            dn = np.pad(dn, ((0, 0), (0, mp - dn.shape[1])))
+        return jnp.asarray(dn.reshape(k, rows_sub, LANE).astype(store))
+    if data.shape[1] != mp:
+        data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
+    return data.reshape(k, rows_sub, LANE).astype(store)
+
+
 def build_dia(A, config, interpret: bool = False):
     from cusp_autotuned_tpu.kernels.pallas_binned import _reject_x64
     from cusp_autotuned_tpu.utils.config import plan_value_dtype
@@ -85,10 +109,9 @@ def build_dia(A, config, interpret: bool = False):
         return _build_dia_streamed(A, block_rows, interpret, store, config)
 
     grid = mp // block_rows
-    data = A.data
-    if data.shape[1] != mp:
-        data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
-    data3 = data.reshape(k, rows_sub, LANE).astype(store)
+    data_src = getattr(A, "_host_data", None)
+    data3 = _prep_data3(A.data if data_src is None else data_src,
+                        k, mp, rows_sub, store)
 
     kernel = functools.partial(_dia_kernel, offsets=offsets, left=left,
                                sub_block=sub_block)
@@ -162,10 +185,9 @@ def _build_dia_streamed(A, block_rows, interpret, store=None, config=None):
     rows_sub = mp // LANE
     sub_block = block_rows // LANE
     grid = mp // block_rows
-    data = A.data
-    if data.shape[1] != mp:
-        data = jnp.pad(data, ((0, 0), (0, mp - data.shape[1])))
-    data3 = data.reshape(k, rows_sub, LANE).astype(store)
+    data_src = getattr(A, "_host_data", None)
+    data3 = _prep_data3(A.data if data_src is None else data_src,
+                        k, mp, rows_sub, store)
     x_rows_total = (grid + 2) * sub_block
 
     kernel = functools.partial(_dia_streamed_kernel, offsets=offsets,
