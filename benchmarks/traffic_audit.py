@@ -37,6 +37,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.harness import time_fn_marginal           # noqa: E402
 
 
+def _capture_trace(jfn, x, reps):
+    """Run reps chained jfn dispatches under a jax.profiler trace and
+    return (trace_events, device_pids), or (None, None) when no trace
+    file appeared.  Single source for the capture/parse plumbing shared
+    by device_us_per_call and hlo_breakdown."""
+    jax.block_until_ready(jfn(x))         # compile outside the trace
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            y = x
+            for _ in range(reps):
+                y = jfn(y * 1.0)          # fresh input defeats caching
+            jax.block_until_ready(y)
+        files = sorted(glob.glob(os.path.join(
+            td, "plugins/profile/*/*.trace.json.gz")))
+        if not files:
+            return None, None
+        trace = json.loads(gzip.open(files[-1]).read())
+    evs = trace.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    return evs, dev_pids
+
+
 def device_us_per_call(fn, x, reps: int = 8, span_name: str = None):
     """Median measured device time (us) of one fn(x) dispatch, from a
     jax.profiler trace's top-level executable events.
@@ -52,24 +76,12 @@ def device_us_per_call(fn, x, reps: int = 8, span_name: str = None):
         span_name = "audited_kernel_fn"
     else:
         jfn = fn
-    jax.block_until_ready(jfn(x))         # compile outside the trace
-    with tempfile.TemporaryDirectory() as td:
-        with jax.profiler.trace(td):
-            y = x
-            for _ in range(reps):
-                y = jfn(y * 1.0)          # fresh input defeats caching
-            jax.block_until_ready(y)
-        files = sorted(glob.glob(os.path.join(
-            td, "plugins/profile/*/*.trace.json.gz")))
-        if not files:
-            return None
-        trace = json.loads(gzip.open(files[-1]).read())
-    dev_pids = {e["pid"] for e in trace.get("traceEvents", [])
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
-    # tid 2 carries whole-executable spans ("jit_<name>(...)"); per-HLO
-    # events live on other tids with hlo_category args
-    spans = [e["dur"] for e in trace.get("traceEvents", [])
+    evs, dev_pids = _capture_trace(jfn, x, reps)
+    if evs is None:
+        return None
+    # executable spans carry device_duration_ps without an hlo_category;
+    # per-HLO events live on other tids with hlo_category args
+    spans = [e["dur"] for e in evs
              if e.get("ph") == "X" and e.get("pid") in dev_pids
              and "device_duration_ps" in e.get("args", {})
              and "hlo_category" not in e.get("args", {})
@@ -84,23 +96,11 @@ def hlo_breakdown(fn, x, reps: int = 6, top: int = 12):
     """Per-HLO device-time breakdown of one dispatch: [(name, us/call,
     bytes_accessed, GB/s)] sorted by time.  Names where a kernel's time
     goes (e.g. routed main pallas vs its colsort2 tail vs the fold)."""
-    jax.block_until_ready(fn(x))
-    with tempfile.TemporaryDirectory() as td:
-        with jax.profiler.trace(td):
-            y = x
-            for _ in range(reps):
-                y = fn(y * 1.0)
-            jax.block_until_ready(y)
-        files = sorted(glob.glob(os.path.join(
-            td, "plugins/profile/*/*.trace.json.gz")))
-        if not files:
-            return []
-        trace = json.loads(gzip.open(files[-1]).read())
-    dev_pids = {e["pid"] for e in trace.get("traceEvents", [])
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    evs, dev_pids = _capture_trace(fn, x, reps)
+    if evs is None:
+        return []
     agg = {}
-    for e in trace.get("traceEvents", []):
+    for e in evs:
         a = e.get("args", {})
         if (e.get("ph") != "X" or e.get("pid") not in dev_pids
                 or "hlo_category" not in a):

@@ -189,7 +189,9 @@ def calibrate(persist: bool = True, path: Optional[str] = None,
     kind = jax.devices()[0].device_kind
     if persist:
         p = path or default_path(kind)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
+        d = os.path.dirname(p)
+        if d:   # bare filename = current directory, nothing to create
+            os.makedirs(d, exist_ok=True)
         with open(p, "w") as f:
             json.dump({"device_kind": kind, "constants": consts,
                        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S")},

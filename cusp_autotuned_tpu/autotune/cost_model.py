@@ -133,7 +133,8 @@ def _scattered_ops_per_entry(row, col, m, n, nnz) -> float:
     tail_frac = float(is_hub.mean()) if nnz else 0.0
     nnz_main = int(nnz - is_hub.sum())
     if nnz_main == 0:
-        return float(DEVICE_MODEL["tail_ops_per_entry"]), 1.0
+        # all-hub pattern: everything rides the tail rail, capacity moot
+        return float(DEVICE_MODEL["tail_ops_per_entry"]), 1.0, LANE
     rows64 = row[~is_hub].astype(np.int64)
     cols64 = col[~is_hub].astype(np.int64)
     best = DEVICE_MODEL["tail_ops_per_entry"]

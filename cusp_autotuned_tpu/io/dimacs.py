@@ -37,13 +37,15 @@ def read_dimacs_stream(stream, format: str = "coo", dtype=np.float32,
                 raise IOException(f"malformed problem line: {line!r}")
             n = int(parts[2])
         elif line.startswith("n"):
+            # max-flow terminal descriptors 'n <vertex> s|t' set the
+            # source/sink; other variants' node lines (assignment /
+            # shortest-path 'n <vertex>' forms) pass through untouched
             parts = line.split()
-            if len(parts) < 3 or parts[2][0] not in "st":
-                raise IOException("unexpected terminal vertex specified")
-            if parts[2][0] == "s":
-                src = int(parts[1]) - 1
-            else:
-                snk = int(parts[1]) - 1
+            if len(parts) >= 3 and parts[2][:1] in ("s", "t"):
+                if parts[2][0] == "s":
+                    src = int(parts[1]) - 1
+                else:
+                    snk = int(parts[1]) - 1
         elif line.startswith("a"):
             _, u, v, *w = line.split()
             u, v = int(u), int(v)

@@ -228,7 +228,14 @@ def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
                 and lvl.A.num_rows >= cutoff):
             try:
                 from cusp_autotuned_tpu.ops.convert import convert
-                return shard_planned_dia(convert(lvl.A, "dia"), mesh)
+                # carry the tuned storage dtype over: a via_dia-bf16 plan
+                # must not silently revert to f32 data when banded
+                cfg = {}
+                d = op.arrays.get("data")
+                if d is not None and d.dtype == jnp.bfloat16:
+                    cfg["value_dtype"] = "bfloat16"
+                return shard_planned_dia(convert(lvl.A, "dia"), mesh,
+                                         config=cfg)
             except Exception:  # noqa: BLE001 — sharding is best-effort
                 return repl_tree(op)
         return repl_tree(op)

@@ -59,9 +59,17 @@ class ShardedPlannedOperator:
     format = "sharded_planned_operator"
 
     def __call__(self, x):
+        if x.ndim == 2:
+            # block vectors (lobpcg, cg_m, factored AMG on multi-rhs):
+            # column-at-a-time through the banded kernel — k is small in
+            # every such caller, and the replicated-x shard_map apply
+            # composes per column without new machinery
+            cols = [self(x[:, j]) for j in range(x.shape[1])]
+            import jax.numpy as _jnp
+            return _jnp.stack(cols, axis=1)
         if x.ndim != 1:
             raise NotImplementedException(
-                "sharded planned operators take 1-D x")
+                "sharded planned operators take 1-D/2-D x")
         specs = jax.tree_util.tree_map(lambda _: P(self.axis), self.arrays)
         # check_vma=False: pallas_call inside the body can't declare its
         # output's mesh-variance, and the specs above pin it explicitly

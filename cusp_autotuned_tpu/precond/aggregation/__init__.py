@@ -268,10 +268,12 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
     aggregate = mis_aggregate if aggregator == "mis" else standard_aggregate
     # structured aggregation skips the strength graph by design (whole
     # py x px blocks); on anisotropic operators the user's evolution
-    # strength must keep steering aggregation, so 'auto' only engages the
-    # structured rail under symmetric strength
+    # strength — or a nonzero theta threshold — must keep steering
+    # aggregation, so 'auto' only engages the structured rail under the
+    # default untresholded symmetric strength
     want_structured = (aggregator == "structured"
-                       or (aggregator == "auto" and strength == "symmetric"))
+                       or (aggregator == "auto" and strength == "symmetric"
+                           and theta == 0.0))
 
     sa = SALevel(A=A.asformat("csr"))
     # the candidate vector is setup-time host data (strength / tentative
@@ -287,12 +289,6 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         rho = rho_Dinv_A(sa.A)
         sa.rho_DinvA = rho
         mark("rho_DinvA")
-        if strength == "evolution":
-            C = evolution_strength_of_connection(sa.A, sa.B, rho_DinvA=rho,
-                                                 epsilon=epsilon)
-        else:
-            C = symmetric_strength_of_connection(sa.A, theta)
-        mark("strength")
         structured = None
         if want_structured:
             grid = detect_grid(sa.A)
@@ -305,6 +301,15 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
                     "aggregator='structured' but no raster grid structure "
                     "detected in this level's operator")
         if structured is None:
+            # the strength graph is only consumed by the graph-based
+            # aggregators — skip the (host sparse op per level) build on
+            # the structured path
+            if strength == "evolution":
+                C = evolution_strength_of_connection(
+                    sa.A, sa.B, rho_DinvA=rho, epsilon=epsilon)
+            else:
+                C = symmetric_strength_of_connection(sa.A, theta)
+            mark("strength")
             sa.aggregates, sa.roots = aggregate(C)
         mark("aggregate")
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)

@@ -106,6 +106,20 @@ def detect_grid(A, max_radius: int = 3):
     dx = offs - dy * nx
     if (np.abs(dy) > max_radius).any() or (np.abs(dx) > max_radius).any():
         return None
+    # row-boundary validation: on a true ny x nx raster grid an entry at
+    # offset dy*nx + dx connects (y, x) -> (y+dy, x+dx), so x+dx must
+    # stay inside [0, nx) for EVERY entry.  A 1-D multi-band chain (e.g.
+    # offsets {-4,-1,0,1,4}) decomposes arithmetically but has +1 entries
+    # at x == nx-1 — this check rejects it (found by review; 'auto' is
+    # the default aggregator, so misdetection silently changes AMG)
+    e_dy = np.rint(off / nx).astype(np.int64)
+    e_dx = off - e_dy * nx
+    x = S.row.astype(np.int64) % nx
+    y = S.row.astype(np.int64) // nx
+    ok = ((x + e_dx >= 0) & (x + e_dx < nx)
+          & (y + e_dy >= 0) & (y + e_dy < ny))
+    if not ok.all():
+        return None
     return ny, nx
 
 

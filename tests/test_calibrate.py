@@ -76,3 +76,12 @@ def test_default_path_prefers_env(monkeypatch):
     monkeypatch.setenv("CUSP_TPU_TUNING_CACHE", "/tmp/cachedir/tuning.json")
     p = calibrate.default_path("TPU v5e")
     assert p.startswith("/tmp/cachedir/") and "TPU_v5e" in p
+
+
+def test_calibrate_persists_to_bare_filename(tmp_path, monkeypatch):
+    """CUSP_TPU_CALIBRATION set to a bare filename writes to the CWD
+    instead of crashing in os.makedirs('') (review finding)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", "model.json")
+    calibrate.calibrate(persist=True, apply=False)
+    assert (tmp_path / "model.json").exists()

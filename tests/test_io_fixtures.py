@@ -142,3 +142,14 @@ def test_mtx_writer_roundtrip_via_scipy_on_fixture():
     got = sio.mmread(out)
     got = got.toarray() if sp.issparse(got) else np.asarray(got)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_dimacs_plain_node_lines_are_ignored():
+    """Non-max-flow DIMACS variants carry 'n <vertex>' node lines without
+    an s/t flag; the reader must skip them, not raise (review finding)."""
+    import io as _io
+    txt = "p asn 4 2\nn 1\nn 2\na 1 2 1.0\na 3 4 2.0\n"
+    A, (s, t) = ct_io.read_dimacs_stream(_io.StringIO(txt),
+                                         return_terminals=True)
+    assert (s, t) == (-1, -1)
+    assert A.num_rows == 4 and A.nnz == 2

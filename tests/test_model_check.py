@@ -49,3 +49,21 @@ def test_scattered_bound_short_circuit():
     E = from_scipy(S, "csr", dtype=np.float32)
     pe = predict(E)
     assert "us" in pe["scattered"] and not pe["scattered"].get("bound")
+
+
+def test_cost_model_all_hub_rows_no_crash():
+    """A pattern whose every nonzero sits in a few dense rows makes
+    nnz_main == 0 in the scattered histogram; predict() must survive the
+    early exit (review finding: the 2-tuple return crashed the 3-value
+    unpack, killing model guidance for such matrices)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    from cusp_autotuned_tpu.autotune.cost_model import recommend_config
+    rng = np.random.RandomState(0)
+    rows = np.repeat(np.arange(10), 500)
+    cols = rng.randint(0, 10000, rows.size)
+    S = sp.coo_matrix((np.ones(rows.size, np.float32), (rows, cols)),
+                      shape=(10000, 10000)).tocsr()
+    cfg, est = recommend_config(from_scipy(S, "csr"))
+    assert est > 0 and "impl" in cfg

@@ -109,3 +109,35 @@ def test_shard_structured_tentative_placement_and_result():
     with mesh:
         np.testing.assert_allclose(np.asarray(Ts(e)), np.asarray(Top(e)),
                                    rtol=1e-6)
+
+
+def test_sharded_planned_dia_block_vectors():
+    """2-D x (lobpcg / cg_m / factored AMG multi-rhs) applies column-wise
+    — a regression from round 3's replicated operators that supported it
+    (review finding)."""
+    A = poisson5pt(48, 48, format="csr", dtype=np.float32)
+    mesh = make_row_mesh()
+    op = shard_planned_dia(convert(A, "dia"), mesh)
+    X = np.random.RandomState(0).randn(A.num_cols, 3).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(X)))
+    for j in range(3):
+        np.testing.assert_allclose(got[:, j], reference_spmv(A, X[:, j]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_shard_aop_carries_bf16_storage():
+    """A via_dia plan tuned to bfloat16 storage must keep bf16 data when
+    banded over the mesh (review finding: config was dropped)."""
+    import dataclasses as _dc
+    from cusp_autotuned_tpu.operators import planned_operator
+    A = poisson5pt(96, 96, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={})
+    lv = M.levels[0]
+    op_b = planned_operator(A, {"impl": "via_dia", "dia_impl": "pallas",
+                                "value_dtype": "bfloat16"})
+    lvl_b = _dc.replace(lv, Aop=op_b)
+    M_b = _dc.replace(M, levels=(lvl_b,) + M.levels[1:])
+    mesh = make_row_mesh()
+    Md = distribute_multilevel(M_b, mesh, cutoff=2048)
+    assert isinstance(Md.levels[0].Aop, ShardedPlannedOperator)
+    assert Md.levels[0].Aop.arrays["data"].dtype == jnp.bfloat16

@@ -140,3 +140,24 @@ def test_jit_operator_handles_structured_types():
     e = np.linspace(-1, 1, Top.shape[1]).astype(np.float32)
     np.testing.assert_allclose(np.asarray(jf(e)), np.asarray(Top(e)),
                                rtol=1e-6)
+
+
+def test_detect_grid_rejects_1d_multiband_chain():
+    """A 1-D chain with offsets {-4,-1,0,1,4} decomposes arithmetically
+    as a (n/4, 4) grid but has +1 entries crossing the claimed row
+    boundary — the per-entry boundary validation must reject it
+    (review finding: 'auto' is the default, so misdetection silently
+    changes aggregation)."""
+    n = 400
+    T = sp.diags([1.0, 1.0, -4.0, 1.0, 1.0], [-4, -1, 0, 1, 4],
+                 shape=(n, n), format="csr", dtype=np.float32)
+    assert detect_grid(from_scipy(T.tocsr(), "csr")) is None
+
+
+def test_auto_respects_theta_threshold():
+    """A nonzero theta means the user wants strength-thresholded
+    aggregation; 'auto' must not override it with geometric blocks."""
+    A = poisson5pt(40, 40, format="csr", dtype=np.float32)
+    M = smoothed_aggregation(A, spmv_config={}, theta=0.25)
+    assert not isinstance(getattr(M.levels[0].Pop, "Top", None),
+                          StructuredTentative)
