@@ -54,6 +54,21 @@ def main():
     print(f"AMG-preconditioned cg(mesh=): converged={mon6.converged()} in "
           f"{mon6.iteration_count()} iterations")
 
+    # TUNED operators shard too: a planned hierarchy's via_dia plans band
+    # over the mesh (each device holds only its row band's diagonal data)
+    # and the factored R/P shard their structured-tentative weights
+    from cusp_autotuned_tpu.parallel.sharded import distribute_multilevel
+    A2 = gallery.poisson5pt(64, 64, format="csr", dtype=np.float32)
+    b2 = np.ones(A2.num_rows, np.float32)
+    Mp = smoothed_aggregation(A2, spmv_config={}, min_level_size=400)
+    Mpd = distribute_multilevel(Mp, mesh, cutoff=2048)
+    x7, mon7 = solvers.cg(A2, b2, M=Mpd, monitor=Monitor(b2, 100, 1e-8),
+                          mesh=mesh)
+    lv0 = Mpd.levels[0]
+    print(f"sharded-plan AMG-CG: converged={mon7.converged()} in "
+          f"{mon7.iteration_count()} iterations "
+          f"(fine Aop = {getattr(lv0.Aop, 'impl', '?')})")
+
 
 if __name__ == "__main__":
     main()
