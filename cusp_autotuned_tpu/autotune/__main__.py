@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                     default=None,
                     help="walk order (default: model when --budget is "
                     "set, else deterministic)")
+    ap.add_argument("--channel", choices=["auto", "device", "wall"],
+                    default="auto",
+                    help="timing channel for ranking: profiler device "
+                    "time (relay-noise immune; 'auto' uses it on TPU) or "
+                    "the marginal wall channel")
     args = ap.parse_args(argv)
 
     from cusp_autotuned_tpu import autotune, gallery, io
@@ -54,6 +59,7 @@ def main(argv=None) -> int:
     tuner = autotune.get_tuner()
     if tuner.log_fn is None:
         tuner.log_fn = lambda m: print(m, file=sys.stderr, flush=True)
+    tuner.timing_channel = args.channel
 
     dtype = np.dtype(args.dtype)
     if args.matrix.startswith("poisson5pt:"):
@@ -101,17 +107,50 @@ def main(argv=None) -> int:
     best = autotune.get_tuner().best_configuration(A, x)
     rows = [{"config": r.configuration, "status": r.status.value,
              "time_ms": (round(r.duration_ms, 3)
-                         if np.isfinite(r.duration_ms) else None)}
+                         if np.isfinite(r.duration_ms) else None),
+             **({"device_us": round(r.device_us, 1)}
+                if r.device_us is not None else {})}
             for r in results]
     out = {"matrix": args.matrix, "format": A.format,
            "shape": [A.num_rows, A.num_cols], "nnz": int(A.nnz),
            "configs": len(rows),
            "ok": sum(r["status"] == "Ok" for r in rows),
+           "channel": ("device" if any("device_us" in r for r in rows)
+                       else "wall"),
            "best": best}
     if args.budget:
         out["budget_s"] = args.budget
     if order:
         out["order"] = order
+    # self-describing truncation (no silent caps): when a budget stopped
+    # the walk early, record how much of the space went unwalked and what
+    # the model predicts for the best unwalked configuration relative to
+    # the walked region — a reader of the artifact alone can tell whether
+    # the unwalked tail plausibly hides a winner
+    from cusp_autotuned_tpu.autotune.space import (
+        configurations_for, config_key)
+    space = configurations_for(A)
+    out["space_size"] = len(space)
+    if len(rows) < len(space):
+        walked = {config_key(r.configuration) for r in results}
+        unwalked = [c for c in space if config_key(c) not in walked]
+        note = {"unwalked": len(unwalked)}
+        try:
+            from cusp_autotuned_tpu.autotune.cost_model import (
+                model_order_key)
+            key = model_order_key(A)
+            best_un = min(unwalked, key=key)
+            walked_best_pred = min(key(r.configuration) for r in results
+                                   if r.status.value == "Ok")
+            note.update(
+                model_best_unwalked=best_un,
+                model_best_unwalked_us=round(key(best_un), 1),
+                model_best_walked_us=round(walked_best_pred, 1),
+                unwalked_predicted_worse=bool(
+                    key(best_un) >= walked_best_pred))
+        except Exception:  # noqa: BLE001 — the model is best-effort
+            pass
+        out["coverage"] = note
     if args.choose_format:
         B, cfg = autotune.choose_format(A, x)
         out["best_format"] = B.format

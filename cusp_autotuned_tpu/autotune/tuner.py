@@ -29,6 +29,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cusp_autotuned_tpu.autotune.result import ResultStatus, TuningResult
@@ -117,7 +118,8 @@ class Tuner:
     def __init__(self, cache_path: Optional[str] = None,
                  warmup: int = 2, repeats: int = 5,
                  log_fn: Optional[Callable[[str], None]] = None,
-                 measure: bool = True):
+                 measure: bool = True,
+                 timing_channel: str = "auto"):
         self.cache_path = cache_path
         self.warmup = warmup
         self.repeats = repeats
@@ -125,6 +127,15 @@ class Tuner:
         # tests) record the single validated execution's wall time instead
         # of running the warmup+repeat measurement loop per configuration
         self.measure = measure
+        # timing_channel: 'auto' (profiler device time on TPU, wall
+        # elsewhere), 'device' (require the profiler channel), or 'wall'.
+        # The device channel is jax.profiler per-dispatch
+        # device_duration_ps — immune to the relay's ±25 µs host noise
+        # that the wall marginal carries (VERDICT r4 item 4; reference
+        # analog: per-config counter profiling, dia_multiply.h:168-173).
+        if timing_channel not in ("auto", "device", "wall"):
+            raise ValueError(f"timing_channel {timing_channel!r}")
+        self.timing_channel = timing_channel
         # per-result logging sink (KTT log-redirection analogue,
         # testing/ktt.cu:189-199); None = silent
         self.log_fn = log_fn
@@ -195,8 +206,10 @@ class Tuner:
             if validate is not None and not validate(y):
                 return TuningResult(dict(config), ResultStatus.ValidationFailed,
                                     compilation_ms=compile_ms)
+            device_us = None
             if self.measure:
                 best = self._time(fn, x, y)
+                device_us = self._time_device(fn, x)
             else:
                 # validation-only mode (exhaustive ktt.cu-style walks): no
                 # measurement loop at all — the recorded duration is the
@@ -208,7 +221,23 @@ class Tuner:
             return TuningResult(dict(config), ResultStatus.ComputationFailed,
                                 compilation_ms=compile_ms, error=str(e)[:500])
         return TuningResult(dict(config), ResultStatus.Ok, duration_ms=best,
-                            compilation_ms=compile_ms)
+                            compilation_ms=compile_ms, device_us=device_us)
+
+    def _time_device(self, fn, x) -> Optional[float]:
+        """Measured per-dispatch device time (µs) via the profiler trace
+        — the ranking channel when available.  None on the wall channel,
+        when the backend has no device spans (CPU oracle), or when the
+        capture fails (the wall marginal then ranks, as before)."""
+        if self.timing_channel == "wall":
+            return None
+        if self.timing_channel == "auto" and jax.default_backend() != "tpu":
+            return None
+        try:
+            from cusp_autotuned_tpu.utils.device_time import (
+                device_us_per_call)
+            return device_us_per_call(fn, jnp.asarray(x), reps=6)
+        except Exception:  # noqa: BLE001 — profiler capture is best-effort
+            return None
 
     def _time(self, fn, x, y) -> float:
         """Milliseconds per call, MARGINAL.  Square operators are timed as
@@ -396,9 +425,11 @@ class Tuner:
                 # interrupted walk keeps what it measured
                 self.save()
             if self.log_fn is not None:
+                dev = (f" dev {result.device_us:.1f} us"
+                       if result.device_us is not None else "")
                 self.log_fn(
                     f"[tune {matrix_signature(A)}] {result.status.value} "
-                    f"{result.duration_ms:.3f} ms {result.configuration}"
+                    f"{result.duration_ms:.3f} ms{dev} {result.configuration}"
                     + (f" ({result.error})" if result.error else ""))
             if stop_condition is not None:
                 stop_condition.update(result)
@@ -416,7 +447,9 @@ class Tuner:
         store = self.results.get(sig, {})
         ok = [r for r in store.values() if r.is_valid()]
         if ok:
-            return dict(min(ok, key=lambda r: r.duration_ms).configuration)
+            # rank on measured device time when captured (relay-noise
+            # immune), wall marginal otherwise — TuningResult.ranking_ms
+            return dict(min(ok, key=lambda r: r.ranking_ms()).configuration)
         from cusp_autotuned_tpu.kernels.variants import default_config
         have_host = (getattr(A, "_host_coo", None) is not None
                      or getattr(A, "_host_scipy", None) is not None)

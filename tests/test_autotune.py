@@ -498,3 +498,59 @@ def test_offline_walk_evicts_and_saves_incrementally(tmp_path):
     y = tuner.run(A, x, best)
     np.testing.assert_allclose(np.asarray(y), reference_spmv(A, x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tuning_result_device_us_roundtrip():
+    """device_us (the profiler channel) persists through the JSON cache
+    and drives ranking_ms when present (VERDICT r4 item 4)."""
+    from cusp_autotuned_tpu.autotune.result import ResultStatus, TuningResult
+    r = TuningResult({"impl": "via_dia"}, ResultStatus.Ok,
+                     duration_ms=2.0, device_us=150.0)
+    r2 = TuningResult.from_json(r.to_json())
+    assert r2.device_us == 150.0
+    assert r2.ranking_ms() == pytest.approx(0.15)
+    r3 = TuningResult.from_json(
+        TuningResult({"impl": "x"}, ResultStatus.Ok, duration_ms=2.0)
+        .to_json())
+    assert r3.device_us is None and r3.ranking_ms() == 2.0
+
+
+def test_tuner_ranks_on_device_channel(monkeypatch):
+    """When the device channel is captured, best_configuration ranks on
+    it — the wall marginal (relay-noise channel) no longer decides; wall
+    stays the fallback for results without device_us."""
+    import itertools
+
+    A = gallery.make_diagonal_symmetric_matrix(256, 256, 2, 5)
+    x = np.linspace(0, 1, 256).astype(np.float32)
+
+    monkeypatch.setattr(Tuner, "_time", lambda self, fn, x, y: 1.0)
+    seq = itertools.count()
+    # device channel disagrees with the (flat) wall channel: the LAST
+    # config measured gets the smallest device time
+    monkeypatch.setattr(Tuner, "_time_device",
+                        lambda self, fn, x: 1000.0 - next(seq))
+    t = Tuner(timing_channel="device")
+    res = t.tune(A, x, reference_computation=reference_spmv)
+    ok = [r for r in res if r.is_valid()]
+    assert len(ok) > 1 and all(r.device_us is not None for r in ok)
+    best = t.best_configuration(A, x)
+    expect = min(ok, key=lambda r: r.device_us).configuration
+    assert best == expect
+
+
+def test_tuner_wall_channel_records_no_device_us():
+    A = gallery.make_diagonal_symmetric_matrix(256, 256, 2, 5)
+    x = np.linspace(0, 1, 256).astype(np.float32)
+    t = Tuner(timing_channel="wall")
+    res = t.tune(A, x, reference_computation=reference_spmv)
+    assert all(r.device_us is None for r in res)
+
+
+def test_tuner_auto_channel_skips_device_on_cpu():
+    """'auto' must not attempt profiler capture on the CPU oracle backend
+    (no device spans there — it would waste a trace per config)."""
+    t = Tuner(timing_channel="auto")
+    assert t._time_device(lambda v: v, np.zeros(4, np.float32)) is None
+    with pytest.raises(ValueError):
+        Tuner(timing_channel="nonsense")
