@@ -56,16 +56,27 @@ def _cg_m_loop(A, b, sigma, limit, rtol, atol):
         pAp = blas.dotc(p, Ap)
         beta_0 = -rsq_0 / pAp
         r = r + beta_0 * Ap
-        # shifted zeta/beta (KERNEL_ZB, cg_m.inl:86-91)
-        z_1 = (z_0 * z_m1 * beta_m1
-               / (beta_0 * alpha_0 * (z_m1 - z_0)
-                  + beta_m1 * z_m1 * (1 - beta_0 * sigma)))
-        b_s = beta_0 * z_1 / z_0
+        # shifted zeta/beta (KERNEL_ZB, cg_m.inl:86-91).  The zeta
+        # transfer function decays geometrically for well-conditioned
+        # shifts; in f32 it underflows to 0 well before the seed system
+        # converges and the raw recurrence then divides 0/0.  The
+        # reference runs f64 and never guards; here a dead zeta FREEZES
+        # its shift (z, b_s, a_s = 0 → x_s/p_s stop updating), which is
+        # exact: a zero zeta means that shifted residual is already 0 to
+        # working precision.
+        den = (beta_0 * alpha_0 * (z_m1 - z_0)
+               + beta_m1 * z_m1 * (1 - beta_0 * sigma))
+        alive = (z_0 != 0) & (den != 0)
+        z_1 = jnp.where(alive, z_0 * z_m1 * beta_m1
+                        / jnp.where(den == 0, 1, den), 0)
+        z_0_safe = jnp.where(alive, z_0, 1)
+        b_s = jnp.where(alive, beta_0 * z_1 / z_0_safe, 0)
         rsq_1 = blas.dotc(r, r)
         alpha_0_new = rsq_1 / rsq_0
         p_new = r + alpha_0_new * p
         # shifted alpha (KERNEL_A, cg_m.inl:116-118)
-        a_s = (alpha_0_new / beta_0) * z_1 * b_s / z_0
+        a_s = jnp.where(alive,
+                        (alpha_0_new / beta_0) * z_1 * b_s / z_0_safe, 0)
         # batched per-shift x/p updates (KERNEL_XP, cg_m.inl:149-150)
         x_s = x_s - b_s[:, None] * p_s
         p_s = z_1[:, None] * r[None, :] + a_s[:, None] * p_s

@@ -100,6 +100,25 @@ def test_cg_m_shifts():
         assert np.linalg.norm(xs - expect) / np.linalg.norm(expect) < 1e-5, s
 
 
+def test_cg_m_f32_zeta_underflow_freezes_shift():
+    """In float32 the Jegerlehner zeta for a well-conditioned shift
+    underflows to 0 long before the seed system converges; the raw
+    recurrence then returns NaN (0/0).  A dead zeta must freeze its shift
+    instead — every shift stays finite and solves to working precision."""
+    from cusp_autotuned_tpu.gallery import poisson5pt
+    from cusp_autotuned_tpu.backend.reference import reference_spmv
+
+    A = poisson5pt(16, 64, format="csr", dtype=np.float32)
+    b = np.ones(A.num_rows, np.float32)
+    sigma = np.array([0.0, 0.5, 2.0], np.float32)
+    X, mon = cg_m(A, b, sigma, monitor=Monitor(b, 80, 1e-6))
+    X = np.asarray(X)
+    assert np.all(np.isfinite(X))
+    for i, s in enumerate(sigma):
+        r = reference_spmv(A, X[i]) + s * X[i] - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4, s
+
+
 def test_bicgstab_m_shifts():
     A = _nonsym(120, seed=5)
     b = np.ones(A.num_rows)
