@@ -225,8 +225,23 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
 
     # zero-compile strategy selection: the analytic cost model's pick vs
     # the archived on-chip Williams winners (host-only, no relay) —
-    # reproducible via python benchmarks/model_check.py
+    # reproducible via python benchmarks/model_check.py.  On chip, the
+    # device constants are first re-measured + applied via the gated
+    # calibrate() (VERDICT r4 #3: the agreement number must reflect
+    # CALIBRATED constants, and a bad calibration must be auto-discarded).
     try:
+        if on_tpu:
+            try:
+                from cusp_autotuned_tpu.autotune.calibrate import (
+                    calibrate as _calibrate,
+                )
+                cal = _calibrate(persist=True, apply=True)
+                out["calibration"] = (
+                    "rejected" if cal.get("rejected") else
+                    f"applied tile_take={cal['tile_take_ns']:.0f}ns "
+                    f"stream={cal['stream_gbps']:.0f}GB/s")
+            except Exception as e:  # noqa: BLE001
+                out["calibration"] = f"error: {str(e)[:80]}"
         from benchmarks.model_check import check as _model_check
         mc = _model_check()
         out["model_vs_archive"] = f"{mc['agree']}/{mc['total']}"

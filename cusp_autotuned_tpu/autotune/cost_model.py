@@ -99,11 +99,15 @@ def pattern_stats(A) -> Dict[str, Any]:
     out: Dict[str, Any] = dict(m=int(m), n=int(n), nnz=nnz,
                                density=nnz / max(m * n, 1))
     if nnz:
-        offsets = np.unique(col.astype(np.int64) - row.astype(np.int64))
+        # bincount histogram instead of np.unique: no O(nnz log nnz) sort
+        # (0.5 s of the 1M-row AMG setup trace went to this line)
+        off = col.astype(np.int64) - row.astype(np.int64) + (m - 1)
+        num_diagonals = int(np.count_nonzero(
+            np.bincount(off, minlength=m + n - 1)))
         deg = np.bincount(row, minlength=m)
         out.update(
-            num_diagonals=int(offsets.size),
-            dia_fill=nnz / max(int(offsets.size) * m, 1),
+            num_diagonals=num_diagonals,
+            dia_fill=nnz / max(num_diagonals * m, 1),
             mean_degree=nnz / max(m, 1),
             max_degree=int(deg.max()),
         )

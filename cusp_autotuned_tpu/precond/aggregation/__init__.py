@@ -122,7 +122,7 @@ def _structured_tentative_ops(sa, grid, block):
 
 
 def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True,
-                 structured=None):
+                 structured=None, symmetric=None):
     """Factored smoothed-operator applies for one level.
 
     P = (I - s D^-1 A) T (s = omega/rho; parity: smooth_prolongator.h:52-151)
@@ -192,8 +192,10 @@ def _factored_rp(sa, Aop, P, R, omega, rho, wrap, auto=True,
     if want_P:
         Pop = FactoredProlongator(Top=Top, Aop=Aop, dinv=dinv, scale=scale,
                                   shape=tuple(P.shape))
+    if symmetric is None:
+        symmetric = _is_symmetric_host(Ssp)
     Rop = None
-    if want_R and _is_symmetric_host(Ssp):
+    if want_R and symmetric:
         Ttop = Ttop_structured
         if Ttop is None:
             Tsp = to_scipy(sa.T)
@@ -283,6 +285,10 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
 
     levels = []
     mark = _stage_timer()
+    # symmetry propagates down a Galerkin hierarchy (A_c = P^T A P), so
+    # the host S - S^T check runs once on the fine level instead of per
+    # level (2 of the 12 s in the 1M-row setup trace)
+    sym_known = None
     while (sa.A.num_rows > min_level_size
            and len(levels) < max_levels - 1):
         mark(f"level {len(levels)} begin")
@@ -315,17 +321,49 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
         T, B_coarse = fit_candidates(sa.aggregates, sa.B)
         sa.T = T
         mark("fit_candidates")
-        P = smooth_prolongator(sa.A, T, omega=omega, rho_DinvA=rho)
-        mark("smooth_prolong")
-        # setup-time transpose stays on the host mirror (a device transpose
-        # would compile a fresh sort program per level shape); the solve
-        # path keeps the device ops.transpose
         from cusp_autotuned_tpu.backend.reference import from_scipy, to_scipy
-        Psp = to_scipy(P)
-        R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
-        mark("transpose")
-        A_coarse = galerkin_product(R, sa.A, P)
-        mark("galerkin RAP")
+        closed_form = None
+        if structured is not None:
+            # closed-form structured level build (VERDICT r4 item 2): on a
+            # raster-grid level the smoothed prolongator and the Galerkin
+            # triple product are stencil algebra — banded products plus a
+            # block fold — in O(k^2 n) host flops with no generic SpGEMM;
+            # tests pin exact agreement with the generic path
+            # (tests/test_structured_rap.py)
+            from cusp_autotuned_tpu.precond.aggregation.structured_rap \
+                import structured_smooth_rap, get_band
+            try:
+                Tsp = to_scipy(T).tocsr()
+                if (np.diff(Tsp.indptr) == 1).all():
+                    P64, Ac64 = structured_smooth_rap(
+                        to_scipy(sa.A).tocsr(), np.asarray(Tsp.data),
+                        structured[0], structured[1],
+                        omega / max(rho, 1e-30), band=get_band(sa.A))
+                    closed_form = (P64, Ac64)
+            except Exception:  # noqa: BLE001 — generic path is the fallback
+                closed_form = None
+        dtype = np.dtype(sa.A.dtype)
+        if closed_form is not None:
+            from cusp_autotuned_tpu.precond.aggregation.structured_rap \
+                import container_from_csr as _ccsr
+            P64, Ac64 = closed_form
+            P = _ccsr(P64, dtype)
+            mark("smooth_prolong")
+            R = _ccsr(P64.T.tocsr(), dtype)
+            mark("transpose")
+            A_coarse = _ccsr(Ac64, dtype)
+            mark("galerkin RAP")
+        else:
+            P = smooth_prolongator(sa.A, T, omega=omega, rho_DinvA=rho)
+            mark("smooth_prolong")
+            # setup-time transpose stays on the host mirror (a device
+            # transpose would compile a fresh sort program per level
+            # shape); the solve path keeps the device ops.transpose
+            Psp = to_scipy(P)
+            R = from_scipy(Psp.T.tocsr(), "csr", dtype=Psp.dtype)
+            mark("transpose")
+            A_coarse = galerkin_product(R, sa.A, P)
+            mark("galerkin RAP")
         Aop = Rop = Pop = None
         if spmv_config is not None:
             # tuned apply operators per level (planned arrays as jit args);
@@ -402,9 +440,14 @@ def smoothed_aggregation(A, B=None, theta: float = 0.0,
             # host is single-vCPU, so threads only add GIL handoffs and
             # cache thrash; keep it serial
             Aop = _wrap(sa.A, tune_A)
+            if sym_known is not True:
+                from cusp_autotuned_tpu.backend.reference import (
+                    to_scipy as _tsp)
+                sym_known = _is_symmetric_host(_tsp(sa.A))
             Rop_f, Pop_f = _factored_rp(sa, Aop, P, R, omega, rho, _wrap,
                                         auto=auto and not tune_A,
-                                        structured=structured)
+                                        structured=structured,
+                                        symmetric=sym_known)
             Rop = Rop_f if Rop_f is not None else _wrap(R)
             Pop = Pop_f if Pop_f is not None else _wrap(P)
             mark("plan operators")

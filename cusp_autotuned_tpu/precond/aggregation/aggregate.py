@@ -81,21 +81,22 @@ def detect_grid(A, max_radius: int = 3):
     validated by requiring EVERY offset to decompose within the radius.
     No reference analog — the reference never specializes on geometry; this
     feeds the TPU-first structured tentative rail (VERDICT r3 item 3)."""
-    from cusp_autotuned_tpu.backend.reference import to_scipy
-    S = to_scipy(A)
-    if not hasattr(S, "tocoo"):
-        return None
-    S = S.tocoo()
-    n = S.shape[0]
-    if S.shape[0] != S.shape[1] or S.nnz == 0:
-        return None
-    off = S.col.astype(np.int64) - S.row.astype(np.int64)
-    offs, counts = np.unique(off, return_counts=True)
-    big = offs[offs > max_radius]
-    if big.size == 0:
+    from cusp_autotuned_tpu.precond.aggregation.structured_rap import (
+        get_band)
+    band = get_band(A)   # cached; shared with rho and the structured RAP
+    if band is None:
+        return None      # not square / not host-mirrored / > MAX_BAND diags
+    offs_l, data = band
+    offs = np.asarray(offs_l, np.int64)
+    n = data[0].shape[0]
+    if offs.size == 0 or offs.size > (2 * max_radius + 1) ** 2:
+        return None      # a radius-r stencil has at most (2r+1)^2 offsets
+    counts = np.array([np.count_nonzero(d) for d in data])
+    big_mask = offs > max_radius
+    if not big_mask.any():
         return None
     # dominant large offset = the grid width candidate
-    nx = int(big[np.argmax(counts[offs > max_radius])])
+    nx = int(offs[big_mask][np.argmax(counts[big_mask])])
     if nx <= max_radius or n % nx:
         return None
     ny = n // nx
@@ -111,15 +112,20 @@ def detect_grid(A, max_radius: int = 3):
     # stay inside [0, nx) for EVERY entry.  A 1-D multi-band chain (e.g.
     # offsets {-4,-1,0,1,4}) decomposes arithmetically but has +1 entries
     # at x == nx-1 — this check rejects it (found by review; 'auto' is
-    # the default aggregator, so misdetection silently changes AMG)
-    e_dy = np.rint(off / nx).astype(np.int64)
-    e_dx = off - e_dy * nx
-    x = S.row.astype(np.int64) % nx
-    y = S.row.astype(np.int64) // nx
-    ok = ((x + e_dx >= 0) & (x + e_dx < nx)
-          & (y + e_dy >= 0) & (y + e_dy < ny))
-    if not ok.all():
-        return None
+    # the default aggregator, so misdetection silently changes AMG).  In
+    # band form the per-entry check collapses to per-offset STRIPE checks:
+    # the rows whose x + dx leaves the grid are contiguous x-columns of
+    # the (ny, nx) raster view, which must hold only zeros.  (y + dy
+    # range needs no check: x in range forces y + dy = (i + o) // nx in
+    # [0, ny) because i + o = col is in [0, n).)
+    for k in range(offs.size):
+        dxk = int(dx[k])
+        if dxk == 0:
+            continue
+        grid_view = data[k].reshape(ny, nx)
+        bad = grid_view[:, nx - dxk:] if dxk > 0 else grid_view[:, :-dxk]
+        if np.any(bad):
+            return None
     return ny, nx
 
 
