@@ -504,18 +504,46 @@ def reset_tuning(A=None):
     get_tuner().reset_tuning(A)
 
 
-def tuned_operator(A, x=None, tune_first: bool = False):
+def tuned_operator(A, x=None, tune_first: bool = False, mesh=None):
     """The tuner's best known configuration for A, packaged as a solver
     operator whose planned arrays travel as jit parameters
     (operators.PlannedOperator) — use as the `A` of any Krylov solve.
-    tune_first=True runs the offline search when no results exist yet."""
+    tune_first=True runs the offline search when no results exist yet.
+
+    mesh: distribute the tuned plan over a jax.sharding.Mesh — banded
+    diagonal data for via_dia, a block-partitioned psum-combined plan for
+    the scattered rails (parallel/sharded_plans.shard_planned_blocks);
+    configurations those paths can't shard fall back to the single-device
+    operator (replicate it explicitly if needed)."""
     from cusp_autotuned_tpu.operators import planned_operator
     tuner = get_tuner()
     if tune_first and not tuner.results.get(matrix_signature(A, x), {}):
         tuner.tune(A, x if x is not None else
                    np.ones(A.num_cols, np.dtype(A.dtype)))
     try:
-        return planned_operator(A, tuner.best_configuration(A, x))
+        cfg = tuner.best_configuration(A, x)
+    except Exception:  # noqa: BLE001
+        from cusp_autotuned_tpu.kernels.variants import default_config
+        cfg = default_config(A)
+    if mesh is not None:
+        impl = str(cfg.get("impl", ""))
+        try:
+            if impl in ("binned", "colsort2", "routed"):
+                from cusp_autotuned_tpu.parallel.sharded_plans import (
+                    shard_planned_blocks)
+                return shard_planned_blocks(A, mesh, config=cfg)
+            if impl == "via_dia":
+                from cusp_autotuned_tpu.ops.convert import convert
+                from cusp_autotuned_tpu.parallel.sharded_plans import (
+                    shard_planned_dia)
+                sub = {k: v for k, v in cfg.items()
+                       if k in ("value_dtype", "block_rows")}
+                return shard_planned_dia(convert(A, "dia"), mesh,
+                                         config=sub)
+        except Exception:  # noqa: BLE001 — sharding is best-effort
+            pass
+    try:
+        return planned_operator(A, cfg)
     except Exception:  # noqa: BLE001
         # an UNMEASURED (cost-model) pick can fail to plan on edge
         # patterns the model's guards don't see; measured picks already

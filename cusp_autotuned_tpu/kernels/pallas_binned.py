@@ -399,7 +399,15 @@ def _build_streamed(A, config, interpret):
     vals_d = jnp.asarray(vals.astype(store))
     packs_d = jnp.asarray(packs)
 
-    def make_call(K):
+    def make_call(K, nbv=None, _cache={}):
+        # the grid length follows the ARRAYS' block count (nbv), not the
+        # build-time nb: a sharded wrapper slices the block list per
+        # device and reuses this apply on the (padded) slice
+        # (parallel/sharded_plans.shard_planned_blocks)
+        nbv = nb if nbv is None else nbv
+        cached = _cache.get((K, nbv))
+        if cached is not None:
+            return cached
         kern = functools.partial(_streamed_kernel, Bs=Bs, RS=RS, CW=CW,
                                  qshift=qshift, K=K)
         kdim = () if K == 0 else (K,)
@@ -411,11 +419,11 @@ def _build_streamed(A, config, interpret):
         def ymap(g, rbs, cbs, spans):
             return (0,) * len(kdim) + (rbs[g], 0)
 
-        return pl.pallas_call(
+        return _cache.setdefault((K, nbv), pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
-                grid=(nb,),
+                grid=(nbv,),
                 in_specs=[
                     pl.BlockSpec(kblk + (CW, LANE), xmap,
                                  memory_space=pltpu.VMEM),
@@ -434,7 +442,7 @@ def _build_streamed(A, config, interpret):
                                 + nb * (CW + RS) * LANE * max(K, 1)
                                 * dtype.itemsize),
                 transcendentals=0),
-            interpret=interpret)
+            interpret=interpret))
 
     arrays = {"vals": vals_d, "packs": packs_d, "rbs": rbs_win,
               "cbs": cbs_win, "spans": spans_d, "row_mask": row_mask}
@@ -443,9 +451,10 @@ def _build_streamed(A, config, interpret):
 
     def apply(arrs, x):
         scal = (arrs["rbs"], arrs["cbs"], arrs["spans"])
+        nbv = arrs["vals"].shape[0]
         if x.ndim == 1:
             x2 = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE)
-            y2 = make_call(0)(*scal, x2, arrs["vals"], arrs["packs"])
+            y2 = make_call(0, nbv)(*scal, x2, arrs["vals"], arrs["packs"])
             y = jnp.where(arrs["row_mask"], y2.reshape(m_pad)[:m], 0)
         elif x.ndim == 2:
             K = x.shape[1]
@@ -463,9 +472,10 @@ def _build_streamed(A, config, interpret):
             KB = int(config.get("spmm_kb", 0)) or KB   # tuned override
 
             def part_mm(arrs2, x3, KK):
-                y3 = make_call(KK)(arrs2["rbs"], arrs2["cbs"],
-                                   arrs2["spans"], x3, arrs2["vals"],
-                                   arrs2["packs"])
+                y3 = make_call(KK, arrs2["vals"].shape[0])(
+                    arrs2["rbs"], arrs2["cbs"],
+                    arrs2["spans"], x3, arrs2["vals"],
+                    arrs2["packs"])
                 return jnp.where(arrs2["row_mask"][None, :],
                                  y3.reshape(KK, m_pad)[:, :m], 0)
             y = _spmm_chunked([part_mm], arrs, x, K, KB, n, n_pad, x_rows)
@@ -482,6 +492,10 @@ def _build_streamed(A, config, interpret):
         return apply(arrays, x)
     fn.planned_arrays = arrays
     fn.apply = apply
+    fn.plan_stats = dict(
+        impl="binned", nb=int(nb), Bs=Bs, RS=RS, CW=CW, RW=RW,
+        streamed=True, nnz=int(row.size), spill=int(srow.size),
+        plan_bytes=int(vals.nbytes + packs.nbytes))
     return fn
 
 

@@ -766,6 +766,15 @@ def build_colsort2(A, config, interpret: bool = False):
         else:
             RSp = max(8, min(RSp, round_up(max_q + 1, 8)))
     nch_hub = hub_rows.size // LANE
+    if config.get("plan_only"):
+        # stats-only probe (no device arrays): the routed tail auto-search
+        # prices candidate tail configurations with this
+        n_spill = int(spill[0].size)
+        slots = int(nb) * Bs * LANE
+        return dict(impl="colsort2", nb=int(nb), Bs=Bs, W=W, RSp=RSp, K=K,
+                    mix=mix, streamed=bool(streamed), spill=n_spill,
+                    nnz=int(row.size), slots=slots,
+                    fill=round((row.size - n_spill) / max(slots, 1), 4))
     VRs = round_up(nch_main + nch_hub + RSp, RSp if streamed else 8)
     if not streamed and VRs * LANE * dtype.itemsize > MAX_VMEM_BYTES():
         raise NotImplementedException(
@@ -811,19 +820,26 @@ def build_colsort2(A, config, interpret: bool = False):
     else:
         x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         y_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=(nb,),
-            in_specs=[x_spec] + entry_specs,
-            out_specs=y_spec),
-        out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nb * Bs * LANE + 2 * nb * RSp * Bs * LANE,
-            bytes_accessed=(plan_bytes
-                            + (x_rows + VRs) * LANE * dtype.itemsize),
-            transcendentals=0),
-        interpret=interpret)
+    def make_call(nbv, _cache={}):
+        # grid length follows the ARRAYS' block count: a sharded wrapper
+        # slices the block list per device and reuses this apply on the
+        # padded slice (parallel/sharded_plans.shard_planned_blocks)
+        cached = _cache.get(nbv)
+        if cached is not None:
+            return cached
+        return _cache.setdefault(nbv, pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(nbv,),
+                in_specs=[x_spec] + entry_specs,
+                out_specs=y_spec),
+            out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nbv * Bs * LANE + 2 * nbv * RSp * Bs * LANE,
+                bytes_accessed=(plan_bytes
+                                + (x_rows + VRs) * LANE * dtype.itemsize),
+                transcendentals=0),
+            interpret=interpret))
 
     arrays = dict(
         v2v=jnp.asarray(vals_.astype(store)), v2c=jnp.asarray(chunks_),
@@ -845,8 +861,8 @@ def build_colsort2(A, config, interpret: bool = False):
                       scol=jnp.asarray(scol[so].astype(np.int32)),
                       sval=jnp.asarray(sval[so].astype(dtype)))
 
-    def make_call_mm(KK, _cache={}):
-        callK = _cache.get(KK)
+    def make_call_mm(KK, nbv, _cache={}):
+        callK = _cache.get((KK, nbv))
         if callK is None:
             kernK = functools.partial(_v2_kernel, Bs=Bs, RSp=RSp, W=W,
                                       K=KK, streamed=streamed, mix=mix,
@@ -861,10 +877,10 @@ def build_colsort2(A, config, interpret: bool = False):
             else:
                 xk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
                 yk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            callK = _cache[KK] = pl.pallas_call(
+            callK = _cache[(KK, nbv)] = pl.pallas_call(
                 kernK,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2, grid=(nb,),
+                    num_scalar_prefetch=2, grid=(nbv,),
                     in_specs=[xk_spec] + entry_specs,
                     out_specs=yk_spec),
                 out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
@@ -886,12 +902,14 @@ def build_colsort2(A, config, interpret: bool = False):
         return y
 
     def apply(arrs, x):
+        nbv = arrs["v2v"].shape[0]
         if x.ndim == 1:
             xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
-            if nb:
+            if nbv:
                 extra = (arrs["v2s"],) if perm else ()
-                yv = call(arrs["v2vb"], arrs["v2cb"], xt, arrs["v2v"],
-                          arrs["v2c"], arrs["v2p"], *extra)
+                yv = make_call(nbv)(arrs["v2vb"], arrs["v2cb"], xt,
+                                    arrs["v2v"], arrs["v2c"], arrs["v2p"],
+                                    *extra)
                 if "v2wm" in arrs:
                     yv = apply_band_mask(yv, arrs["v2wm"])
                 # identity planes fold as a pure reshape + sum: no gather
@@ -922,12 +940,12 @@ def build_colsort2(A, config, interpret: bool = False):
         outs = []
         for s0 in range(0, KK, KB):
             xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
-            if nb:
+            if nbv:
                 x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
                 extra = (arrs["v2s"],) if perm else ()
-                yv = make_call_mm(KB)(arrs["v2vb"], arrs["v2cb"], x3t,
-                                      arrs["v2v"], arrs["v2c"], arrs["v2p"],
-                                      *extra)
+                yv = make_call_mm(KB, nbv)(arrs["v2vb"], arrs["v2cb"], x3t,
+                                           arrs["v2v"], arrs["v2c"],
+                                           arrs["v2p"], *extra)
                 if "v2wm" in arrs:
                     yv = apply_band_mask(yv, arrs["v2wm"])
                 yk = fold(arrs, yv.reshape(KB, -1))

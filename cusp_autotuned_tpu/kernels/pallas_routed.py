@@ -66,6 +66,80 @@ from cusp_autotuned_tpu.kernels.pallas_dia import _upcast
 WIN = LANE * LANE                  # x-window: 16384 consecutive elements
 HUB_SPLIT = 128
 
+# tail auto-search candidates: (block sublanes Bs, vrow_span, mix,
+# col_window or None=full width).  The round-5 sweep on the Economics
+# tail (330k entries): the default full-width Bs128 plan pays
+# W+1 = 9 passes per block at fill 0.41 (60 us model = the measured 61 us
+# tail span, VERDICT r4 item 1); narrow blocks over a wider RSp band at
+# W = 1-2 cut the model cost to ~22 us.  The dot term keeps mix*RSp*Bs
+# bounded (one-hot dots stop riding the idle MXU past ~the take cost).
+_TAIL_CANDIDATES = (
+    (128, 32, 4, None),          # the pre-round-5 default
+    (32, 64, 4, 16384),
+    (32, 64, 4, 32768),
+    (64, 64, 4, 32768),
+    (32, 32, 4, 32768),
+    (64, 32, 4, 16384),
+    (128, 64, 4, 32768),
+)
+_TAKE_NS = 136.0                 # one (128,128)-tile take pass
+_DOT_NS_PER_MAC = 5e-5           # one-hot dot MACs (~2e13 MAC/s f32)
+_BLOCK_OVERHEAD_NS = 30.0        # per-block grid/DMA fixed cost
+_SPILL_NS = 15.0                 # XLA COO side-path, per entry
+
+
+class _TailShim:
+    """Container-shaped view of the tail triplets for build_colsort2 /
+    the plan_only probe — no device arrays, just the host mirror."""
+
+    format = "coo"
+
+    def __init__(self, tr, tc, tv, shape, dtype):
+        self.dtype = dtype
+        self.shape = tuple(shape)
+        self.num_rows, self.num_cols = int(shape[0]), int(shape[1])
+        self.nnz = int(tr.size)
+        self._host_coo = (tr, tc, tv.astype(dtype), tuple(shape))
+
+
+def _tail_score(st) -> float:
+    passes = st["nb"] * (st["Bs"] / 128.0) * (st["W"] + 1)
+    dot = st["nb"] * st["mix"] * st["RSp"] * st["Bs"] * 128 \
+        * _DOT_NS_PER_MAC
+    return (passes * _TAKE_NS + dot + st["nb"] * _BLOCK_OVERHEAD_NS
+            + st["spill"] * _SPILL_NS)
+
+
+def _auto_tail_cfg(tail, shape, dtype, base_cfg):
+    """Model-guided tail configuration: plan each candidate (host-only,
+    plan_only probe) and keep the cheapest by take+dot+overhead score.
+    Reference analog: the KTT walk measures every configuration
+    (multiply.h:106-153); here the plan model prices the tail candidates
+    host-side and the tuner's tail axes stay available to overrule."""
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    tr, tc, tv = tail
+    shim = _TailShim(tr, tc, tv, shape, dtype)
+    best_cfg, best_score = None, None
+    for bs, rsp, mix, cw in _TAIL_CANDIDATES:
+        cfg = dict(base_cfg, block_entries=bs * LANE, vrow_span=rsp,
+                   mix_chunks=mix, plan_only=True)
+        if cw:
+            cfg["col_window"] = min(cw, int(shape[1]))
+        else:
+            cfg.pop("col_window", None)
+        try:
+            st = build_colsort2(shim, cfg)
+        except (FormatConversionException, NotImplementedException):
+            continue
+        score = _tail_score(st)
+        if best_score is None or score < best_score:
+            best_cfg, best_score = cfg, score
+    if best_cfg is None:
+        return base_cfg
+    best_cfg = dict(best_cfg)
+    best_cfg.pop("plan_only", None)
+    return best_cfg
+
 
 def MAX_VMEM_BYTES():
     from cusp_autotuned_tpu.utils.config import get_config
@@ -511,6 +585,13 @@ def build_routed(A, config, interpret: bool = False):
         # the tail_mix axis rather than hardcoded
         tail_cfg = {"vrow_planes": 1,
                     "mix_chunks": int(config.get("tail_mix", 0)) or 4}
+        explicit_tail = bool(config.get("tail_mix"))
+        for src, dst in (("tail_cw", "col_window"),
+                         ("tail_bs", "block_entries"),
+                         ("tail_rsp", "vrow_span")):
+            if config.get(src):
+                tail_cfg[dst] = int(config[src])
+                explicit_tail = True
         if "value_dtype" in config:
             tail_cfg["value_dtype"] = config["value_dtype"]
         if config.get("scatter_dot"):
@@ -519,6 +600,12 @@ def build_routed(A, config, interpret: bool = False):
             tail_cfg["plan_budget_bytes"] = config["plan_budget_bytes"]
         if "tail_hub_cap" in config:
             tail_cfg["hub_cap"] = config["tail_hub_cap"]
+        # big tails dominate the whole kernel (Economics: 61 of 105 us
+        # device time, VERDICT r4 item 1) — worth a host-side model
+        # search over tail plan shapes; explicit tail axes skip it
+        if not explicit_tail and n_tail >= int(
+                config.get("tail_search_min", 65536)):
+            tail_cfg = _auto_tail_cfg(tail, shape, dtype, tail_cfg)
         tail_fn = build_colsort2(At, tail_cfg, interpret=interpret)
 
     VRs = round_up(nch_main + RSp, RSp if streamed else 8)
@@ -556,19 +643,26 @@ def build_routed(A, config, interpret: bool = False):
     else:
         x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         y_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=(nb,),
-            in_specs=[x_spec] + entry_specs,
-            out_specs=y_spec),
-        out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nb * LANE * LANE,
-            bytes_accessed=(plan_bytes
-                            + (x_rows + VRs) * LANE * dtype.itemsize),
-            transcendentals=0),
-        interpret=interpret)
+    def make_call(nbv, _cache={}):
+        # grid length follows the ARRAYS' block count: a sharded wrapper
+        # slices the block list per device and reuses this apply on the
+        # padded slice (parallel/sharded_plans.shard_planned_blocks)
+        cached = _cache.get(nbv)
+        if cached is not None:
+            return cached
+        return _cache.setdefault(nbv, pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(nbv,),
+                in_specs=[x_spec] + entry_specs,
+                out_specs=y_spec),
+            out_shape=jax.ShapeDtypeStruct((VRs, LANE), dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nbv * LANE * LANE,
+                bytes_accessed=(plan_bytes
+                                + (x_rows + VRs) * LANE * dtype.itemsize),
+                transcendentals=0),
+            interpret=interpret))
 
     arrays = dict(
         rv=jnp.asarray(vals_.astype(store)), rg1=jnp.asarray(g1_),
@@ -589,8 +683,8 @@ def build_routed(A, config, interpret: bool = False):
         return planes.reshape(shp + (nch_plane, K, LANE)).sum(-2) \
             .reshape(shp + (m_pad,))[..., :m]
 
-    def make_call_mm(KK, _cache={}):
-        callK = _cache.get(KK)
+    def make_call_mm(KK, nbv, _cache={}):
+        callK = _cache.get((KK, nbv))
         if callK is None:
             kernK = functools.partial(_routed_kernel, RSp=RSp, Wr=Wr, K=KK,
                                       streamed=streamed)
@@ -604,10 +698,10 @@ def build_routed(A, config, interpret: bool = False):
             else:
                 xk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
                 yk_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-            callK = _cache[KK] = pl.pallas_call(
+            callK = _cache[(KK, nbv)] = pl.pallas_call(
                 kernK,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2, grid=(nb,),
+                    num_scalar_prefetch=2, grid=(nbv,),
                     in_specs=[xk_spec] + entry_specs,
                     out_specs=yk_spec),
                 out_shape=jax.ShapeDtypeStruct((KK, VRs, LANE), dtype),
@@ -615,11 +709,12 @@ def build_routed(A, config, interpret: bool = False):
         return callK
 
     def apply(arrs, x):
+        nbv = arrs["rv"].shape[0]
         if x.ndim == 1:
             xt = jnp.pad(x, (0, n_pad - n)).reshape(x_rows, LANE).T
-            if nb:
-                yv = call(arrs["rvb"], arrs["rcb"], xt, arrs["rv"],
-                          arrs["rg1"], arrs["rg2"], arrs["rpq"])
+            if nbv:
+                yv = make_call(nbv)(arrs["rvb"], arrs["rcb"], xt, arrs["rv"],
+                                    arrs["rg1"], arrs["rg2"], arrs["rpq"])
                 if streamed:
                     yv = apply_band_mask(yv, arrs["rwm"])
                 y = fold(arrs, yv.reshape(-1))
@@ -645,11 +740,11 @@ def build_routed(A, config, interpret: bool = False):
         outs = []
         for s0 in range(0, KK, KB):
             xc = jax.lax.dynamic_slice_in_dim(xTp, s0, KB, axis=0)
-            if nb:
+            if nbv:
                 x3t = jnp.swapaxes(xc.reshape(KB, x_rows, LANE), 1, 2)
-                yv = make_call_mm(KB)(arrs["rvb"], arrs["rcb"], x3t,
-                                      arrs["rv"], arrs["rg1"],
-                                      arrs["rg2"], arrs["rpq"])
+                yv = make_call_mm(KB, nbv)(arrs["rvb"], arrs["rcb"], x3t,
+                                           arrs["rv"], arrs["rg1"],
+                                           arrs["rg2"], arrs["rpq"])
                 if streamed:
                     yv = apply_band_mask(yv, arrs["rwm"])
                 yk = fold(arrs, yv.reshape(KB, -1))
@@ -676,5 +771,6 @@ def build_routed(A, config, interpret: bool = False):
         plan_bytes=int(plan_bytes),
         tail_stats=(None if tail_fn is None
                     else {k: v for k, v in tail_fn.plan_stats.items()
-                          if k in ("nb", "fill", "W", "Bs", "plan_bytes")}))
+                          if k in ("nb", "fill", "W", "Bs", "RSp",
+                                   "plan_bytes")}))
     return fn

@@ -53,6 +53,11 @@ class PlannedOperator:
     build: Callable = static_field()
     shape: Tuple[int, int] = static_field(default=(0, 0))
     impl: str = static_field(default="")   # kernel rail label (introspection)
+    # the kernel configuration this plan was built with — lets the
+    # distributed extension rebuild/partition the plan with identical
+    # statics (parallel/sharded_plans.shard_planned_blocks); None for
+    # operators predating the field (old pickles/pytrees)
+    config: Any = static_field(default=None)
 
     format = "planned_operator"
 
@@ -78,7 +83,8 @@ def planned_operator(A, config=None):
         impl = (getattr(fn, "plan_stats", None) or {}).get(
             "impl", str(cfg.get("impl", "")))
         return PlannedOperator(arrays=fn.planned_arrays, build=fn.apply,
-                               shape=A.shape, impl=impl)
+                               shape=A.shape, impl=impl,
+                               config=tuple(sorted(cfg.items())))
     return FunctionOperator(fn=fn, shape=tuple(A.shape))
 
 

@@ -196,9 +196,11 @@ def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
     TUNED operators shard too (round 3 replicated them): a via_dia
     PlannedOperator rebuilds as a row-banded ShardedPlannedOperator
     (each device holds only its band's diagonal data —
-    parallel/sharded_plans.py), and the factored R/P applies shard their
-    structured-tentative weights and inner A operator; other planned
-    rails (scattered block plans) stay replicated."""
+    parallel/sharded_plans.py); scattered planned rails (binned /
+    colsort2 / routed) partition their block lists over the mesh with a
+    psum-combined apply (shard_planned_blocks, VERDICT r4 item 5); and
+    the factored R/P applies shard their structured-tentative weights
+    and inner A operator."""
     import dataclasses
     from cusp_autotuned_tpu.parallel.sharded_plans import (
         shard_planned_dia, shard_structured_tentative, _place_vec)
@@ -236,6 +238,16 @@ def distribute_multilevel(M, mesh: Mesh, cutoff: int = 2048):
                     cfg["value_dtype"] = "bfloat16"
                 return shard_planned_dia(convert(lvl.A, "dia"), mesh,
                                          config=cfg)
+            except Exception:  # noqa: BLE001 — sharding is best-effort
+                return repl_tree(op)
+        if (isinstance(op, PlannedOperator) and op.config is not None
+                and op.impl.split("_")[0] in ("binned", "colsort2", "routed")
+                and lvl.A.num_rows >= cutoff):
+            try:
+                from cusp_autotuned_tpu.parallel.sharded_plans import (
+                    shard_planned_blocks)
+                return shard_planned_blocks(lvl.A, mesh,
+                                            config=dict(op.config))
             except Exception:  # noqa: BLE001 — sharding is best-effort
                 return repl_tree(op)
         return repl_tree(op)

@@ -143,6 +143,102 @@ def test_sharded_block_vector_k16_single_dispatch():
     assert n_shmap == 1, f"expected 1 shard_map dispatch, saw {n_shmap}"
 
 
+def _power_law(n=1500, seed=0, fmt="csr"):
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    rng = np.random.RandomState(seed)
+    deg = np.clip((rng.pareto(1.3, n) * 3).astype(int) + 1, 1, 400)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.randint(0, n, rows.size)
+    vals = rng.randn(rows.size).astype(np.float32)
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    S.sum_duplicates()
+    return from_scipy(S, fmt)
+
+
+def _economics_standin():
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    from cusp_autotuned_tpu.gallery.suite import williams_suite
+    S = williams_suite(0.12)["Economics"].astype(np.float32).tocsr()
+    return from_scipy(S, "csr")
+
+
+@pytest.mark.parametrize("make_A,cfg", [
+    (_power_law, {"impl": "binned", "block_entries": 1024,
+                  "col_window": 1024, "row_window": 512}),
+    (_power_law, {"impl": "colsort2", "block_entries": 1024}),
+    (_economics_standin, {"impl": "routed"}),
+])
+def test_shard_planned_blocks_matches_oracle(make_A, cfg):
+    """Scattered planned rails partition their block lists over the mesh
+    (VERDICT r4 item 5): a contiguous slice of the global plan per device,
+    partial outputs psum-combined; result matches the host oracle."""
+    from cusp_autotuned_tpu.parallel.sharded_plans import (
+        shard_planned_blocks)
+    A = make_A()
+    mesh = make_row_mesh()
+    op = shard_planned_blocks(A, mesh, dict(cfg))
+    assert op.impl == f"{cfg['impl']}_sharded" and op.out_mode == "sum"
+    rng = np.random.RandomState(3)
+    x = rng.randn(A.num_cols).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(x)))
+    want = reference_spmv(A, x)
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-4 * np.abs(want).max())
+    # each device holds exactly its slice of the plan's block list
+    key = {"binned": "vals", "colsort2": "v2v", "routed": "rv"}[cfg["impl"]]
+    leaf = op.arrays[key]
+    nd = mesh.devices.size
+    assert leaf.shape[0] == nd
+    for s in leaf.addressable_shards:
+        assert s.data.shape[0] == 1
+
+
+def test_shard_planned_blocks_block_vectors():
+    from cusp_autotuned_tpu.parallel.sharded_plans import (
+        shard_planned_blocks)
+    A = _power_law(900, seed=2)
+    mesh = make_row_mesh()
+    op = shard_planned_blocks(
+        A, mesh, {"impl": "colsort2", "block_entries": 1024})
+    X = np.random.RandomState(4).randn(A.num_cols, 4).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(X)))
+    for j in range(4):
+        want = reference_spmv(A, X[:, j])
+        np.testing.assert_allclose(got[:, j], want, rtol=2e-4,
+                                   atol=2e-4 * np.abs(want).max())
+
+
+def test_tuned_operator_mesh_shards_scattered():
+    """tuned_operator(mesh=) returns the block-partitioned sharded plan
+    when the best configuration is a scattered rail."""
+    from cusp_autotuned_tpu.autotune.tuner import Tuner, matrix_signature
+    import cusp_autotuned_tpu.autotune.tuner as tuner_mod
+    from cusp_autotuned_tpu.autotune.result import ResultStatus, TuningResult
+    from cusp_autotuned_tpu.parallel.sharded_plans import (
+        ShardedPlannedOperator)
+
+    A = _power_law(900, seed=5)
+    t = Tuner()
+    cfg = {"impl": "colsort2", "block_entries": 1024}
+    from cusp_autotuned_tpu.autotune.space import config_key
+    t.results[matrix_signature(A)] = {
+        config_key(cfg): TuningResult(cfg, ResultStatus.Ok, duration_ms=1.0)}
+    saved = tuner_mod._global_tuner
+    tuner_mod._global_tuner = t
+    try:
+        mesh = make_row_mesh()
+        op = tuner_mod.tuned_operator(A, mesh=mesh)
+        assert isinstance(op, ShardedPlannedOperator)
+        assert op.impl == "colsort2_sharded"
+        x = np.linspace(-1, 1, A.num_cols).astype(np.float32)
+        want = reference_spmv(A, x)
+        np.testing.assert_allclose(np.asarray(op(jnp.asarray(x))), want,
+                                   rtol=2e-4, atol=2e-4 * np.abs(want).max())
+    finally:
+        tuner_mod._global_tuner = saved
+
+
 def test_shard_aop_carries_bf16_storage():
     """A via_dia plan tuned to bfloat16 storage must keep bf16 data when
     banded over the mesh (review finding: config was dropped)."""
