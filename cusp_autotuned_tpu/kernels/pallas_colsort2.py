@@ -694,7 +694,10 @@ def build_colsort2(A, config, interpret: bool = False):
     if Bs > LANE:
         raise NotImplementedException(
             "block_entries above 16384 exceed the transposed-gather tile")
-    W = max(1, -(-int(config.get("col_window", n)) // (LANE * LANE)))
+    # a window wider than the matrix IS the full-width plan — clamp, so
+    # an oversized col_window can't inflate W into a multi-GB x pad
+    W = max(1, -(-min(int(config.get("col_window", n)), max(n, 1))
+                 // (LANE * LANE)))
     CW = W * LANE
     # 0 means "default" for the shared tuning-space axes (a walk config
     # carries every axis; 0 is the not-applicable/default marker)

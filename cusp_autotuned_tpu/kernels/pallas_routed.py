@@ -67,24 +67,30 @@ WIN = LANE * LANE                  # x-window: 16384 consecutive elements
 HUB_SPLIT = 128
 
 # tail auto-search candidates: (block sublanes Bs, vrow_span, mix,
-# col_window or None=full width).  The round-5 sweep on the Economics
-# tail (330k entries): the default full-width Bs128 plan pays
-# W+1 = 9 passes per block at fill 0.41 (60 us model = the measured 61 us
-# tail span, VERDICT r4 item 1); narrow blocks over a wider RSp band at
-# W = 1-2 cut the model cost to ~22 us.  The dot term keeps mix*RSp*Bs
-# bounded (one-hot dots stop riding the idle MXU past ~the take cost).
+# col_window or None=full width).
+#
+# ROUND-5 MEASUREMENT (the per-block law): on chip a colsort2 block
+# costs ~(W+3) take passes x 136 ns + the mix one-hot dots REGARDLESS of
+# Bs — a (32,128) take is as expensive as a (128,128) one (latency-bound
+# below the full tile), so slicing blocks thinner multiplies the pass
+# cost by the block count.  A narrow-block candidate set predicted 2.5x
+# faster by the per-SLOT model measured 2.4x SLOWER on chip (Economics
+# 288 vs 118 us device).  The only real levers are FEWER, FULLER blocks:
+# mix=8 lifts the Economics tail fill 0.41 -> 0.59 (nb 49 -> 34,
+# measured 118.5 -> 106 us device total), while patterns whose tail nb
+# does not shrink (Accelerator: nb 19 either way) keep mix=4 — the dot
+# term pays for nothing there (measured 113 -> 122 us).  'perm' fold is
+# dominated on tails: same-row entries share one virtual lane, so the
+# sigma slot capacity collapses fill to ~0.2.
 _TAIL_CANDIDATES = (
     (128, 32, 4, None),          # the pre-round-5 default
-    (32, 64, 4, 16384),
-    (32, 64, 4, 32768),
-    (64, 64, 4, 32768),
-    (32, 32, 4, 32768),
-    (64, 32, 4, 16384),
-    (128, 64, 4, 32768),
+    (128, 32, 8, None),
+    (128, 64, 8, None),
+    (128, 32, 8, 65536),
 )
-_TAKE_NS = 136.0                 # one (128,128)-tile take pass
+_TAKE_NS = 136.0                 # one take pass per block (any Bs)
+_FIXED_PASSES = 3.0              # transpose + perm take + plan DMA
 _DOT_NS_PER_MAC = 5e-5           # one-hot dot MACs (~2e13 MAC/s f32)
-_BLOCK_OVERHEAD_NS = 30.0        # per-block grid/DMA fixed cost
 _SPILL_NS = 15.0                 # XLA COO side-path, per entry
 
 
@@ -103,11 +109,13 @@ class _TailShim:
 
 
 def _tail_score(st) -> float:
-    passes = st["nb"] * (st["Bs"] / 128.0) * (st["W"] + 1)
-    dot = st["nb"] * st["mix"] * st["RSp"] * st["Bs"] * 128 \
-        * _DOT_NS_PER_MAC
-    return (passes * _TAKE_NS + dot + st["nb"] * _BLOCK_OVERHEAD_NS
-            + st["spill"] * _SPILL_NS)
+    """Predicted tail nanoseconds under the measured per-BLOCK law (see
+    _TAIL_CANDIDATES): passes don't scale below the full 128-sublane
+    tile, so every block pays W + _FIXED_PASSES takes plus its dots."""
+    per_block = ((st["W"] + _FIXED_PASSES) * _TAKE_NS
+                 + st["mix"] * st["RSp"] * st["Bs"] * 128
+                 * _DOT_NS_PER_MAC)
+    return st["nb"] * per_block + st["spill"] * _SPILL_NS
 
 
 def _auto_tail_cfg(tail, shape, dtype, base_cfg):
@@ -771,6 +779,6 @@ def build_routed(A, config, interpret: bool = False):
         plan_bytes=int(plan_bytes),
         tail_stats=(None if tail_fn is None
                     else {k: v for k, v in tail_fn.plan_stats.items()
-                          if k in ("nb", "fill", "W", "Bs", "RSp",
-                                   "plan_bytes")}))
+                          if k in ("nb", "fill", "W", "Bs", "RSp", "mix",
+                                   "spill", "plan_bytes")}))
     return fn

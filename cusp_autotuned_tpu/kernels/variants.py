@@ -450,12 +450,18 @@ def tuning_space(A) -> TuningSpace:
         # routed tail sub-plan mix (pattern-dependent: measured
         # device-time on v5e, Economics tail best at mix2, Accelerator
         # at mix4); varied one-at-a-time like the other secondary axes
-        space.add_parameter("tail_mix", (0, 2))
+        space.add_parameter("tail_mix", (0, 2, 8))
         space.add_constraint(("impl", "tail_mix"),
                              lambda i, t: t == 0 or i == "routed")
         space.add_constraint(("tail_mix", "hub_cap", "spmm_kb", "pack8"),
                              lambda t, h, k, p8: t == 0
                              or (h == 0 and k == 0 and p8 == 0))
+        # tail plan-shape overrides (tail_cw / tail_bs / tail_rsp) exist
+        # as explicit config keys but are NOT walked: the round-5
+        # per-block law (pallas_routed._TAIL_CANDIDATES) showed narrow
+        # blocks/windows only multiply the per-block pass cost — the
+        # model-guided auto-search plus the tail_mix axis cover the real
+        # levers
         if search_bf16:
             # opt-in bf16 value storage on the HBM-bound DIA move only —
             # the scattered rails are XLU-bound (BASELINE.md), so halving

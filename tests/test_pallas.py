@@ -852,13 +852,74 @@ def test_routed_hub_rows_go_to_tail():
                                  {"pack8": 1},
                                  {"pack8": 1, "vrow_span": 128},
                                  {"tail_mix": 2},
-                                 {"tail_mix": 2, "vrow_span": 128}])
+                                 {"tail_mix": 2, "vrow_span": 128},
+                                 {"tail_cw": 32768},
+                                 {"tail_cw": 32768, "tail_bs": 4096,
+                                  "tail_rsp": 64}])
 def test_routed_axes(cfg):
     import scipy.sparse as sp
     rng = np.random.RandomState(5)
     S = sp.random(5000, 5000, density=5e-4, random_state=rng,
                   dtype=np.float32) + sp.eye(5000, dtype=np.float32)
     _check_binned(S, "build_routed", **cfg)
+
+
+def test_routed_tail_auto_search():
+    """A big tail triggers the host-side tail-plan model search
+    (VERDICT r4 item 1): the chosen tail configuration must score no
+    worse than the pre-round-5 default on the take+dot model AND stay
+    numerically exact."""
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_routed import (
+        build_routed, _plan_routed, _TailShim, _tail_score)
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+
+    rng = np.random.RandomState(9)
+    S = (sp.random(6000, 6000, density=1.5e-3, random_state=rng,
+                   dtype=np.float32)
+         + sp.eye(6000, dtype=np.float32)).tocsr()
+    A = from_scipy(S, "csr")
+    fn_auto = build_routed(A, {"plan_budget_bytes": 1 << 33,
+                               "tail_search_min": 1000}, interpret=True)
+    ts = fn_auto.plan_stats["tail_stats"]
+    assert ts is not None
+
+    # old default tail = full-width Bs128 colsort2 on the same triplets
+    C = S.tocoo()
+    tail = _plan_routed(C.row.astype(np.int64), C.col.astype(np.int64),
+                        C.data.astype(np.float64), S.shape,
+                        K=1, RSp=64, Wr=1, hub_cap=0,
+                        tail_min_fill=0.25)[-1]
+    shim = _TailShim(*tail, S.shape, np.dtype(np.float32))
+    st_old = build_colsort2(shim, {"plan_only": True, "vrow_planes": 1,
+                                   "mix_chunks": 4})
+    assert _tail_score(ts) <= _tail_score(st_old) + 1e-9
+    x = rng.randn(6000).astype(np.float32)
+    want = S @ x
+    np.testing.assert_allclose(np.asarray(fn_auto(x)), want, rtol=1e-4,
+                               atol=1e-4 * np.abs(want).max())
+
+
+def test_colsort2_plan_only_probe():
+    """plan_only returns the plan stats without building device arrays —
+    the tail auto-search's pricing path."""
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.kernels.pallas_colsort2 import build_colsort2
+    from cusp_autotuned_tpu.backend.reference import from_scipy
+    rng = np.random.RandomState(2)
+    S = sp.random(2000, 2000, density=2e-3, random_state=rng,
+                  dtype=np.float32).tocsr()
+    A = from_scipy(S, "csr")
+    st = build_colsort2(A, {"plan_only": True, "mix_chunks": 4,
+                            "col_window": 16384})
+    assert isinstance(st, dict) and st["impl"] == "colsort2"
+    assert st["nb"] > 0 and st["W"] == 1 and 0 < st["fill"] <= 1
+    # and the real build under the same config matches the probe's shape
+    fn = build_colsort2(A, {"mix_chunks": 4, "col_window": 16384},
+                        interpret=True)
+    assert fn.plan_stats["nb"] == st["nb"]
+    assert fn.plan_stats["W"] == st["W"]
 
 
 def test_routed_rectangular_and_spmm():
