@@ -25,8 +25,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARCHIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "williams_r3.json")
+def _archive_path() -> str:
+    """Newest archived full sweep (williams_rN.json with the largest N)."""
+    import glob
+    import re
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results")
+    cands = [p for p in glob.glob(os.path.join(base, "williams_r*.json"))
+             if re.fullmatch(r"williams_r(\d+)\.json", os.path.basename(p))]
+
+    def rank(p):
+        return int(re.search(r"williams_r(\d+)", p).group(1))
+    return max(cands, key=rank) if cands else os.path.join(
+        base, "williams_r3.json")
+
+
+ARCHIVE = _archive_path()
 
 # measured strategy label -> model class label
 _CLASS = {
@@ -64,7 +78,8 @@ def check() -> dict:
     from cusp_autotuned_tpu.autotune.cost_model import predict
 
     archive = json.load(open(ARCHIVE))
-    rows = {r["matrix"]: r for r in archive["rows"]}
+    raw = archive["rows"] if isinstance(archive, dict) else archive
+    rows = {r["matrix"]: r for r in raw if "best" in r}
     suite = williams_suite(1.0)
 
     out, agree = [], 0
