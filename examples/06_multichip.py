@@ -69,6 +69,29 @@ def main():
           f"{mon7.iteration_count()} iterations "
           f"(fine Aop = {getattr(lv0.Aop, 'impl', '?')})")
 
+    # SCATTERED planned rails shard too (round 5): one global
+    # binned/colsort2/routed plan block-partitions over the mesh —
+    # contiguous per-device slices, partial outputs psum-combined — so a
+    # tuned scattered-pattern operator memory-scales instead of
+    # replicating
+    import scipy.sparse as sp
+    from cusp_autotuned_tpu.backend.reference import (from_scipy,
+                                                      reference_spmv)
+    from cusp_autotuned_tpu.parallel.sharded_plans import (
+        shard_planned_blocks)
+    rng = np.random.RandomState(0)
+    Ssc = (sp.random(2000, 2000, density=2e-3, random_state=rng,
+                     dtype=np.float32)
+           + sp.eye(2000, dtype=np.float32)).tocsr()
+    Asc = from_scipy(Ssc, "csr")
+    op = shard_planned_blocks(Asc, mesh,
+                              {"impl": "colsort2", "block_entries": 2048})
+    import jax.numpy as jnp
+    xs = rng.randn(2000).astype(np.float32)
+    err = float(np.abs(np.asarray(op(jnp.asarray(xs)))
+                       - reference_spmv(Asc, xs)).max())
+    print(f"sharded scattered plan ({op.impl}): max |err| = {err:.2e}")
+
 
 if __name__ == "__main__":
     main()
