@@ -230,7 +230,7 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
     # calibrate() (VERDICT r4 #3: the agreement number must reflect
     # CALIBRATED constants, and a bad calibration must be auto-discarded).
     try:
-        if on_tpu:
+        if on_tpu and not over_budget():
             try:
                 from cusp_autotuned_tpu.autotune.calibrate import (
                     calibrate as _calibrate,
