@@ -117,7 +117,8 @@ def main(argv=None) -> int:
            "ok": sum(r["status"] == "Ok" for r in rows),
            "channel": ("device" if any("device_us" in r for r in rows)
                        else "wall"),
-           "best": best}
+           "best": best,
+           "results": rows}
     if args.budget:
         out["budget_s"] = args.budget
     if order:

@@ -313,12 +313,21 @@ def model_order_key(A, device: Optional[Dict[str, float]] = None):
         "colsort2": us_of("scattered"), "routed": us_of("scattered"),
     }
 
+    # within the scattered CLASS the model prices all rails identically,
+    # which left budgeted walks measuring dominated binned configs first
+    # (space order) and never reaching the routed/colsort2 region before
+    # TuningDuration fired (round-5 device-channel walk).  A tiny
+    # generation-rank epsilon orders newer rails first without touching
+    # cross-class ranking; the measurement still decides.
+    _gen_rank = {"routed": 0.0, "colsort2": 1e-4, "colsort": 2e-4,
+                 "binned": 3e-4}
+
     def key(config: Dict[str, Any]) -> float:
         impl = config.get("impl", "default")
         us = class_us.get(impl, float("inf"))
         if config.get("value_dtype") == "bfloat16":
             us = min(us, us_of("via_dia_bf16")) \
                 if impl in ("via_dia", "rcm_dia", "pallas") else us
-        return us
+        return us * (1.0 + _gen_rank.get(impl, 0.0))
 
     return key
