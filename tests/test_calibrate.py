@@ -110,7 +110,8 @@ def test_take_probe_takes_are_independent():
     chain_acc = np.zeros_like(x)
     for p in range(passes):
         planes = np.tile(idx_np[p * L:(p + 1) * L, :], (G, 1))
-        expect += np.take_along_axis(x, planes, axis=1) * (1.0 + 0.001 * p)
+        g = np.take_along_axis(x, planes, axis=1) * (1.0 + 0.001 * p)
+        expect = np.where(planes % 2 == p % 2, g + expect, expect)
         chained = np.take_along_axis(chained, planes, axis=1)
         chain_acc += chained * (1.0 + 0.001 * p)
     np.testing.assert_allclose(out, expect, rtol=1e-6)
