@@ -282,6 +282,29 @@ def _sweep(on_tpu, budget_s: float = 300.0, dia_headline=None, x_headline=None,
     if over_budget():
         out["truncated"] = "budget"
         return out
+    # SA-AMG setup wall at 1M unknowns (VERDICT r4 item 2): warm = second
+    # build in-process; the closed-form structured RAP + band-cache setup
+    # measured 2.11 s on chip (was ~12 s)
+    try:
+        import time as _t
+        from cusp_autotuned_tpu.precond.aggregation import (
+            smoothed_aggregation,
+        )
+        A1m = poisson5pt(1000, 1000, format="csr", dtype=np.float32)
+        t0 = _t.perf_counter()
+        M1m = smoothed_aggregation(A1m, spmv_config={})
+        out["amg_setup_1m_cold_s"] = round(_t.perf_counter() - t0, 2)
+        t0 = _t.perf_counter()
+        M1m = smoothed_aggregation(A1m, spmv_config={})
+        out["amg_setup_1m_warm_s"] = round(_t.perf_counter() - t0, 2)
+        del M1m, A1m
+        checkpoint()
+    except Exception as e:  # noqa: BLE001
+        out["amg_setup_error"] = str(e)[:120]
+
+    if over_budget():
+        out["truncated"] = "budget"
+        return out
     # planned-hierarchy V-cycle marginal (factored R/P + model-guided
     # per-level rails): the kernel-quality number for the AMG hot path
     try:
